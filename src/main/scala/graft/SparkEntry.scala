@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Funcs, LlmOps, Relational, StreamingQ, Windows, util}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the t2 correctness inventory (SURVEY.md §2.3): one entry
+  * per declared operator; `oracleSql` carries the DuckDB-equivalent SQL
+  * for every hash-comparable entry. Keys without an oracle (streaming
+  * semantics, LSH candidates, ANN) get a rows-only check here and full
+  * assertions in the ScalaTest suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped scan→agg→sort through the full Catalyst stack.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.qAggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.entries ++ Windows.entries ++ Funcs.entries ++
+      LlmOps.entries ++ StreamingQ.entries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
+      LlmOps.oracles ++ StreamingQ.oracles
 }

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import util._
+
+/** Scalar function families (SURVEY.md §2.3). Each key exercises several
+  * functions from one family; reference analogs cited per query. The
+  * DuckDB oracle need only be result-equivalent, so where DuckDB spells a
+  * function differently (string_split, strftime, CASE-for-map) the oracle
+  * uses the DuckDB spelling.
+  *
+  * All of these are built-in column expressions — whole-stage-codegen
+  * friendly, no UDFs in the hot path (SURVEY.md §2.4).
+  */
+object Funcs {
+
+  /** String family — reference analogs: E3 regex extract (extractor.py:52),
+    * F3 tile-string rendering, F13 URL decode.
+    */
+  val qFnString: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_type")).as("type_l"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      length(col("p_name")).cast("long").as("name_len"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      regexp_extract(col("p_brand"), "#(\\d+)$", 1).as("brand_num"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      regexp_replace(col("p_name"), " ", "_").as("name_u"),
+      trim(lit("  pad  ")).as("trimmed"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad")
+    ).orderBy("p_partkey")
+
+  val qFnStringSql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  lower(p_type) AS type_l,
+      |  substring(p_name, 1, 5) AS name5,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  regexp_extract(p_brand, '#(\d+)$', 1) AS brand_num,
+      |  concat_ws('|', p_brand, p_type) AS bt,
+      |  regexp_replace(p_name, ' ', '_', 'g') AS name_u,
+      |  trim('  pad  ') AS trimmed,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date family — reference analogs: `%Y%m%d` parse (main.py:23),
+    * `dt=%Y-%m-%d` partition format (scrape.py:613), days-since-epoch id
+    * (F9, scrape.py:447).
+    */
+  val qFnDate: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("dstr"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30")
+    ).orderBy("o_orderkey")
+
+  val qFnDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |    AS days_since,
+      |  o_orderdate + INTERVAL 30 DAY AS plus30
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math / bit family — reference analogs: F1 meld bit-packing
+    * (scrape.py:212), F7 GO-flag decode (`&`, `>>`), F8 `%4` seat math.
+    */
+  val qFnMath: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      pmod(col("l_orderkey"), lit(7)).cast("long").as("km7"),
+      floor(col("l_orderkey") / 7).cast("long").as("kdiv7"),
+      shiftleft(col("l_linenumber").cast("long"), 3).as("ln_shl"),
+      shiftright(col("l_orderkey"), 2).as("k_shr"),
+      col("l_linenumber").cast("long").bitwiseAND(5L).as("ln_and"),
+      col("l_linenumber").cast("long").bitwiseOR(8L).as("ln_or"),
+      col("l_linenumber").cast("long").bitwiseXOR(3L).as("ln_xor"),
+      abs(col("l_quantity") - 25).as("q_dist"),
+      greatest(col("l_quantity"), lit(25.0)).as("q_hi"),
+      least(col("l_quantity"), lit(25.0)).as("q_lo"),
+      round(sqrt(col("l_quantity")), 6).as("q_sqrt")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  val qFnMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey % 7 AS km7,
+      |  l_orderkey // 7 AS kdiv7,
+      |  CAST(l_linenumber AS BIGINT) << 3 AS ln_shl,
+      |  l_orderkey >> 2 AS k_shr,
+      |  CAST(l_linenumber AS BIGINT) & 5 AS ln_and,
+      |  CAST(l_linenumber AS BIGINT) | 8 AS ln_or,
+      |  xor(CAST(l_linenumber AS BIGINT), 3) AS ln_xor,
+      |  abs(l_quantity - 25) AS q_dist,
+      |  greatest(l_quantity, 25.0) AS q_hi,
+      |  least(l_quantity, 25.0) AS q_lo,
+      |  ROUND(sqrt(l_quantity), 6) AS q_sqrt
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Array family — reference analogs: F2 `transform` over dora arrays,
+    * F11 `aggregate` han-sum, array columns in haipais/agaris
+    * (scrape.py:68,78,102). Arrays are built from integer-exact values so
+    * folds are engine-exact; the oracle computes the same results with
+    * scalar arithmetic (result-equivalence, not mechanism-equivalence).
+    */
+  val qFnArray: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_linenumber").cast("long"),
+              pmod(col("l_orderkey"), lit(97)).cast("long"),
+              col("l_quantity").cast("long")).as("arr"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("arr_sum"),
+        aggregate(transform(col("arr"), x => x * 2), lit(0L), (acc, x) => acc + x)
+          .as("arr_sum2"),
+        array_contains(col("arr"), 3L).as("has3"),
+        array_min(col("arr")).cast("long").as("amin"),
+        array_max(col("arr")).cast("long").as("amax"),
+        sort_array(col("arr")).getItem(1).as("amid"),
+        size(col("arr")).cast("long").as("alen"),
+        explode(sequence(lit(1), col("l_linenumber"))).as("seq_elem"))
+      .withColumn("seq_elem", col("seq_elem").cast("long"))
+      .orderBy("l_orderkey", "l_linenumber", "seq_elem")
+
+  val qFnArraySql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_linenumber + (l_orderkey % 97) + CAST(l_quantity AS BIGINT) AS arr_sum,
+      |  2 * (l_linenumber + (l_orderkey % 97) + CAST(l_quantity AS BIGINT)) AS arr_sum2,
+      |  (l_linenumber = 3 OR (l_orderkey % 97) = 3
+      |    OR CAST(l_quantity AS BIGINT) = 3) AS has3,
+      |  least(CAST(l_linenumber AS BIGINT), l_orderkey % 97,
+      |        CAST(l_quantity AS BIGINT)) AS amin,
+      |  greatest(CAST(l_linenumber AS BIGINT), l_orderkey % 97,
+      |           CAST(l_quantity AS BIGINT)) AS amax,
+      |  list_sort([CAST(l_linenumber AS BIGINT), l_orderkey % 97,
+      |             CAST(l_quantity AS BIGINT)])[2] AS amid,
+      |  CAST(3 AS BIGINT) AS alen,
+      |  CAST(unnest(generate_series(1, l_linenumber)) AS BIGINT) AS seq_elem
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber, seq_elem""".stripMargin
+
+  /** Struct / map family — reference analogs: F5/F6 lookup tables,
+    * `agaris.yaku` list<struct> (scrape.py:91-101). DuckDB oracle uses
+    * struct_pack + CASE (map-extract semantics differ across DuckDB
+    * versions, CASE is the stable equivalent).
+    */
+  val qFnMapStruct: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      element_at(
+        map(lit("A"), lit(1L), lit("N"), lit(2L), lit("R"), lit(3L)),
+        col("l_returnflag")).as("flag_code"),
+      struct(col("l_quantity").as("q"), col("l_discount").as("disc"))
+        .getField("q").as("struct_q"),
+      struct(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .getField("st").as("struct_st")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  val qFnMapStructSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE l_returnflag WHEN 'A' THEN CAST(1 AS BIGINT)
+      |                    WHEN 'N' THEN CAST(2 AS BIGINT)
+      |                    WHEN 'R' THEN CAST(3 AS BIGINT) END AS flag_code,
+      |  struct_pack(q := l_quantity, disc := l_discount).q AS struct_q,
+      |  struct_pack(f := l_returnflag, st := l_linestatus).st AS struct_st
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** JSON family — `events.props` is a JSON string (FIXTURES.md). */
+  val qFnJson: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+      get_json_object(col("props"), "$.missing").as("missing")
+    ).orderBy("event_id")
+
+  val qFnJsonSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+      |  props->>'$.missing' AS missing
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Conditional family — CASE WHEN / coalesce / nullif (reference F6
+    * default-on-missing, scrape.py:568).
+    */
+  val qFnCond: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "high")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("low").as("tier"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+      when(col("o_orderpriority").like("1-%") ||
+           col("o_orderpriority").like("2-%"), lit(1L))
+        .otherwise(lit(0L)).as("is_urgent")
+    ).orderBy("o_orderkey")
+
+  val qFnCondSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS tier,
+      |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+      |  CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_urgent
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_fn_string"     -> qFnString,
+    "q_fn_date"       -> qFnDate,
+    "q_fn_math"       -> qFnMath,
+    "q_fn_array"      -> qFnArray,
+    "q_fn_map_struct" -> qFnMapStruct,
+    "q_fn_json"       -> qFnJson,
+    "q_fn_cond"       -> qFnCond
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_fn_string"     -> qFnStringSql,
+    "q_fn_date"       -> qFnDateSql,
+    "q_fn_math"       -> qFnMathSql,
+    "q_fn_array"      -> qFnArraySql,
+    "q_fn_map_struct" -> qFnMapStructSql,
+    "q_fn_json"       -> qFnJsonSql,
+    "q_fn_cond"       -> qFnCondSql
+  )
+}

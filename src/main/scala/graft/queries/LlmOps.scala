@@ -1,0 +1,520 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (north star in /root/repo/BASELINE.json): exact + near dedup,
+  * similarity search, text analysis.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash-groupBy → one shuffle on a 256-bit content hash,
+  *    uniformly distributed by construction (no skew);
+  *  - near dedup = MinHash+LSH banding → candidate generation is a
+  *    self-join on (band_id, band_hash), never all-pairs: O(n·bands)
+  *    shuffle rows instead of O(n²) comparisons;
+  *  - similarity: brute-force top-k is a map-side partial top-k merged by
+  *    TakeOrderedAndProject (no global sort); the IVF variant prunes the
+  *    scan to the probed centroid buckets — at scale the buckets are the
+  *    partitioning key so a probe touches a few partitions, not all.
+  */
+object LlmOps {
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash (sha2-256). Keeps the smallest doc_id
+    * per distinct content — deterministic canonical representative.
+    */
+  val qDedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val qDedupExactSql: String =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  /** Tokenize helper: non-empty whitespace tokens. */
+  private def tokens(textCol: Column): Column =
+    filter(split(textCol, " "), t => length(t) > 0)
+
+  /** MinHash + LSH near-dup candidate pairs (no oracle — verified by a
+    * planted-duplicates unit test).
+    *
+    * Pipeline: 3-token shingles → NUM_HASHES minhash signature (xxhash64
+    * with hash-index salt) → band the signature (BANDS × ROWS_PER_BAND) →
+    * self-join on (band, band-signature) → distinct candidate pairs.
+    * Everything is built-in expressions (transform/aggregate/xxhash64),
+    * so signature computation is one codegen'd projection; the only
+    * shuffle is the band-bucket join, proportional to n·BANDS.
+    */
+  val MinhashHashes = 64
+  val MinhashBands  = 16
+
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(MinhashHashes - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
+
+  def shingles3(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    // 3-gram shingles: join tokens i..i+2; for docs shorter than 3 tokens
+    // fall back to the whole text as a single shingle.
+    val n = size(toks)
+    when(n < 3, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+  }
+
+  val qDedupNear: Q = (s, d) => {
+    val rowsPerBand = MinhashHashes / MinhashBands
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              minhashSignature(shingles3(col("text"))).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    // Cluster-representative assignment instead of materializing pairs:
+    // a bucket with k near-identical docs holds k²/2 pairs (quadratic —
+    // measured 237s at sf0.1 on this corpus), but dedup only needs one
+    // representative per cluster. Min-label propagation over buckets is
+    // linear in docs×bands: bucket → min doc_id → per-doc min over its
+    // bands → one chase step (rep of rep) to flatten two-hop chains.
+    val bucketRep = bands.groupBy("band_id", "band_hash")
+      .agg(min(col("doc_id")).as("bucket_min"))
+    val rep1 = bands.join(bucketRep, Seq("band_id", "band_hash"))
+      .groupBy("doc_id").agg(min(col("bucket_min")).as("rep"))
+    val x = rep1.alias("x")
+    val y = rep1.select(col("doc_id").as("rep"), col("rep").as("rep2")).alias("y")
+    x.join(y, Seq("rep"), "left")
+      .select(col("doc_id"), least(coalesce(col("rep2"), col("rep")), col("rep")).as("cluster_rep"))
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash (64-bit) per document + near-dup pairs by Hamming distance.
+    * The signed-bit accumulation runs as one `aggregate` HOF over the
+    * token array — no shuffle until the final candidate join, which
+    * buckets on the four 16-bit simhash chunks (a Hamming-distance-≤3
+    * pair must agree on at least one chunk — pigeonhole), so again no
+    * all-pairs comparison.
+    */
+  def simhash64(toks: Column): Column = {
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i)
+                               .bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i))
+                    .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  val qDedupSimhash: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_val")
+    val a = chunks.alias("a")
+    val b = chunks.alias("b")
+    val hamming = {
+      val x = col("a.sh").bitwiseXOR(col("b.sh"))
+      aggregate(sequence(lit(0), lit(63)), lit(0),
+        (acc, i) => acc + call_function("shiftright", x, i)
+                            .bitwiseAND(1L).cast("int"))
+    }
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              hamming.as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram (token 2-gram) Jaccard similarity for candidate pairs within
+    * the same source — exact verification stage that would follow LSH
+    * candidate generation at scale. Oracle-checked: Jaccard of integer
+    * set sizes is exact arithmetic.
+    */
+  val qDedupJaccard: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(array_distinct(
+                transform(sequence(lit(0), greatest(size(tokens(col("text"))) - 2, lit(0))),
+                  i => concat_ws(" ", slice(tokens(col("text")), i + 1, lit(2)))))).as("gram"))
+      .where(length(col("gram")) > 0)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = grams.alias("a")
+    val b = grams.alias("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              round(col("inter").cast("double") /
+                    (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ts[i] || ' ' || ts[i+1] AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
+      |  WHERE ts[i] IS NOT NULL AND length(ts[i]) > 0
+      |    AND (len(ts) < 2 OR (ts[i+1] IS NOT NULL AND length(ts[i+1]) > 0))
+      |), grams2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN gram LIKE '% %' THEN gram ELSE gram END AS gram
+      |  FROM grams
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams2 GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams2 a JOIN grams2 b
+      |    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------- similarity
+
+  /** dot(a,b) with per-element cast to double; fold order is the array
+    * index order in Spark. Differences vs the oracle's SUM-over-unnest
+    * are ~1e-15 and vanish under round(…,6).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force top-k cosine to a query vector (vec_id 0), the exact
+    * baseline. orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * heap + k-row driver merge — the distributed top-k shape.
+    */
+  val qSimTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val qSimTopkSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id,
+      |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+      |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS n2,
+      |    SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS qn2
+      |  FROM embeddings e, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id <> 0
+      |  GROUP BY e.vec_id
+      |)
+      |SELECT vec_id, ROUND(dp / (sqrt(n2) * sqrt(qn2)), 6) AS cos_sim
+      |FROM d ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** All-pairs cosine above threshold within a label (group-scoped
+    * self-join). Sampled (vec_id % 10 = 0) to keep the pair count
+    * bounded; at 100 TB this stage runs only on LSH/IVF candidates.
+    */
+  val qSimPairs: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.alias("a")
+    val b = emb.alias("b")
+    a.join(b, col("a.label") === col("b.label") &&
+              col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .where(col("cos_sim") > 0.2)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val qSimPairsSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+      |    SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY a.vec_id, b.vec_id
+      |)
+      |SELECT vec_a, vec_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM p WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) > 0.2
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF-style ANN: vectors are bucketed by nearest of NLIST centroids
+    * (deterministically seeded from vec_id 1..NLIST); a query probes the
+    * NPROBE nearest buckets only. At scale the bucket id is the physical
+    * partitioning key, so a probe reads NPROBE partitions instead of the
+    * full table. Rows-only check here; recall-vs-brute-force is asserted
+    * in the unit test.
+    */
+  val qSimAnnIvf: Q = (s, d) => {
+    val nprobe = 4
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // assign: nearest centroid per vector (broadcast the centroid table)
+    val assigned = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", cosine(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    // probe: nprobe centroids nearest to the query
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", cosine(col("cv"), col("qv")))
+      .orderBy(col("qdist").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"))
+    assigned.join(probed, "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Token/word statistics per language. */
+  val qTextStats: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    toks.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+           count(lit(1)).as("n_tokens"),
+           countDistinct(col("tok")).as("n_distinct"),
+           (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_tok_len"))
+      .orderBy("lang")
+  }
+
+  val qTextStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |)
+      |SELECT lang, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT tok) AS n_distinct,
+      |  CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_tok_len
+      |FROM toks WHERE length(tok) > 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality score: token count, average token length,
+    * stopword ratio, type-token ratio (all exact integer arithmetic +
+    * one deterministic IEEE division).
+    */
+  val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
+
+  val qTextQuality: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_tok_len"),
+           round(sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L))
+                   .cast("double") / count(lit(1)), 6).as("stop_ratio"),
+           round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+             .as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qTextQualitySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_tok_len,
+       |  ROUND(CAST(SUM(CASE WHEN tok IN (${Stopwords.map("'" + _ + "'").mkString(",")})
+       |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS stop_ratio,
+       |  ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+       |FROM toks WHERE length(tok) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Regex token counting (BPE-ish segmentation: word pieces, numbers,
+    * punctuation runs).
+    */
+  val qTextTokens: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_numbers"),
+      regexp_count(col("text"), lit("[a-zA-Z]{5,}")).cast("long").as("n_long_words"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens")
+    ).orderBy("doc_id")
+
+  val qTextTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]{5,}')) AS BIGINT) AS n_long_words,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source TF-IDF top-5 terms. Ranked on the *rounded* score so tie
+    * ordering is engine-independent.
+    */
+  val qTextTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(countDistinct(col("source")).as("df"))
+    val nsrc = docs.agg(countDistinct(col("source")).as("nsrc"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nsrc))
+      .withColumn("r_tfidf",
+        round(col("tf") * log(col("nsrc").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("source").orderBy(col("r_tfidf").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select("source", "tok", "tf", "r_tfidf", "rnk")
+      .orderBy("source", "rnk")
+  }
+
+  val qTextTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), toksf AS (SELECT * FROM toks WHERE length(tok) > 0),
+      |tf AS (SELECT source, tok, COUNT(*) AS tf FROM toksf GROUP BY source, tok),
+      |dfreq AS (SELECT tok, COUNT(DISTINCT source) AS df FROM toksf GROUP BY tok),
+      |n AS (SELECT COUNT(DISTINCT source) AS nsrc FROM documents),
+      |scored AS (
+      |  SELECT tf.source, tf.tok, tf.tf,
+      |    ROUND(tf.tf * ln(CAST(n.nsrc AS DOUBLE) / dfreq.df), 6) AS r_tfidf
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+      |), ranked AS (
+      |  SELECT source, tok, tf, r_tfidf,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY r_tfidf DESC, tok ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT source, tok, tf, r_tfidf, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
+  /** Heuristic language ID: score each document against small per-language
+    * marker-token profiles, pick the best (ties → 'und'). Rows-only check
+    * (the heuristic itself is unit-tested); real corpora would use
+    * character n-gram profiles — same shape, bigger profile map.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "was"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he")
+  )
+
+  val qTextLangid: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+              explode(tokens(col("text"))).as("tok"))
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, marks) =>
+      sum(when(col("tok").isin(marks: _*), 1L).otherwise(0L)).as(s"score_$lang")
+    }
+    val agg = toks.groupBy("doc_id", "labeled_lang").agg(scores.head, scores.tail: _*)
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft(struct(lit(-1L).as("sc"), lit("und").as("lg"))) {
+      (acc, lang) =>
+        when(col(s"score_$lang") > acc.getField("sc"),
+             struct(col(s"score_$lang").as("sc"), lit(lang).as("lg")))
+          .otherwise(acc)
+    }
+    agg.withColumn("pred_lang", best.getField("lg"))
+      .select("doc_id", "labeled_lang", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style: polynomial
+    * rolling hash over the token stream, keep the max hash per window of
+    * 4). Deterministic; rows-only + unit test.
+    */
+  val qTextFingerprint: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(hashes)
+    val wins = when(n < 4, array(array_max(hashes)))
+      .otherwise(transform(sequence(lit(0), n - 4),
+        i => array_max(slice(hashes, i + 1, lit(4)))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      xxhash64(array_distinct(wins)).as("fingerprint"),
+      size(array_distinct(wins)).cast("long").as("n_selected")
+    ).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Map[String, Q] = Map(
+    "q_dedup_exact"      -> qDedupExact,
+    "q_dedup_near"       -> qDedupNear,
+    "q_dedup_simhash"    -> qDedupSimhash,
+    "q_dedup_jaccard"    -> qDedupJaccard,
+    "q_sim_topk"         -> qSimTopk,
+    "q_sim_pairs"        -> qSimPairs,
+    "q_sim_ann_ivf"      -> qSimAnnIvf,
+    "q_text_stats"       -> qTextStats,
+    "q_text_quality"     -> qTextQuality,
+    "q_text_tokens"      -> qTextTokens,
+    "q_text_tfidf"       -> qTextTfidf,
+    "q_text_langid"      -> qTextLangid,
+    "q_text_fingerprint" -> qTextFingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact"   -> qDedupExactSql,
+    "q_sim_topk"      -> qSimTopkSql,
+    "q_sim_pairs"     -> qSimPairsSql,
+    "q_text_stats"    -> qTextStatsSql,
+    "q_text_quality"  -> qTextQualitySql,
+    "q_text_tokens"   -> qTextTokensSql,
+    "q_text_tfidf"    -> qTextTfidfSql,
+    "q_dedup_jaccard" -> qDedupJaccardSql
+  )
+}

@@ -1,0 +1,556 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Scans, projection/filter, joins, aggregation, sort/limit, set ops —
+  * the relational core of SURVEY.md §2.3.
+  *
+  * Every query ends in a total ORDER BY (unique key set) and computed
+  * doubles go through the exact-decimal trick in [[util.dsum]] so the
+  * driver's DuckDB hash compare is deterministic.
+  *
+  * Scale notes are inline per query; the common themes:
+  *  - joins declare only the equi/condition — Catalyst picks broadcast vs
+  *    shuffled-hash vs sort-merge by size, and AQE re-plans at runtime;
+  *  - aggregations are partial+final automatically (map-side combine);
+  *  - filters/projections sit directly on the scan so they push down to
+  *    parquet (verify via `.explain`: PushedFilters / ReadSchema).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Full scan + narrow projection. At 100 TB the only thing that matters
+    * here is ReadSchema: we select 3 of 11 columns so the parquet reader
+    * materializes 3 column chunks, not the whole row.
+    */
+  val qScanParquet: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qScanParquetSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Predicate reaching the scan: row-group/page-level skipping via
+    * parquet min/max stats (PushedFilters). On a `dt=`-partitioned lake
+    * the same predicate also prunes partitions before listing.
+    */
+  val qScanPruned: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qScanPrunedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Partitioned parquet sink (reference E11, scrape.py:612-660:
+    * `<table>/dt=.../` layout) — write partitioned by a key, read back,
+    * aggregate. The oracle aggregates the original table, so this checks
+    * the round-trip loses nothing. Hive-style directory partitioning is
+    * exactly what enables partition pruning at 100 TB.
+    */
+  val qSinkPartitioned: Q = (s, d) => {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sink_").toString
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val qSinkPartitionedSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Text source incl. gzip (reference E2: `.gz` archives decompressed
+    * transparently — Spark's text source does the same natively).
+    */
+  val qScanTextGz: Q = (s, d) => {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_textgz_").toString
+    Tables.documents(s, d).select("text")
+      .write.mode("overwrite").option("compression", "gzip").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("cnt"),
+           sum(length(col("value"))).cast("long").as("total_chars"))
+  }
+
+  val qScanTextGzSql: String =
+    """SELECT COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- projection / filter
+
+  /** Arithmetic/bit expressions (reference F7 bitfield decode + F10 ×100
+    * scaling, scrape.py:371-417,449). All stay inside whole-stage codegen.
+    */
+  val qProjectExpr: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_orderkey").bitwiseAND(255).as("key_mask"),
+      shiftright(col("l_orderkey"), 4).as("key_shift"),
+      (col("l_quantity").cast("long") * 100).as("qty100"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("net"),
+      (col("l_tax") > 0.04).as("taxed")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  val qProjectExprSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & 255 AS key_mask,
+      |  l_orderkey >> 4 AS key_shift,
+      |  CAST(l_quantity AS BIGINT) * 100 AS qty100,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net,
+      |  l_tax > 0.04 AS taxed
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Conjunctive/disjunctive predicates, IN / BETWEEN / LIKE / IS NULL. */
+  val qFilterPred: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where((col("o_orderstatus").isin("O", "F") &&
+              col("o_totalprice").between(50000, 300000)) ||
+             (col("o_orderpriority").like("1-%") &&
+              !(col("o_orderstatus") === "P") &&
+              col("o_custkey").isNotNull))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val qFilterPredSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE (o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 50000 AND 300000)
+      |   OR (o_orderpriority LIKE '1-%' AND NOT (o_orderstatus = 'P')
+      |       AND o_custkey IS NOT NULL)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Fact⋈fact equi join — at scale this is a shuffle on o_orderkey both
+    * sides (sort-merge or shuffled-hash under AQE). On a real lake both
+    * tables would be bucketed by orderkey to make this co-located.
+    */
+  val qJoinInner: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+              col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  val qJoinInnerSql: String =
+    """SELECT o_orderkey, l_linenumber, o_custkey, l_extendedprice
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
+  /** Dimension joins with explicit broadcast — region/nation are tiny at
+    * any scale factor, so we pin broadcast-hash-join rather than let a
+    * stale size estimate pick a shuffle.
+    */
+  val qJoinBroadcast: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name")
+
+  val qJoinBroadcastSql: String =
+    s"""SELECT r_name, COUNT(*) AS customers, ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Left outer: customers keep a row even with no orders (reference
+    * analog kyoku ⟕ agari, er/mahjong.md:11). Null ordering pinned
+    * explicitly — Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+    */
+  val qJoinLeft: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  val qJoinLeftSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+
+  /** Existence (left semi) — games-having-any-agari pattern. */
+  val qJoinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qJoinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Absence (left anti) — kyokus-that-went-to-draw pattern. The right
+    * side is filtered (high-value orders) so the result is non-trivial at
+    * every scale factor.
+    */
+  val qJoinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val qJoinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Non-equi range join. The equi key (p_brand) carries the shuffle so
+    * the planner uses sort-merge/hash on brand with the size band as a
+    * post-join filter — NOT a cartesian product. This is the 100 TB-safe
+    * shape for range joins: always pair the range with an equi key.
+    */
+  val qJoinThetaRange: Q = (s, d) => {
+    val p1 = Tables.part(s, d).alias("p1")
+    val p2 = Tables.part(s, d).alias("p2")
+    p1.join(p2,
+        col("p1.p_brand") === col("p2.p_brand") &&
+        col("p1.p_partkey") < col("p2.p_partkey") &&
+        col("p2.p_size").between(col("p1.p_size") - 1, col("p1.p_size") + 1))
+      .groupBy(col("p1.p_brand").as("brand"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("brand")
+  }
+
+  val qJoinThetaRangeSql: String =
+    """SELECT p1.p_brand AS brand, COUNT(*) AS pairs
+      |FROM part p1 JOIN part p2
+      |  ON p1.p_brand = p2.p_brand
+      | AND p1.p_partkey < p2.p_partkey
+      | AND p2.p_size BETWEEN p1.p_size - 1 AND p1.p_size + 1
+      |GROUP BY p1.p_brand ORDER BY brand""".stripMargin
+
+  /** As-of join: for each event, the latest order (by date, orderkey
+    * tiebreak) of the same user at-or-before the event time. Spark has no
+    * ASOF JOIN; the idiomatic equivalent is condition-join + per-key
+    * row_number()=1. At 100 TB you'd bound the join with a time-range
+    * band (e.g. orders within 90 days) to keep the pre-rank fanout small.
+    */
+  val qJoinAsof: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
+    val j = e.join(o, col("user_id") === col("o_custkey") &&
+                      col("o_orderdate") <= col("ts"), "left")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    j.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("last_order"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofSql: String =
+    """SELECT e.event_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
+      |FROM events e ORDER BY e.event_id""".stripMargin
+
+  /** 3+ table chain — exercises Catalyst join reordering; the two dims
+    * broadcast, orders shuffles once on custkey.
+    */
+  val qJoinMultiway: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  val qJoinMultiwaySql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ----------------------------------------------------------- aggregates
+
+  /** TPC-H-Q1-shaped multi-measure hash aggregate (the reference's
+    * "win-rate by rule flag" pattern). Partial aggregation makes the
+    * shuffle carry 6 groups, not 600k rows.
+    */
+  val qAggGroup: Q = (s, d) => {
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qAggGroupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       |    AS sum_disc_price,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS cnt
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase distinct aggregate.
+    * (approx_count_distinct is exercised in unit tests with tolerance;
+    * it is not hash-stable across engines so it stays out of the oracle.)
+    */
+  val qAggDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+           countDistinct(year(col("o_orderdate"))).as("n_years"),
+           count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  val qAggDistinctSql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years,
+      |  COUNT(*) AS cnt
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** ROLLUP (daily→ALL hierarchy). NULL group markers are coalesced to a
+    * sentinel so ordering is engine-independent.
+    */
+  val qAggRollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("string"))
+      .rollup("yr", "o_orderstatus")
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("yr"), lit("ALL")).as("yr"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              col("sum_price"), col("cnt"))
+      .orderBy("yr", "status")
+
+  val qAggRollupSql: String =
+    s"""SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       |  COALESCE(o_orderstatus, 'ALL') AS status,
+       |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS cnt
+       |FROM orders
+       |GROUP BY ROLLUP(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), o_orderstatus)
+       |ORDER BY yr, status""".stripMargin
+
+  /** CUBE over two dims. */
+  val qAggCube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+              col("sum_price"), col("cnt"))
+      .orderBy("status", "prio")
+
+  val qAggCubeSql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS prio,
+       |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS cnt
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, prio""".stripMargin
+
+  /** Explicit GROUPING SETS via SQL. */
+  val qAggGsets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gsets")
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS cnt
+         |FROM graft_orders_gsets
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, prio""".stripMargin)
+  }
+
+  val qAggGsetsSql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS prio,
+       |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS cnt
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, prio""".stripMargin
+
+  /** Statistical aggregates: stddev/variance/exact percentile. Rounded —
+    * central-moment accumulation differs at the 1e-12 level between
+    * engines, far below the 1e-6 rounding grain.
+    */
+  val qAggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+           round(var_samp(col("l_quantity")), 6).as("var_qty"),
+           round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+           round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90_price"),
+           davg(col("l_quantity")).as("avg_qty"))
+      .orderBy("l_returnflag")
+
+  val qAggStatsSql: String =
+    s"""SELECT l_returnflag,
+       |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       |  ROUND(var_samp(l_quantity), 6) AS var_qty,
+       |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+       |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       |  ${davgSql("l_quantity")} AS avg_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------- sort / top-k
+
+  /** Multi-key global sort → range-partitioned exchange + per-partition
+    * sort. Output partitions are contiguous ranges, so coalesced writes
+    * stay globally ordered.
+    */
+  val qSortMulti: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_returnflag").asc, col("l_shipdate").desc,
+               col("l_orderkey").asc, col("l_linenumber").asc)
+
+  val qSortMultiSql: String =
+    """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber FROM lineitem
+      |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey, l_linenumber""".stripMargin
+
+  /** ORDER BY + LIMIT k — planner emits TakeOrderedAndProject: per-
+    * partition top-k then a k-row merge on the driver; no global sort.
+    * This is the distributed top-k pattern that survives 100 TB.
+    */
+  val qTopkGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+      .limit(100)
+
+  val qTopkGlobalSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- sets
+
+  /** UNION ALL + grouped count (covers bag semantics deterministically). */
+  val qSetUnion: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .unionAll(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  val qSetUnionSql: String =
+    """SELECT k, COUNT(*) AS cnt FROM (
+      |  SELECT c_custkey AS k FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey AS k FROM orders
+      |) GROUP BY k ORDER BY k""".stripMargin
+
+  val qSetIntersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  val qSetIntersectSql: String =
+    """SELECT c_custkey AS k FROM customer
+      |INTERSECT
+      |SELECT o_custkey AS k FROM orders
+      |ORDER BY k""".stripMargin
+
+  val qSetExcept: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .except(Tables.orders(s, d).where(col("o_totalprice") > 400000)
+                .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  val qSetExceptSql: String =
+    """SELECT c_custkey AS k FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+      |ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Map[String, Q] = Map(
+    "q_scan_parquet"     -> qScanParquet,
+    "q_scan_pruned"      -> qScanPruned,
+    "q_sink_partitioned" -> qSinkPartitioned,
+    "q_scan_text_gz"     -> qScanTextGz,
+    "q_project_expr"     -> qProjectExpr,
+    "q_filter_pred"      -> qFilterPred,
+    "q_join_inner"       -> qJoinInner,
+    "q_join_broadcast"   -> qJoinBroadcast,
+    "q_join_left"        -> qJoinLeft,
+    "q_join_semi"        -> qJoinSemi,
+    "q_join_anti"        -> qJoinAnti,
+    "q_join_theta_range" -> qJoinThetaRange,
+    "q_join_asof"        -> qJoinAsof,
+    "q_join_multiway"    -> qJoinMultiway,
+    "q_agg_group"        -> qAggGroup,
+    "q_agg_distinct"     -> qAggDistinct,
+    "q_agg_rollup"       -> qAggRollup,
+    "q_agg_cube"         -> qAggCube,
+    "q_agg_gsets"        -> qAggGsets,
+    "q_agg_stats"        -> qAggStats,
+    "q_sort_multi"       -> qSortMulti,
+    "q_topk_global"      -> qTopkGlobal,
+    "q_set_union"        -> qSetUnion,
+    "q_set_intersect"    -> qSetIntersect,
+    "q_set_except"       -> qSetExcept
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_parquet"     -> qScanParquetSql,
+    "q_scan_pruned"      -> qScanPrunedSql,
+    "q_sink_partitioned" -> qSinkPartitionedSql,
+    "q_scan_text_gz"     -> qScanTextGzSql,
+    "q_project_expr"     -> qProjectExprSql,
+    "q_filter_pred"      -> qFilterPredSql,
+    "q_join_inner"       -> qJoinInnerSql,
+    "q_join_broadcast"   -> qJoinBroadcastSql,
+    "q_join_left"        -> qJoinLeftSql,
+    "q_join_semi"        -> qJoinSemiSql,
+    "q_join_anti"        -> qJoinAntiSql,
+    "q_join_theta_range" -> qJoinThetaRangeSql,
+    "q_join_asof"        -> qJoinAsofSql,
+    "q_join_multiway"    -> qJoinMultiwaySql,
+    "q_agg_group"        -> qAggGroupSql,
+    "q_agg_distinct"     -> qAggDistinctSql,
+    "q_agg_rollup"       -> qAggRollupSql,
+    "q_agg_cube"         -> qAggCubeSql,
+    "q_agg_gsets"        -> qAggGsetsSql,
+    "q_agg_stats"        -> qAggStatsSql,
+    "q_sort_multi"       -> qSortMultiSql,
+    "q_topk_global"      -> qTopkGlobalSql,
+    "q_set_union"        -> qSetUnionSql,
+    "q_set_intersect"    -> qSetIntersectSql,
+    "q_set_except"       -> qSetExceptSql
+  )
+}

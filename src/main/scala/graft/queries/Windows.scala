@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Window functions (SURVEY.md §2.3 — reference analog: ordered
+  * `actions.seq` per kyoku, scrape.py:118,578).
+  *
+  * Scale note: all windows here partition by a high-cardinality key
+  * (custkey / user_id / orderkey), so the single shuffle they cost
+  * distributes evenly; none require a global ordering over all rows.
+  * Window order keys always include a unique tiebreaker so results are
+  * deterministic under any partitioning.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank. rank windows order by a tie-prone
+    * key (order year) to exercise real tie semantics — ties rank equal in
+    * any engine; row_number gets a unique key order.
+    */
+  val qWinRank: Q = (s, d) => {
+    val wUnique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wTies = Window.partitionBy("o_custkey")
+      .orderBy(year(col("o_orderdate")).asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(wUnique).as("rn"),
+      rank().over(wTies).as("rk"),
+      dense_rank().over(wTies).as("drk")
+    ).orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWinRankSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey
+      |               ORDER BY EXTRACT(year FROM o_orderdate) ASC) AS rk,
+      |  dense_rank() OVER (PARTITION BY o_custkey
+      |                     ORDER BY EXTRACT(year FROM o_orderdate) ASC) AS drk
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Running sum + moving average over an ordered per-user frame (score
+    * progression pattern). Sums go through exact decimals; the moving avg
+    * is an IEEE division of identical operands in both engines.
+    */
+  val qWinRunning: Q = (s, d) => {
+    val base = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = base.rowsBetween(-2, Window.currentRow)
+    val dec = DecimalType(18, 2)
+    Tables.events(s, d).select(
+      col("event_id"),
+      sum(col("value").cast(dec)).over(run).cast("double").as("run_sum"),
+      (sum(col("value").cast(dec)).over(mov).cast("double") /
+        count(lit(1)).over(mov)).as("mov_avg")
+    ).orderBy("event_id")
+  }
+
+  val qWinRunningSql: String =
+    """SELECT event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / COUNT(*) OVER
+      |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** lag / lead (previous action / next discard pattern). Raw source
+    * doubles pass through untouched — bit-identical in both engines.
+    */
+  val qWinLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d).select(
+      col("event_id"),
+      lag(col("value"), 1).over(w).as("prev_val"),
+      lead(col("value"), 1).over(w).as("next_val"),
+      lag(col("event_type"), 2).over(w).as("prev2_type")
+    ).orderBy("event_id")
+  }
+
+  val qWinLagLeadSql: String =
+    """SELECT event_id,
+      |  lag(value, 1) OVER w AS prev_val,
+      |  lead(value, 1) OVER w AS next_val,
+      |  lag(event_type, 2) OVER w AS prev2_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** RANGE (value-based) frame: neighbors within ±1 of l_linenumber. */
+  val qWinRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber").asc)
+      .rangeBetween(-1, 1)
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("neighborhood_qty"),
+      count(lit(1)).over(w).as("neighborhood_n")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qWinRangeFrameSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS neighborhood_qty,
+      |  COUNT(*) OVER w AS neighborhood_n
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber ASC
+      |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-k per group via rank filter (player-ranking pattern). At scale
+    * this beats a global sort: one hash shuffle on the group key, then a
+    * bounded per-group heap.
+    */
+  val qWinTopkGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWinTopkGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_win_rank"        -> qWinRank,
+    "q_win_running"     -> qWinRunning,
+    "q_win_lag_lead"    -> qWinLagLead,
+    "q_win_range_frame" -> qWinRangeFrame,
+    "q_win_topk_group"  -> qWinTopkGroup
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_win_rank"        -> qWinRankSql,
+    "q_win_running"     -> qWinRunningSql,
+    "q_win_lag_lead"    -> qWinLagLeadSql,
+    "q_win_range_frame" -> qWinRangeFrameSql,
+    "q_win_topk_group"  -> qWinTopkGroupSql
+  )
+}
