@@ -1,0 +1,36 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI for the mjlog ETL (reference main.py): parse a log directory tree
+  * (`<logDir>/<YYYYMMDD>/<game_id>.xml`) into 9 Hive-partitioned parquet
+  * tables under outDir. Usage: EtlMain <logDir> <outDir> [walls]
+  * — optional third arg also generates `walls` synthetic paiyamas
+  * (reference random_pailist.py) for the first date found.
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EtlMain <logDir> <outDir> [nWalls]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Pipeline.run(spark, args(0), args(1))
+      Pipeline.TableNames.foreach { t =>
+        val n = spark.read.parquet(s"${args(1)}/$t").count()
+        println(s"[etl] $t: $n rows")
+      }
+      if (args.length > 2) {
+        val n = args(2).toLong
+        WallGen.write(spark, n, java.time.LocalDate.now(java.time.Clock.systemUTC()), args(1))
+        println(s"[etl] paiyamas: $n walls")
+      }
+    } finally spark.stop()
+  }
+}

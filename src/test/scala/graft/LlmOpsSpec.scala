@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.LlmOps
+
+/** Unit tests for the non-oracled LLM ops: planted near-duplicates for
+  * MinHash-LSH and SimHash, ANN recall vs brute force, language-ID and
+  * fingerprint determinism (SURVEY.md §2.3 LLM extensions).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Temp sfDir with planted documents: 0 ≈ 1 (one token differs),
+    * 2 == 0 exactly, 3 and 4 unrelated.
+    */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three"
+    val docs = Seq(
+      (0L, base + " four", "en", "src0", 100L),
+      (1L, base + " five", "en", "src0", 100L),   // near-dup of 0
+      (2L, base + " four", "en", "src1", 100L),   // exact dup of 0
+      (3L, "completely different words about spark catalyst tungsten " +
+           "codegen shuffle partitions exchange broadcast join hash sort",
+           "en", "src1", 90L),
+      (4L, "nothing shared here either mahjong tiles winds dragons " +
+           "honors melds kans pons chiis riichi tenpai furiten wait",
+           "en", "src2", 80L))
+    val dir = Files.createTempDirectory("graft_docs_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups identical content only") {
+    val rows = LlmOps.qDedupExact(spark, plantedDir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = rows.filter(_.getAs[Long]("n_copies") == 2)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup clusters") {
+    val rows = LlmOps.qDedupNear(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"))).toMap
+    assert(rows.get(1L).contains(0L)) // near-dup joined to rep 0
+    assert(rows.get(2L).contains(0L)) // exact dup joined to rep 0
+    assert(!rows.contains(3L) && !rows.contains(4L)) // unrelated stay unique
+  }
+
+  test("simhash flags near-identical documents within hamming 3") {
+    val pairs = LlmOps.qDedupSimhash(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 2L))) // identical -> hamming 0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ANN(IVF) top-10 overlaps brute-force top-10") {
+    val exact = LlmOps.qSimTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = LlmOps.qSimAnnIvf(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(exact.size == 10 && approx.size == 10)
+    assert((exact & approx).size >= 3,
+           s"recall too low: ${(exact & approx).size}/10")
+  }
+
+  test("language id emits a known code per document") {
+    val langs = LlmOps.qTextLangid(spark, sf).select("pred_lang")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+
+  test("fingerprints are deterministic and mostly distinct") {
+    val a = LlmOps.qTextFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = LlmOps.qTextFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._2).distinct.length > a.length / 2)
+  }
+
+  test("approx_count_distinct within rsd tolerance of exact") {
+    val df = graft.Tables.documents(spark, sf)
+    val exact = df.select(countDistinct(col("text"))).first.getLong(0)
+    val approx = df.select(approx_count_distinct(col("text"), 0.05))
+      .first.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}

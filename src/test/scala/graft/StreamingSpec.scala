@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.StreamingQ
+
+/** Golden assertions for the true-stream semantics (watermark, dedup,
+  * stateful) driven by the deterministic MemoryStream batches in
+  * StreamingQ (SURVEY.md §5.2.4).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("watermark append: closed windows emitted, too-late row dropped") {
+    val rows = StreamingQ.qStreamWatermark(spark, "").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),   // ids 1+2
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),   // late-but-ok id 4
+      ("2024-01-01 11:00:00.0", "view", 1L, 3.0),    // id 3
+      // id 5's window closes when id 7 advances the watermark to 14:20
+      // and Spark runs a final eviction batch after the last addData
+      ("2024-01-01 12:00:00.0", "view", 1L, 5.0)))
+    // the 99.0-valued too-late row (id 6) must never appear
+    assert(!rows.exists(_._4 == 99.0))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps on-time uniques, drops late") {
+    val ids = StreamingQ.qStreamDedup(spark, "").collect()
+      .map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 7L)) // id 6 below watermark
+  }
+
+  test("flatMapGroupsWithState accumulates per-key state across batches") {
+    val rows = StreamingQ.qStreamStateful(spark, "").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+                 r.getAs[Double]("total")))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 3.0), (1L, 3L, 7.0), (1L, 4L, 106.0),
+      (2L, 1L, 3.0), (2L, 2L, 8.0), (2L, 3L, 14.0)))
+  }
+}
