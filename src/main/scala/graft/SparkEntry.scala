@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Funcs, LlmOps, Relational, StreamingQ, Windows, util}
+import graft.queries.{Extensions, Funcs, LlmOps, Multimodal, Relational,
+  StreamingQ, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ Windows.entries ++ Funcs.entries ++
-      LlmOps.entries ++ StreamingQ.entries
+      LlmOps.entries ++ StreamingQ.entries ++ Multimodal.entries ++
+      Extensions.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
-      LlmOps.oracles ++ StreamingQ.oracles
+      LlmOps.oracles ++ StreamingQ.oracles ++ Extensions.oracles
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.codecs.{Melds, Tiles}
+
+/** Query-time extension surface (SURVEY.md §2.4): scalar UDFs wrapping
+  * the pure codec layer, and a typed Aggregator registered as a UDAF.
+  *
+  * UDFs are optimization barriers (no codegen, no pushdown through
+  * them), so they exist for *rendering* at query time — the hot path
+  * (ETL parse, §2.1) calls the same pure functions directly in typed
+  * map tasks, and relational predicates stay built-in expressions.
+  */
+object GraftFunctions {
+
+  /** Exact weighted average: decimal-exact partial sums so results are
+    * engine-independent (same trick as util.dsum). Demonstrates the
+    * typed Aggregator surface — partials merge associatively, so Spark
+    * runs it as partial+final just like a built-in.
+    */
+  final case class WSum(sum: BigDecimal, weight: BigDecimal)
+
+  class WeightedAvg extends Aggregator[(Double, Double), WSum, Double] {
+    def zero: WSum = WSum(BigDecimal(0), BigDecimal(0))
+    def reduce(b: WSum, a: (Double, Double)): WSum = {
+      val v = BigDecimal(a._1).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val w = BigDecimal(a._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      WSum(b.sum + v * w, b.weight + w)
+    }
+    def merge(x: WSum, y: WSum): WSum = WSum(x.sum + y.sum, x.weight + y.weight)
+    def finish(r: WSum): Double =
+      // two exact decimal->double conversions + one IEEE division, so
+      // the result is bit-identical to the oracle's SUM/SUM expression
+      if (r.weight == 0) 0.0 else r.sum.toDouble / r.weight.toDouble
+    def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Register every graft SQL function on a session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("graft_tiles",
+      (ids: Seq[Int], hasAka: Boolean) => Tiles.numToHai(ids, hasAka))
+    spark.udf.register("graft_dora",
+      (ids: Seq[Int]) => Tiles.doraFromIndicators(ids))
+    spark.udf.register("graft_meld_pais",
+      (m: Int, hasAka: Boolean) => Melds.decode(m, hasAka).map(_.pais).orNull)
+    spark.udf.register("graft_meld_type",
+      (m: Int, hasAka: Boolean) => Melds.decode(m, hasAka).map(_.atype).orNull)
+    spark.udf.register("graft_weighted_avg", udaf(new WeightedAvg))
+  }
+}

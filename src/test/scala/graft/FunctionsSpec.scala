@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** SQL-registered codec UDFs + typed-Aggregator UDAF. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("codec UDFs evaluate through SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_tiles(array(0, 4, 8, 12, 16), true) AS t,
+        |       graft_dora(array(32)) AS d,
+        |       graft_meld_pais(17408, false) AS mp,
+        |       graft_meld_type(17408, false) AS mt,
+        |       graft_meld_pais(33, false) AS nuki
+        |""".stripMargin).first()
+    assert(row.getAs[String]("t") == "m12340")
+    assert(row.getSeq[Int](row.fieldIndex("d")) == Seq(0))
+    assert(row.getAs[String]("mp") == "p9999")
+    assert(row.getAs[String]("mt") == "kan")
+    assert(row.isNullAt(row.fieldIndex("nuki")))
+  }
+
+  test("weighted-avg UDAF matches the exact decimal expression") {
+    GraftFunctions.register(spark)
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    df.createOrReplaceTempView("li_udaf")
+    val got = spark.sql(
+      "SELECT graft_weighted_avg(l_extendedprice, l_quantity) FROM li_udaf")
+      .first().getDouble(0)
+    val want = spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM li_udaf""".stripMargin).first().getDouble(0)
+    assert(got == want) // bit-identical by construction
+  }
+}
