@@ -1,0 +1,151 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector similarity (SURVEY.md §2.4:
+  * "a native Expression (with doGenCode) beats a Scala UDF").
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*),0,+)`) allocates a lambda frame per
+  * element per row; at 100 TB of 64-dim embeddings that is billions of
+  * interpreted calls. These expressions compile into the surrounding
+  * whole-stage-codegen loop as a tight primitive `for` over the two
+  * float arrays — no allocation, no virtual dispatch.
+  *
+  * Semantics match the HOF formulation bit-for-bit: elements are
+  * widened float→double and accumulated left-to-right in index order,
+  * so oracle parity is unaffected.
+  */
+abstract class FloatVectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+}
+
+/** dot(a, b) over float arrays, accumulated in double. */
+case class VectorDot(left: Expression, right: Expression)
+    extends FloatVectorBinary {
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot/(|a||b|), one fused pass over both arrays. */
+case class VectorCosine(left: Expression, right: Expression)
+    extends FloatVectorBinary {
+  override def prettyName: String = "graft_vec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = x.getFloat(i).toDouble
+      val xb = y.getFloat(i).toDouble
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xa = (double) $a.getFloat($i);
+         |  double xb = (double) $b.getFloat($i);
+         |  $dot += xa * xb; $na += xa * xa; $nb += xb * xb;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: as session extensions (`spark.sql.extensions=
+  * graft.expressions.GraftExtensions`) or imperatively on a live
+  * session via `install`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "graft_vec_cosine"),
+      (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Idempotent imperative registration for sessions created without
+    * the extensions conf (Verify/Bench).
+    */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_vec_dot",
+      args => VectorDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_cosine",
+      args => VectorCosine(args(0), args(1)), "built-in")
+  }
+}

@@ -245,25 +245,34 @@ object LlmOps {
 
   // ---------------------------------------------------------- similarity
 
-  /** dot(a,b) with per-element cast to double; fold order is the array
-    * index order in Spark. Differences vs the oracle's SUM-over-unnest
-    * are ~1e-15 and vanish under round(…,6).
+  /** HOF formulation of cosine: per-element double widening, index-order
+    * fold. Kept as the reference semantics for the native expression
+    * (LlmOpsSpec asserts bit-identical results) and as the fallback if
+    * the function registry is unavailable.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column =
+  def norm2Hof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(norm2Hof(a)) * sqrt(norm2Hof(b)))
+
+  /** Native codegen'd cosine (graft.expressions.VectorCosine): same IEEE
+    * operation order as the HOF version, compiled into the surrounding
+    * whole-stage loop. Callers must GraftExtensions.install(s) first.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    call_function("graft_vec_cosine", a, b)
 
   /** Brute-force top-k cosine to a query vector (vec_id 0), the exact
     * baseline. orderBy+limit plans as TakeOrderedAndProject: per-partition
     * heap + k-row driver merge — the distributed top-k shape.
     */
   val qSimTopk: Q = (s, d) => {
+    graft.expressions.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.where(col("vec_id") =!= 0)
@@ -292,6 +301,7 @@ object LlmOps {
     * bounded; at 100 TB this stage runs only on LSH/IVF candidates.
     */
   val qSimPairs: Q = (s, d) => {
+    graft.expressions.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, d)
       .where(pmod(col("vec_id"), lit(10)) === 0)
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -328,6 +338,7 @@ object LlmOps {
     * in the unit test.
     */
   val qSimAnnIvf: Q = (s, d) => {
+    graft.expressions.GraftExtensions.install(s)
     val nprobe = 4
     val emb = Tables.embeddings(s, d)
     val cents = emb.where(col("vec_id").between(1, 16))
