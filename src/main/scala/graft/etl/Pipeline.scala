@@ -46,10 +46,18 @@ object Pipeline {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val m = "(\\d{8})/([^/]+)\\.xml$".r.findFirstMatchIn(path)
-        m.map { mm =>
+        m.flatMap { mm =>
           val dt = LocalDate.parse(mm.group(1), DirDate)
-          MjlogParser.parse(new String(bytes, StandardCharsets.UTF_8),
-                            mm.group(2), dt)
+          // lenient per-file failure: at scale one corrupt log must not
+          // kill the job — skip it and keep the task alive. (The
+          // reference aborts the whole run on the first bad file.)
+          try Some(MjlogParser.parse(new String(bytes, StandardCharsets.UTF_8),
+                                     mm.group(2), dt))
+          catch {
+            case e: Exception =>
+              System.err.println(s"[graft-etl] skipping unparseable $path: $e")
+              None
+          }
         }
       }
   }
@@ -115,6 +123,12 @@ object Pipeline {
     * (`<outDir>/<table>/dt=YYYY-MM-DD/...`, reference layout E11).
     */
   def run(spark: SparkSession, logDir: String, outDir: String): Unit = {
+    // dynamic partition overwrite: re-running one date's logs replaces
+    // only that date's dt= partitions — the idempotent per-date re-run
+    // the reference gets by rewriting whole files (E13), without
+    // touching unrelated days.
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val parsed = parseLogs(spark, logDir).cache()
     try {
       val dts = tables(spark, parsed)
@@ -124,6 +138,12 @@ object Pipeline {
           .write.mode("overwrite").partitionBy("dt")
           .parquet(s"$outDir/$name")
       }
-    } finally parsed.unpersist()
+    } finally {
+      parsed.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 }

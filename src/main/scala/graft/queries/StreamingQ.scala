@@ -128,15 +128,23 @@ object StreamingQ {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ms = MemoryStream[Ev]
-    val q = build(ms.toDF())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    // state-store partition count follows shuffle partitions at query
+    // start; 3 hand-placed batches don't need 32 state stores — shrink
+    // for the semantics check, restore after (production streams size
+    // this to key cardinality, not to this fixture).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      Seq(batch1, batch2, batch3).foreach { b =>
-        ms.addData(b); q.processAllAvailable()
-      }
-    } finally q.stop()
+      val ms = MemoryStream[Ev]
+      val q = build(ms.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        Seq(batch1, batch2, batch3).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -84,6 +84,19 @@ class PipelineSpec extends AnyFunSuite {
       Seq(("ドラ", 2), ("平和", 1), ("門前清自摸和", 1)))
   }
 
+  test("corrupt xml files are skipped, not fatal") {
+    val log = Files.createTempDirectory("graft_corrupt_")
+    val day = log.resolve("20240105")
+    Files.createDirectories(day)
+    val good = Paths.get(getClass
+      .getResource("/mjlog/20240101/2024010100gm-0001.xml").toURI)
+    Files.copy(good, day.resolve("ok.xml"))
+    Files.writeString(day.resolve("bad.xml"), "<mjloggm ver='2.3'><GO")
+    val parsed = Pipeline.parseLogs(spark, log.toString)
+    assert(parsed.count() == 1)
+    assert(parsed.collect().head.game_id == "ok")
+  }
+
   test("game_scores decimal points") {
     val pts = table("game_scores")
       .where(col("game_id") === "2024010100gm-0001")
