@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Pipeline
+import graft.queries.MahjongAnalytics
+
+/** Domain analytics over the fixture ETL output — the Athena-workload
+  * parity check.
+  */
+class MahjongAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val out = Files.createTempDirectory("graft_analytics_").toString
+    Pipeline.run(spark, getClass.getResource("/mjlog").getPath, out)
+    out
+  }
+
+  test("win rate by rule flags") {
+    val rows = MahjongAnalytics.winRateByRule(spark, dir).collect()
+    // fixtures: 4p aka game (1 kyoku, 1 win), 4p no-aka (2 kyokus, 0 wins),
+    // sanma (1 kyoku, 1 win)
+    assert(rows.map(_.getAs[Long]("kyokus")).sum == 4)
+    assert(rows.map(_.getAs[Long]("wins")).sum == 2)
+    val sanma = rows.filter(_.getAs[Boolean]("is_sanma")).head
+    assert(sanma.getAs[Double]("win_rate") == 1.0)
+  }
+
+  test("yaku frequency explodes the nested struct list") {
+    val rows = MahjongAnalytics.yakuFrequency(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("times"), r.getAs[Long]("total_han")))
+      .toMap
+    assert(rows("ドラ") == (2L, 5L))      // 2 han + 3 han
+    assert(rows("立直") == (1L, 1L))
+    assert(rows("天和") == (1L, 0L))      // yakuman rows carry han=0
+  }
+
+  test("score progression accumulates per player over kyokus") {
+    val df = MahjongAnalytics.scoreProgression(spark, dir)
+    assert(df.count() == 16) // 4 kyokus x 4 seats
+    val g2 = df.where(df("game_id") === "2024010101gm-0002" &&
+                      df("player_index") === 2)
+      .orderBy("id").collect().map(_.getAs[Long]("running_diff"))
+    assert(g2.toSeq == Seq(0L, 2000L)) // yao9 nothing, then +2000
+  }
+
+  test("action sequences carry ordered lag context") {
+    val rows = MahjongAnalytics.actionSequences(spark, dir)
+      .where(col("prev_type").isNotNull).collect()
+    assert(rows.nonEmpty)
+    val firsts = MahjongAnalytics.actionSequences(spark, dir)
+      .where(col("seq") === 0).collect()
+    assert(firsts.forall(r => r.isNullAt(r.fieldIndex("prev_type"))))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("player ranking aggregates places and points") {
+    val rows = MahjongAnalytics.playerRanking(spark, dir).collect()
+    // g1 contributes 4 named players, g3 (sanma) 3 — its 4th score row
+    // has no matching player name; g2 never reached owari
+    assert(rows.length == 7)
+    val top = rows.head
+    assert(top.getAs[String]("player_name") == "q") // +73.1 sanma winner
+    assert(top.getAs[Long]("firsts") == 1L)
+  }
+
+  test("riichi outcomes join declarations to wins") {
+    val rows = MahjongAnalytics.riichiOutcomes(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("riichis") == 1L)
+    assert(rows.head.getAs[Long]("riichi_wins") == 0L) // seat 2 declared, seat 0 won
+  }
+}
