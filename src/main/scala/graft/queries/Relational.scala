@@ -272,6 +272,21 @@ object Relational {
       |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
       |FROM events e ORDER BY e.event_id""".stripMargin
 
+  /** The same as-of semantics through the native operator
+    * (graft.plans.AsOfJoinExec): hash-cluster + sort both sides, one
+    * forward merge, no row fanout. Shares q_join_asof's oracle — the
+    * two must hash-match DuckDB identically.
+    */
+  val qJoinAsofNative: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
+    graft.plans.AsOf.join(e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+        rightTieBreak = Seq(o("o_orderkey")))
+      .select(col("event_id"), col("o_orderkey").as("last_order"))
+      .orderBy("event_id")
+  }
+
   /** 3+ table chain — exercises Catalyst join reordering; the two dims
     * broadcast, orders shuffles once on custkey.
     */
@@ -512,6 +527,7 @@ object Relational {
     "q_join_anti"        -> qJoinAnti,
     "q_join_theta_range" -> qJoinThetaRange,
     "q_join_asof"        -> qJoinAsof,
+    "q_join_asof_native" -> qJoinAsofNative,
     "q_join_multiway"    -> qJoinMultiway,
     "q_agg_group"        -> qAggGroup,
     "q_agg_distinct"     -> qAggDistinct,
@@ -540,6 +556,7 @@ object Relational {
     "q_join_anti"        -> qJoinAntiSql,
     "q_join_theta_range" -> qJoinThetaRangeSql,
     "q_join_asof"        -> qJoinAsofSql,
+    "q_join_asof_native" -> qJoinAsofSql,
     "q_join_multiway"    -> qJoinMultiwaySql,
     "q_agg_group"        -> qAggGroupSql,
     "q_agg_distinct"     -> qAggDistinctSql,

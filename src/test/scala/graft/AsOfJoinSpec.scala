@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+import graft.queries.Relational
+
+/** Native as-of join operator vs the window-rank formulation. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native as-of equals the join+row_number formulation") {
+    val native = Relational.qJoinAsofNative(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val windowed = Relational.qJoinAsof(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(native.length == windowed.length)
+    assert(native.toSeq == windowed.toSeq)
+  }
+
+  test("the physical plan uses AsOfJoinExec with one exchange per side") {
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+    val df = AsOf.join(e, o, e("user_id"), o("o_custkey"),
+                       e("ts"), o("o_orderdate"),
+                       rightTieBreak = Seq(o("o_orderkey")))
+    val plan = df.queryExecution.executedPlan.toString
+    // physical nodeName strips the Exec suffix
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.split("Exchange hashpartitioning").length == 3, plan) // 2 exchanges
+    // no WindowExec, no fanout join
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("handcrafted edges: no match, tie on time, exact-equal time") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L),
+                (4L, 30L, 500L))
+      .toDF("lid", "k", "t")
+    val r = Seq((101L, 10L, 90L), (102L, 10L, 100L), (103L, 10L, 150L),
+                (104L, 20L, 60L), (105L, 10L, 100L))
+      .toDF("rid", "k2", "t2")
+    val out = AsOf.join(l, r, l("k"), r("k2"), l("t"), r("t2"),
+                        rightTieBreak = Seq(r("rid")))
+      .select(col("lid"), col("rid"))
+      .orderBy("lid")
+      .collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+    assert(out.toSeq == Seq(
+      (1L, 105L), // t=100: rows 102 and 105 tie at t2=100 -> max rid wins
+      (2L, 103L), // t=200: latest is t2=150
+      (3L, -1L),  // key 20 exists but t2=60 > 50 -> no match
+      (4L, -1L))) // key 30 absent
+  }
+}
