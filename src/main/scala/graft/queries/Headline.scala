@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Compound headline queries — multi-operator pipelines shaped like the
+  * classic TPC-H workloads, exercising scan→filter→join→agg→sort/topk
+  * end to end through one plan (the shapes the optimizer must get right
+  * together, not in isolation).
+  */
+object Headline {
+
+  /** Q3-shaped: segment filter → 3-way join → grouped revenue → top 10.
+    * Plan shape to verify at scale: customer filter pushed to scan,
+    * broadcast or shuffled joins by size, partial agg before the final
+    * TakeOrderedAndProject.
+    */
+  val qHeadlineShipping: Q = (s, d) => {
+    val dec = DecimalType(18, 2)
+    Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("o_orderkey")
+      .agg(sum(col("l_extendedprice").cast(dec) *
+               (lit(1).cast(dec) - col("l_discount").cast(dec)))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val qHeadlineShippingSql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Q5-shaped: 5-way star join with a date band → revenue per nation. */
+  val qHeadlineLocalRevenue: Q = (s, d) => {
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast(dec) *
+               (lit(1).cast(dec) - col("l_discount").cast(dec)))
+             .cast("double").as("revenue"))
+      .orderBy(col("r_name").asc, col("revenue").desc, col("n_name").asc)
+  }
+
+  val qHeadlineLocalRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name ASC, revenue DESC, n_name ASC""".stripMargin
+
+  /** Sketch-based profile: approx distinct + approx quantiles — the
+    * 100 TB substitutes for their exact forms. Rows-only (sketches are
+    * not engine-portable); tolerance vs exact is unit-tested.
+    */
+  val qAggApprox: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+             .as("approx_median_price"),
+           count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val entries: Map[String, Q] = Map(
+    "q_headline_shipping" -> qHeadlineShipping,
+    "q_headline_local_revenue" -> qHeadlineLocalRevenue,
+    "q_agg_approx" -> qAggApprox
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_headline_shipping" -> qHeadlineShippingSql,
+    "q_headline_local_revenue" -> qHeadlineLocalRevenueSql
+  )
+}

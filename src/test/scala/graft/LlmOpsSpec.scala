@@ -89,6 +89,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length > a.length / 2)
   }
 
+  test("approx sketch profile stays within tolerance of exact") {
+    val rows = graft.queries.Headline.qAggApprox(spark, sf).collect()
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("x"),
+           expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (ex, med) = exact(r.getString(0))
+      assert(math.abs(r.getAs[Long]("approx_orders") - ex).toDouble / ex < 0.1)
+      assert(math.abs(r.getAs[Double]("approx_median_price") - med) / med < 0.1)
+    }
+  }
+
   test("approx_count_distinct within rsd tolerance of exact") {
     val df = graft.Tables.documents(spark, sf)
     val exact = df.select(countDistinct(col("text"))).first.getLong(0)
