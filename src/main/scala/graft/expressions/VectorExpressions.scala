@@ -134,6 +134,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_vec_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_vec_cosine"),
       (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteVectorSimilarity)
   }
 }
 
@@ -147,5 +148,8 @@ object GraftExtensions {
       args => VectorDot(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_vec_cosine",
       args => VectorCosine(args(0), args(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(RewriteVectorSimilarity))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVectorSimilarity
   }
 }

@@ -243,6 +243,65 @@ object LlmOps {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Embedding-cosine near-dup: random-hyperplane LSH (SimHash for
+    * vectors). Each vector gets a k-bit signature (sign of dot with k
+    * seeded pseudo-random hyperplanes); candidates bucket on signature
+    * chunks (pigeonhole over 4 chunks ⇒ covers hamming ≤ 3 ≈ cosine ≥
+    * ~0.95 at k=32), then the exact cosine (native expression) verifies.
+    * No all-pairs pass — same linearity argument as text LSH.
+    */
+  val qDedupEmbed: Q = (s, d) => {
+    import s.implicits._
+    graft.expressions.GraftExtensions.install(s)
+    val k = 32
+    val chunks = 4
+    val bitsPerChunk = k / chunks
+    val sigChunks = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        // the Rademacher (+1/-1) hyperplane matrix depends only on
+        // (h, j) — precompute once per task, not per row
+        var signs: Array[Array[Float]] = null
+        it.flatMap { case (id, v) =>
+          if (signs == null || signs(0).length < v.length)
+            signs = Array.tabulate(k)(h => Array.tabulate(v.length)(j =>
+              if ((hash64(s"$h:$j", 7L) & 1L) == 0L) 1f else -1f))
+          var sig = 0L
+          var h = 0
+          while (h < k) {
+            var dot = 0.0
+            val row = signs(h)
+            var j = 0
+            while (j < v.length) { dot += row(j) * v(j); j += 1 }
+            if (dot > 0) sig |= (1L << h)
+            h += 1
+          }
+          (0 until chunks).map { c =>
+            (id, sig, c, (sig >>> (c * bitsPerChunk)) & ((1L << bitsPerChunk) - 1))
+          }
+        }
+      }
+      .toDF("vec_id", "sig", "chunk_id", "chunk_val")
+    val a = sigChunks.alias("a")
+    val b = sigChunks.alias("b")
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cand = a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.withColumnRenamed("vec_id", "vec_a")
+               .withColumnRenamed("embedding", "ea"), "vec_a")
+      .join(emb.withColumnRenamed("vec_id", "vec_b")
+               .withColumnRenamed("embedding", "eb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+              round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.95)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** HOF formulation of cosine: per-element double widening, index-order
@@ -537,6 +596,7 @@ object LlmOps {
     "q_dedup_near"       -> qDedupNear,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_dedup_jaccard"    -> qDedupJaccard,
+    "q_dedup_embed"      -> qDedupEmbed,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,

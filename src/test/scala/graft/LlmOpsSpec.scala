@@ -64,6 +64,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("embedding LSH finds planted near-identical vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) 0.01f else 0f) }
+    val other = Array.fill(64)(rng.nextGaussian().toFloat)
+    val anti = base.map(-_)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_").toString
+    Seq((0L, base.toSeq, 0), (1L, near.toSeq, 0),
+        (2L, other.toSeq, 1), (3L, anti.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = LlmOps.qDedupEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ANN(IVF) top-10 overlaps brute-force top-10") {
     val exact = LlmOps.qSimTopk(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet

@@ -44,6 +44,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .first().isNullAt(0))
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to VectorDot") {
+    GraftExtensions.install(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val hof = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), LlmOps.dotHof(col("embedding"), col("qv")).as("d"))
+    val plan = hof.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_vec_dot"), plan)
+    assert(!plan.toLowerCase.contains("aggregate(zip_with"), plan)
+    // and the rewritten plan returns the expected values
+    val viaNative = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), LlmOps.cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy("vec_id").collect()
+    val viaRewritten = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (LlmOps.dotHof(col("embedding"), col("qv")) /
+          (sqrt(LlmOps.norm2Hof(col("embedding"))) *
+           sqrt(LlmOps.norm2Hof(col("qv"))))).as("c"))
+      .orderBy("vec_id").collect()
+    assert(viaNative.map(_.getDouble(1)).toSeq ==
+           viaRewritten.map(_.getDouble(1)).toSeq)
+  }
+
   test("codegen plan contains the fused loop (no HOF lambda)") {
     GraftExtensions.install(spark)
     val emb = Tables.embeddings(spark, sf)
