@@ -441,6 +441,106 @@ object Relational {
        |  ${davgSql("l_quantity")} AS avg_qty
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ----------------------------------------------------------- subqueries
+
+  /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
+    * the scalar; price ratio is double/double of identical operands in
+    * both engines.
+    */
+  val qSubqueryScalar: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice /
+        |        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                / COUNT(*) FROM graft_orders_sq), 6) AS price_ratio
+        |FROM graft_orders_sq
+        |WHERE o_totalprice > 1.5 *
+        |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(*) FROM graft_orders_sq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qSubqueryScalarSql: String =
+    """SELECT o_orderkey,
+      |  ROUND(o_totalprice /
+      |        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                / COUNT(*) FROM orders), 6) AS price_ratio
+      |FROM orders
+      |WHERE o_totalprice > 1.5 *
+      |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |              / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** IN / NOT IN subqueries — planned as semi/anti joins. */
+  val qSubqueryIn: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_sq")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq2")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM graft_cust_sq
+        |WHERE c_custkey IN (SELECT o_custkey FROM graft_orders_sq2
+        |                    WHERE o_totalprice > 350000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM graft_orders_sq2
+        |                        WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSubqueryInSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 350000)
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** PIVOT: status columns per order-year (oracle uses the equivalent
+    * conditional aggregation — PIVOT is sugar over it in any engine).
+    */
+  val qPivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("yr")
+
+  val qPivotSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Null semantics: null-safe equality, IS DISTINCT FROM, null-aware
+    * conditionals over the outer join's generated nulls.
+    */
+  val qNullSemantics: Q = (s, d) => {
+    val j = Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left")
+    j.select(
+        col("c_custkey"), col("o_orderkey"),
+        col("o_orderkey").isNull.as("no_big_order"),
+        (col("o_orderstatus") <=> lit("F")).as("nullsafe_f"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price_or_zero"),
+        when(col("o_orderkey").isNotNull, lit("matched"))
+          .otherwise(lit("unmatched")).as("tag"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  val qNullSemanticsSql: String =
+    """SELECT c_custkey, o_orderkey,
+      |  o_orderkey IS NULL AS no_big_order,
+      |  o_orderstatus IS NOT DISTINCT FROM 'F' AS nullsafe_f,
+      |  COALESCE(o_totalprice, 0.0) AS price_or_zero,
+      |  CASE WHEN o_orderkey IS NOT NULL THEN 'matched'
+      |       ELSE 'unmatched' END AS tag
+      |FROM customer LEFT JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------- sort / top-k
 
   /** Multi-key global sort → range-partitioned exchange + per-partition
@@ -535,6 +635,10 @@ object Relational {
     "q_agg_cube"         -> qAggCube,
     "q_agg_gsets"        -> qAggGsets,
     "q_agg_stats"        -> qAggStats,
+    "q_subquery_scalar"  -> qSubqueryScalar,
+    "q_subquery_in"      -> qSubqueryIn,
+    "q_pivot"            -> qPivot,
+    "q_null_semantics"   -> qNullSemantics,
     "q_sort_multi"       -> qSortMulti,
     "q_topk_global"      -> qTopkGlobal,
     "q_set_union"        -> qSetUnion,
@@ -564,6 +668,10 @@ object Relational {
     "q_agg_cube"         -> qAggCubeSql,
     "q_agg_gsets"        -> qAggGsetsSql,
     "q_agg_stats"        -> qAggStatsSql,
+    "q_subquery_scalar"  -> qSubqueryScalarSql,
+    "q_subquery_in"      -> qSubqueryInSql,
+    "q_pivot"            -> qPivotSql,
+    "q_null_semantics"   -> qNullSemanticsSql,
     "q_sort_multi"       -> qSortMultiSql,
     "q_topk_global"      -> qTopkGlobalSql,
     "q_set_union"        -> qSetUnionSql,

@@ -143,7 +143,39 @@ object Windows {
       |  FROM orders
       |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Distribution-rank family: ntile / percent_rank / cume_dist /
+    * first_value / last_value (full-frame).
+    */
+  val qWinDist: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      first(col("o_orderkey")).over(w).as("first_key"),
+      last(col("o_orderkey")).over(full).as("last_key")
+    ).orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWinDistSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cdist,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  last_value(o_orderkey) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
     "q_win_running"     -> qWinRunning,
     "q_win_lag_lead"    -> qWinLagLead,
@@ -152,6 +184,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_win_dist"        -> qWinDistSql,
     "q_win_rank"        -> qWinRankSql,
     "q_win_running"     -> qWinRunningSql,
     "q_win_lag_lead"    -> qWinLagLeadSql,
