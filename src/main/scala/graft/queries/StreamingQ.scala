@@ -17,6 +17,32 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-key session accumulator for the stateful op. */
 case class KeyCount(user_id: Long, n: Long, total: Double)
 
+/** transformWithState processor: running count/total per user with an
+  * explicit ValueState handle.
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, KeyCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.ValueState
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var state: ValueState[KeyCount] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[KeyCount](
+      "running", Encoders.product[KeyCount], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[KeyCount] = {
+    val prev = if (state.exists()) state.get() else KeyCount(key, 0L, 0.0)
+    val batch = rows.toSeq
+    val next = KeyCount(key, prev.n + batch.size,
+                        prev.total + batch.map(_.value).sum)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.3). The reference's analog
   * is the daily incremental append (E13): each date directory is a
   * micro-batch. Window aggregations are verified two ways:
@@ -193,7 +219,35 @@ object StreamingQ {
     }.orderBy("user_id", "n")
   }
 
+  /** The same per-key running state through Spark 4's transformWithState
+    * (the successor API, SURVEY.md §7.4.7): explicit ValueState handle,
+    * RocksDB state store (required by the API; the production-scale
+    * store anyway). Emits the same rows as the flatMapGroupsWithState
+    * form — asserted in StreamingSpec.
+    */
+  val qStreamStatefulTws: Q = (s, _) => {
+    import s.implicits._
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runMemoryStream(s, "graft_stream_tws") { df =>
+        df.as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningCountProcessor(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append)
+          .toDF()
+      }
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }.orderBy("user_id", "n")
+
   val entries: Map[String, Q] = Map(
+    "q_stream_stateful_tws" -> qStreamStatefulTws,
     "q_stream_tumbling"  -> qStreamTumbling,
     "q_stream_sliding"   -> qStreamSliding,
     "q_stream_session"   -> qStreamSession,

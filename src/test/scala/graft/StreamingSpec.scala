@@ -32,6 +32,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 7L)) // id 6 below watermark
   }
 
+  test("transformWithState matches flatMapGroupsWithState semantics") {
+    val fmgws = StreamingQ.qStreamStateful(spark, "").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+                 r.getAs[Double]("total"))).toSeq
+    val tws = StreamingQ.qStreamStatefulTws(spark, "").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+                 r.getAs[Double]("total"))).toSeq
+    assert(tws == fmgws)
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across batches") {
     val rows = StreamingQ.qStreamStateful(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
