@@ -21,7 +21,9 @@ object EtlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val t0 = System.nanoTime()
       Pipeline.run(spark, args(0), args(1))
+      println(f"[etl] pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       Pipeline.TableNames.foreach { t =>
         val n = spark.read.parquet(s"${args(1)}/$t").count()
         println(s"[etl] $t: $n rows")

@@ -67,7 +67,22 @@ object Pipeline {
     * (scrape.py:447) but with a deterministic order (game_id, INIT index)
     * instead of directory iteration order (SURVEY.md §7.4.1).
     */
-  def tables(spark: SparkSession, parsed: Dataset[ParsedGame]): Map[String, DataFrame] = {
+  /** Deterministic kyoku ids: one shuffle, partitioned by dt. Exposed so
+    * run() can cache it — five tables derive from it.
+    */
+  def kyokusBase(parsed: Dataset[ParsedGame]): DataFrame = {
+    val w = Window.partitionBy(col("dt")).orderBy(col("game_id"), col("k.idx"))
+    parsed.toDF()
+      .select(col("game_id"), col("dt"), explode(col("kyokus")).as("k"))
+      .withColumn("id",
+        (datediff(col("dt"), to_date(lit("1970-01-01"))).cast("long") * 100000L) +
+          row_number().over(w) - 1)
+  }
+
+  def tables(spark: SparkSession, parsed: Dataset[ParsedGame]): Map[String, DataFrame] =
+    tables(parsed, kyokusBase(parsed))
+
+  def tables(parsed: Dataset[ParsedGame], kyokusBase: DataFrame): Map[String, DataFrame] = {
     val games = parsed.toDF()
       .select(col("game_id").as("id"), col("tonpu"), col("ariari"),
               col("sanma"), col("demo"), col("soku"), col("has_aka"),
@@ -86,14 +101,6 @@ object Pipeline {
       .select(col("game_id"), explode(col("game_scores")).as("s"), col("dt"))
       .select(col("game_id"), col("s.player_index"), col("s.score"),
               col("s.point").cast(DecimalType(4, 1)).as("point"), col("dt"))
-
-    // deterministic kyoku ids: one shuffle, partitioned by dt
-    val w = Window.partitionBy(col("dt")).orderBy(col("game_id"), col("k.idx"))
-    val kyokusBase = parsed.toDF()
-      .select(col("game_id"), col("dt"), explode(col("kyokus")).as("k"))
-      .withColumn("id",
-        (datediff(col("dt"), to_date(lit("1970-01-01"))).cast("long") * 100000L) +
-          row_number().over(w) - 1)
 
     val kyokus = kyokusBase.select(
       col("id"), col("game_id"), col("k.kyoku_num"), col("k.honba"),
@@ -129,17 +136,38 @@ object Pipeline {
     // touching unrelated days.
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // mjlogs are KB-sized: the default 4 MB open-cost estimate would
+    // fragment the scan into one task per handful of files
+    spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
     val parsed = parseLogs(spark, logDir).cache()
+    // the window-ranked kyoku intermediate feeds 5 of the 9 tables —
+    // cache it so the explode+window shuffle runs once, not five times
+    val kb = kyokusBase(parsed).cache()
     try {
-      val dts = tables(spark, parsed)
-      TableNames.foreach { name =>
-        dts(name)
-          .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
-          .write.mode("overwrite").partitionBy("dt")
-          .parquet(s"$outDir/$name")
+      val dts = tables(parsed, kb)
+      // the 9 writes are independent jobs over cached inputs — submit
+      // them concurrently so wall time is max(job), not sum(job)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = TableNames.map { name =>
+        Future {
+          dts(name)
+            .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+            // cluster rows by their target partition so each dt= dir gets
+            // one file instead of one per shuffle partition — at this
+            // scale the commit protocol (file moves) dominated the write.
+            // At 100 TB: repartition(col("dt"), col("game_id")) to spread
+            // a day across N files while keeping dt-local writes.
+            .repartition(col("dt"))
+            .write.mode("overwrite").partitionBy("dt")
+            .parquet(s"$outDir/$name")
+        }
       }
+      jobs.foreach(Await.result(_, Duration.Inf))
     } finally {
       parsed.unpersist()
+      kb.unpersist()
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
