@@ -68,6 +68,22 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("firsts") == 1L)
   }
 
+  test("SQL over registered views — the Athena-user workflow") {
+    MahjongCatalog.registerViews(spark, dir)
+    val winRate = spark.sql(
+      """SELECT r.is_sanma, COUNT(DISTINCT a.kyoku_id) AS wins,
+        |       COUNT(DISTINCT k.id) AS kyokus
+        |FROM kyokus k
+        |JOIN rules r ON r.game_id = k.game_id
+        |LEFT JOIN agaris a ON a.kyoku_id = k.id
+        |GROUP BY r.is_sanma ORDER BY r.is_sanma""".stripMargin).collect()
+    assert(winRate.map(_.getAs[Long]("kyokus")).sum == 4)
+    // codec UDFs resolve in the same session
+    val tiles = spark.sql(
+      "SELECT graft_tiles(array(0, 16), true) AS t").first().getString(0)
+    assert(tiles == "m10")
+  }
+
   test("riichi outcomes join declarations to wins") {
     val rows = MahjongAnalytics.riichiOutcomes(spark, dir).collect()
     assert(rows.length == 1)
