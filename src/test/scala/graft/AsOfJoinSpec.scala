@@ -36,6 +36,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("randomized differential vs the window formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // heavy duplication: few keys, coarse times, some null keys
+    val lRows = (0 until 400).map { i =>
+      (i.toLong,
+       if (rng.nextInt(10) == 0) None else Some(rng.nextInt(8).toLong),
+       rng.nextInt(40).toLong)
+    }
+    val rRows = (0 until 300).map { i =>
+      (1000L + i, rng.nextInt(8).toLong, rng.nextInt(40).toLong)
+    }
+    val l = lRows.toDF("lid", "k", "t")
+    val r = rRows.toDF("rid", "k2", "t2")
+    val native = AsOf.join(l, r, l("k"), r("k2"), l("t"), r("t2"),
+                           rightTieBreak = Seq(r("rid")))
+      .select(col("lid"), col("rid")).orderBy("lid").collect()
+      .map(row => (row.getLong(0),
+                   if (row.isNullAt(1)) -1L else row.getLong(1)))
+    // reference semantics: brute-force per left row
+    val expected = lRows.map { case (lid, kOpt, t) =>
+      val best = kOpt.toSeq.flatMap { k =>
+        rRows.filter(rr => rr._2 == k && rr._3 <= t)
+      }.sortBy(rr => (rr._3, rr._1)).lastOption
+      (lid, best.map(_._1).getOrElse(-1L))
+    }
+    assert(native.toSeq == expected)
+  }
+
   test("handcrafted edges: no match, tie on time, exact-equal time") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L),
