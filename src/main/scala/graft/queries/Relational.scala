@@ -66,6 +66,7 @@ object Relational {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_sink_").toString
     Tables.lineitem(s, d)
+      .repartition(col("l_returnflag")) // 1 file per partition dir, not 32
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy("l_returnflag")
