@@ -65,7 +65,8 @@ object LogGen {
     val rng = new Random(seed)
     var total = 0
     for (d <- 0 until nDates) {
-      val date = f"202401${d + 1}%02d"
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+        .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
       val dir = Paths.get(out, date)
       Files.createDirectories(dir)
       for (g <- 0 until perDate) {
