@@ -39,6 +39,30 @@ object GraftFunctions {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Group-level MinHash signature merge: the signature of a *set* of
+    * documents is the elementwise min of member signatures — letting a
+    * groupBy estimate cross-cluster Jaccard without touching raw text
+    * again. Null/empty inputs are identities.
+    */
+  class MinhashMerge extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.empty
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = merge2(b, a)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = merge2(x, y)
+    private def merge2(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      if (a == null || a.isEmpty) return b
+      if (b.isEmpty) return a.toArray
+      val out = new Array[Long](b.length)
+      var i = 0
+      while (i < b.length) { out(i) = math.min(b(i), a(i)); i += 1 }
+      out
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Register every graft SQL function on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_tiles",
@@ -50,5 +74,6 @@ object GraftFunctions {
     spark.udf.register("graft_meld_type",
       (m: Int, hasAka: Boolean) => Melds.decode(m, hasAka).map(_.atype).orNull)
     spark.udf.register("graft_weighted_avg", udaf(new WeightedAvg))
+    spark.udf.register("graft_minhash_merge", udaf(new MinhashMerge))
   }
 }

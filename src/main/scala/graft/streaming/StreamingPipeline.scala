@@ -60,22 +60,31 @@ object StreamingPipeline {
     val offsetCol =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets), col("dt").cast("string")), lit(0L))
-    val dts = Pipeline.tables(spark, parsed.cache())
+    parsed.cache()
+    val kb = Pipeline.kyokusBase(parsed).cache()
+    val dts = Pipeline.tables(parsed, kb)
     try {
-      Pipeline.TableNames.foreach { name =>
-        val df = dts(name)
-        val shifted = name match {
-          case "kyokus" => df.withColumn("id", col("id") + offsetCol)
-          case "haipais" | "actions" | "agaris" | "nagares" =>
-            df.withColumn("kyoku_id", col("kyoku_id") + offsetCol)
-          case _ => df
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = Pipeline.TableNames.map { name =>
+        Future {
+          val df = dts(name)
+          val shifted = name match {
+            case "kyokus" => df.withColumn("id", col("id") + offsetCol)
+            case "haipais" | "actions" | "agaris" | "nagares" =>
+              df.withColumn("kyoku_id", col("kyoku_id") + offsetCol)
+            case _ => df
+          }
+          shifted
+            .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+            .repartition(col("dt"))
+            .write.mode("append").partitionBy("dt")
+            .parquet(s"$outDir/$name")
         }
-        shifted
-          .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
-          .write.mode("append").partitionBy("dt")
-          .parquet(s"$outDir/$name")
       }
-    } finally parsed.unpersist()
+      jobs.foreach(Await.result(_, Duration.Inf))
+    } finally { parsed.unpersist(); kb.unpersist() }
   }
 
   /** Drain everything currently in logDir and stop (Trigger.AvailableNow

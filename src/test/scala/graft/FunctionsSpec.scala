@@ -24,6 +24,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("nuki")))
   }
 
+  test("minhash-merge UDAF takes elementwise minima per group") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", Seq(5L, 1L, 9L)), ("a", Seq(3L, 7L, 2L)), ("b", Seq(4L, 4L, 4L)))
+      .toDF("g", "sig").createOrReplaceTempView("sigs_udaf")
+    val rows = spark.sql(
+      "SELECT g, graft_minhash_merge(sig) AS m FROM sigs_udaf GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getSeq[Long](1) == Seq(3L, 1L, 2L))
+    assert(rows(1).getSeq[Long](1) == Seq(4L, 4L, 4L))
+  }
+
   test("weighted-avg UDAF matches the exact decimal expression") {
     GraftFunctions.register(spark)
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
