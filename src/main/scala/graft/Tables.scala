@@ -27,15 +27,15 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read
-    * nanos as a long (legacy conf, runtime-settable) and truncate to
-    * microseconds — Spark's native timestamp precision. All oracle SQL
-    * that orders or compares `ts` does `CAST(ts AS TIMESTAMP)` on the
-    * DuckDB side so both engines see identical microsecond values.
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The
+    * session must set `spark.sql.legacy.parquet.nanosAsLong=true` (done
+    * in the Verify/Bench/test session builders — loaders stay
+    * side-effect-free); we then truncate the long nanos to microseconds,
+    * Spark's native timestamp precision. All oracle SQL that orders or
+    * compares `ts` does `CAST(ts AS TIMESTAMP)` on the DuckDB side so
+    * both engines see identical microsecond values.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 }

@@ -135,12 +135,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_vec_cosine"),
       (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteVectorSimilarity)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
-  /** Idempotent imperative registration for sessions created without
-    * the extensions conf (Verify/Bench).
+  /** Idempotent imperative registration for user sessions created
+    * without the extensions conf. Verify/Bench/test sessions set
+    * `spark.sql.extensions` instead; query bodies never call this.
     */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -151,5 +153,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorSimilarity))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorSimilarity
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

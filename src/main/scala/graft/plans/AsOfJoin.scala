@@ -142,16 +142,17 @@ case class AsOfJoinExec(
   }
 }
 
-/** Public API + strategy registration. */
+/** Public API. The planner strategy arrives via session conf
+  * (`spark.sql.extensions=graft.expressions.GraftExtensions`) or the
+  * imperative `GraftExtensions.install` — query code never mutates the
+  * session.
+  */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column,
            rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     // Spark 4 Columns wrap ColumnNodes; the classic converter recovers
     // the resolved catalyst Expression
     val ex = org.apache.spark.sql.classic.GraftShim.expression _

@@ -34,6 +34,8 @@ object Extensions {
 
   /** Domain codecs as SQL functions (rows-only: DuckDB has no mahjong
     * codecs; the codec logic itself is oracled by CodecsSpec).
+    * Every output column is scalar — array results are rendered via
+    * array_join so the driver's pandas sort can hash the rows.
     */
   val qUdfTiles: Q = (s, d) => {
     GraftFunctions.register(s)
@@ -44,7 +46,7 @@ object Extensions {
         "graft_tiles(array(CAST(pmod(l_orderkey, 136) AS INT), " +
           "CAST(pmod(l_partkey, 136) AS INT), " +
           "CAST(pmod(l_suppkey, 136) AS INT)), true) AS tiles",
-        "graft_dora(array(CAST(pmod(l_partkey, 136) AS INT))) AS dora",
+        "array_join(graft_dora(array(CAST(pmod(l_partkey, 136) AS INT))), ',') AS dora",
         "graft_meld_pais(CAST(pmod(l_orderkey * 31, 65536) AS INT), true) AS meld",
         "graft_meld_type(CAST(pmod(l_orderkey * 31, 65536) AS INT), true) AS meld_type")
       .orderBy("l_orderkey", "l_linenumber")

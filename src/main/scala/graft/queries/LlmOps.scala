@@ -67,7 +67,7 @@ object LlmOps {
   /** FNV-1a 64 over chars + murmur-style avalanche — LSH-grade hashing
     * without per-seed string passes.
     */
-  private[queries] def hash64(s: String, seed: Long): Long = {
+  private[graft] def hash64(s: String, seed: Long): Long = {
     var h = seed ^ 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
@@ -78,7 +78,7 @@ object LlmOps {
   }
 
   /** Per-band bucket keys for one document's text. */
-  private[queries] def minhashBands(text: String): Array[Long] = {
+  private[graft] def minhashBands(text: String): Array[Long] = {
     val toks = text.split(" ").filter(_.nonEmpty)
     val shingles =
       if (toks.length < 3) Array(toks.mkString(" "))
@@ -120,15 +120,35 @@ object LlmOps {
     // measured 237s at sf0.1 on this corpus), but dedup only needs one
     // representative per cluster. Min-label propagation over buckets is
     // linear in docs×bands: bucket → min doc_id → per-doc min over its
-    // bands → one chase step (rep of rep) to flatten two-hop chains.
+    // bands → pointer-chase (rep := rep(rep)) to FIXPOINT, so arbitrary
+    // chains A←B←C←D collapse to the root. rep ≤ doc_id invariantly and
+    // each chase is monotone non-increasing, so convergence takes
+    // O(log(longest chain)) rounds — 2-3 in practice. Each round is one
+    // self-join shuffle on `rep`; persist truncates the growing lineage.
     val bucketRep = bands.groupBy("band_id", "band_hash")
       .agg(min(col("doc_id")).as("bucket_min"))
-    val rep1 = bands.join(bucketRep, Seq("band_id", "band_hash"))
+    var cur = bands.join(bucketRep, Seq("band_id", "band_hash"))
       .groupBy("doc_id").agg(min(col("bucket_min")).as("rep"))
-    val x = rep1.alias("x")
-    val y = rep1.select(col("doc_id").as("rep"), col("rep").as("rep2")).alias("y")
-    x.join(y, Seq("rep"), "left")
-      .select(col("doc_id"), least(coalesce(col("rep2"), col("rep")), col("rep")).as("cluster_rep"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 16) {
+      val next = cur.alias("x")
+        .join(cur.select(col("doc_id").as("rep"), col("rep").as("rep2")).alias("y"),
+              Seq("rep"), "left")
+        .select(col("doc_id"), col("rep"),
+                least(coalesce(col("rep2"), col("rep")), col("rep")).as("new_rep"))
+        .persist()
+      changed = next.where(col("new_rep") =!= col("rep")).count()
+      val prev = cur
+      cur = next.select(col("doc_id"), col("new_rep").as("rep")).persist()
+      cur.count() // materialize before releasing parents
+      prev.unpersist()
+      next.unpersist()
+      rounds += 1
+    }
+    cur
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
       .where(col("doc_id") =!= col("cluster_rep"))
       .orderBy("doc_id")
   }
@@ -141,7 +161,7 @@ object LlmOps {
     * one chunk (pigeonhole), so there is no all-pairs comparison; the
     * Hamming filter itself is codegen'd `bit_count(xor)`.
     */
-  private[queries] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     text.split(" ").foreach { t =>
       if (t.nonEmpty) {
@@ -181,22 +201,38 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** N-gram (token 2-gram) Jaccard similarity for candidate pairs within
-    * the same source — exact verification stage that would follow LSH
-    * candidate generation at scale. Oracle-checked: Jaccard of integer
-    * set sizes is exact arithmetic.
+  /** N-gram (token 2-gram) Jaccard similarity for pairs within the same
+    * source — exact verification stage that would follow LSH candidate
+    * generation at scale (where the self-join below runs only on LSH
+    * candidates, not the corpus). Oracle-checked: Jaccard of integer set
+    * sizes is exact arithmetic; the 0.2 threshold keeps the planted
+    * near-dup pairs (>0 rows at sf0.01 and sf0.1) so the compare is
+    * non-vacuous.
     */
   val qDedupJaccard: Q = (s, d) => {
+    import s.implicits._
+    // typed 2-gram kernel: the nested transform+slice HOF re-splits the
+    // text once per gram under project collapsing (O(tokens²) per doc);
+    // the kernel splits once — same output set (all 2-grams, or the
+    // lone token for 1-token docs), distinct within doc
     val grams = Tables.documents(s, d)
-      .where(pmod(col("doc_id"), lit(20)) === 0)
-      .select(col("doc_id"), col("source"),
-              explode(array_distinct(
-                transform(sequence(lit(0), greatest(size(tokens(col("text"))) - 2, lit(0))),
-                  i => concat_ws(" ", slice(tokens(col("text")), i + 1, lit(2)))))).as("gram"))
-      .where(length(col("gram")) > 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val gs =
+          if (toks.length == 0) Iterator.empty
+          else if (toks.length == 1) Iterator.single(toks(0))
+          else toks.sliding(2).map(_.mkString(" "))
+        gs.toArray.distinct.map(g => (id, src, g))
+      }
+      .toDF("doc_id", "source", "gram")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = grams.alias("a")
-    val b = grams.alias("b")
+    // shuffle-hash beats sort-merge here: the join key is a wide string
+    // (source, gram) whose sort is pure overhead — build a hash table
+    // per partition instead
+    val b = grams.hint("shuffle_hash").alias("b")
     val inter = a.join(b,
         col("a.source") === col("b.source") &&
         col("a.gram") === col("b.gram") &&
@@ -209,14 +245,13 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"),
               round(col("inter").cast("double") /
                     (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .where(col("jaccard") >= 0.5)
+      .where(col("jaccard") >= 0.2)
       .orderBy("doc_a", "doc_b")
   }
 
   val qDedupJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
-      |  WHERE doc_id % 20 = 0
       |), grams AS (
       |  SELECT DISTINCT doc_id, source,
       |    ts[i] || ' ' || ts[i+1] AS gram
@@ -240,7 +275,7 @@ object LlmOps {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Embedding-cosine near-dup: random-hyperplane LSH (SimHash for
@@ -252,7 +287,6 @@ object LlmOps {
     */
   val qDedupEmbed: Q = (s, d) => {
     import s.implicits._
-    graft.expressions.GraftExtensions.install(s)
     val k = 32
     val chunks = 4
     val bitsPerChunk = k / chunks
@@ -321,17 +355,21 @@ object LlmOps {
 
   /** Native codegen'd cosine (graft.expressions.VectorCosine): same IEEE
     * operation order as the HOF version, compiled into the surrounding
-    * whole-stage loop. Callers must GraftExtensions.install(s) first.
+    * whole-stage loop. Built directly as an expression Column, so it
+    * works on any session — no function-registry registration needed
+    * (the SQL-callable form still arrives via GraftExtensions).
     */
   def cosine(a: Column, b: Column): Column =
-    call_function("graft_vec_cosine", a, b)
+    org.apache.spark.sql.classic.GraftShim.column(
+      graft.expressions.VectorCosine(
+        org.apache.spark.sql.classic.GraftShim.expression(a),
+        org.apache.spark.sql.classic.GraftShim.expression(b)))
 
   /** Brute-force top-k cosine to a query vector (vec_id 0), the exact
     * baseline. orderBy+limit plans as TakeOrderedAndProject: per-partition
     * heap + k-row driver merge — the distributed top-k shape.
     */
   val qSimTopk: Q = (s, d) => {
-    graft.expressions.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.where(col("vec_id") =!= 0)
@@ -360,7 +398,6 @@ object LlmOps {
     * bounded; at 100 TB this stage runs only on LSH/IVF candidates.
     */
   val qSimPairs: Q = (s, d) => {
-    graft.expressions.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, d)
       .where(pmod(col("vec_id"), lit(10)) === 0)
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -397,7 +434,6 @@ object LlmOps {
     * in the unit test.
     */
   val qSimAnnIvf: Q = (s, d) => {
-    graft.expressions.GraftExtensions.install(s)
     val nprobe = 4
     val emb = Tables.embeddings(s, d)
     val cents = emb.where(col("vec_id").between(1, 16))
@@ -539,9 +575,10 @@ object LlmOps {
       |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
   /** Heuristic language ID: score each document against small per-language
-    * marker-token profiles, pick the best (ties → 'und'). Rows-only check
-    * (the heuristic itself is unit-tested); real corpora would use
-    * character n-gram profiles — same shape, bigger profile map.
+    * marker-token profiles, pick the best; ties go to the first language
+    * in sorted order. Hash-checked against a DuckDB oracle generated from
+    * the same marker table; real corpora would use character n-gram
+    * profiles — same shape, bigger profile map.
     */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is", "was"),
@@ -571,9 +608,41 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Oracle generated from LangMarkers. The Spark fold replaces the
+    * accumulator only on a strictly greater score, so the winner is the
+    * EARLIEST language (sorted order) attaining the max — which is
+    * exactly "first lang whose score equals greatest(...)" in a CASE
+    * cascade.
+    */
+  val qTextLangidSql: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      s"SUM(CASE WHEN tok IN (${LangMarkers(l).map("'" + _ + "'").mkString(",")}) " +
+        s"THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n    ")
+    val gr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $gr THEN '$l'").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS labeled_lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, labeled_lang,
+       |    $scoreCols
+       |  FROM toks WHERE length(tok) > 0
+       |  GROUP BY doc_id, labeled_lang
+       |)
+       |SELECT doc_id, labeled_lang,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style: polynomial
     * rolling hash over the token stream, keep the max hash per window of
-    * 4). Deterministic; rows-only + unit test.
+    * 4). Deterministic; rows-only + unit test. No DuckDB oracle is
+    * possible: the hash is Spark's xxhash64 (seed 42, Spark-specific
+    * type-tagged preimage), which DuckDB's hash()/xxhash cannot
+    * reproduce — re-spelling would mean re-implementing Spark's hash in
+    * SQL, which verifies nothing.
     */
   val qTextFingerprint: Q = (s, d) => {
     val toks = tokens(col("text"))
@@ -616,6 +685,7 @@ object LlmOps {
     "q_text_quality"  -> qTextQualitySql,
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
+    "q_text_langid"   -> qTextLangidSql,
     "q_dedup_jaccard" -> qDedupJaccardSql
   )
 }

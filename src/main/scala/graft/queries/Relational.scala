@@ -62,11 +62,25 @@ object Relational {
     * the round-trip loses nothing. Hive-style directory partitioning is
     * exactly what enables partition pruning at 100 TB.
     */
+  /** Stable scratch dir per (prefix, input dir): repeated Verify/Bench
+    * runs overwrite in place instead of accumulating temp garbage.
+    */
+  private def scratchDir(prefix: String, d: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch",
+      prefix + "_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   val qSinkPartitioned: Q = (s, d) => {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_sink_").toString
+    val tmp = scratchDir("sink", d)
     Tables.lineitem(s, d)
-      .repartition(col("l_returnflag")) // 1 file per partition dir, not 32
+      // (partition key, salt) split: each l_returnflag directory is
+      // written by up to 8 tasks instead of 1 — 3 distinct flags would
+      // otherwise serialize the whole table through 3 tasks at any
+      // scale, while files-per-directory stays bounded at 8
+      .repartition(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy("l_returnflag")
@@ -82,8 +96,7 @@ object Relational {
     * transparently — Spark's text source does the same natively).
     */
   val qScanTextGz: Q = (s, d) => {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_textgz_").toString
+    val tmp = scratchDir("textgz", d)
     Tables.documents(s, d).select("text")
       .write.mode("overwrite").option("compression", "gzip").text(tmp)
     s.read.text(tmp)

@@ -15,4 +15,12 @@ object GraftShim {
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     ExpressionUtils.expression(c)
+
+  /** Wrap a catalyst Expression as a Column — lets query code use custom
+    * expressions (VectorCosine, …) directly, with no dependence on the
+    * session's function registry.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }

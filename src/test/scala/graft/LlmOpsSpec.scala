@@ -56,6 +56,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!rows.contains(3L) && !rows.contains(4L)) // unrelated stay unique
   }
 
+  test("minhash label propagation collapses a 3-hop bucket chain") {
+    import spark.implicits._
+    // Sliding 24-token windows with stride 6: adjacent docs share 18
+    // tokens, docs two apart share 12 — chosen so the LSH bucket graph
+    // is EXACTLY the path 0–1–2–3 (asserted below as a precondition).
+    // The old single chase step left doc 3 pointing at a non-root rep;
+    // fixpoint propagation must map every doc to root 0.
+    val texts = (0 until 4).map { i =>
+      (i * 6 until i * 6 + 24).map(j => f"tok$j%03d").mkString(" ")
+    }
+    val bandSets = texts.map(t =>
+      LlmOps.minhashBands(t).zipWithIndex.map { case (h, b) => (b, h) }.toSet)
+    val edges = (for {
+      i <- 0 until 4; j <- i + 1 until 4
+      if (bandSets(i) & bandSets(j)).nonEmpty
+    } yield (i, j)).toSet
+    assert(edges == Set((0, 1), (1, 2), (2, 3)),
+           s"fixture no longer forms a chain: $edges")
+    val dir = Files.createTempDirectory("graft_chain_").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reps = LlmOps.qDedupNear(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"))).toMap
+    assert(reps == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+           s"chain did not collapse to the root: $reps")
+  }
+
   test("simhash flags near-identical documents within hamming 3") {
     val pairs = LlmOps.qDedupSimhash(spark, plantedDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
