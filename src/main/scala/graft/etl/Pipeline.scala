@@ -35,14 +35,25 @@ object Pipeline {
 
   private val DirDate = DateTimeFormatter.ofPattern("yyyyMMdd")
 
-  /** Read + parse every xml file under `<logDir>/<YYYYMMDD>/`. */
-  def parseLogs(spark: SparkSession, logDir: String): Dataset[ParsedGame] = {
-    import spark.implicits._
+  /** Raw file scan: (path, content) for every xml under
+    * `<logDir>/<YYYYMMDD>/`. Split out so run() can read the listing's
+    * size stats (already computed by the scan's FileIndex — no second
+    * listing) before choosing execution knobs.
+    */
+  def rawLogs(spark: SparkSession, logDir: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xml")
       .option("recursiveFileLookup", "true")
       .load(logDir)
       .select("path", "content")
+
+  /** Read + parse every xml file under `<logDir>/<YYYYMMDD>/`. */
+  def parseLogs(spark: SparkSession, logDir: String): Dataset[ParsedGame] =
+    parseRaw(spark, rawLogs(spark, logDir))
+
+  def parseRaw(spark: SparkSession, raw: DataFrame): Dataset[ParsedGame] = {
+    import spark.implicits._
+    raw
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val m = "(\\d{8})/([^/]+)\\.xml$".r.findFirstMatchIn(path)
@@ -137,11 +148,38 @@ object Pipeline {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // mjlogs are KB-sized: the default 4 MB open-cost estimate would
-    // fragment the scan into one task per handful of files
+    // fragment the scan into one task per handful of files. The floor
+    // keeps small corpora parallel — with the 64k estimate alone, a
+    // 14 MB / 2000-file corpus bin-packs into 1-2 scan tasks and the
+    // parse serializes onto 1-2 of the 32 cores
     spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-    val parsed = parseLogs(spark, logDir).cache()
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      (spark.sparkContext.defaultParallelism * 2).toString)
+    val raw = rawLogs(spark, logDir)
+    // Small-batch fast path: whole-stage codegen costs ~100-300 ms of
+    // Janino compilation per distinct plan — across the scan, window and
+    // 9 write plans that is seconds of fixed cost, which a KB-scale
+    // corpus never earns back. Interpreted mode wins below ~32 MB; at
+    // real volume codegen pays for itself within one task. The size
+    // comes from the scan's own FileIndex stats (no extra listing).
+    val smallInput =
+      raw.queryExecution.optimizedPlan.stats.sizeInBytes < (32L << 20)
+    val prevCodegen = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    if (smallInput) {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
+    // ONE dt-clustering shuffle for the whole pipeline: the id window
+    // (partitionBy dt) reuses this partitioning instead of shuffling
+    // again, and every projection stays narrow, so all 9 partitioned
+    // writes inherit dt-clustered tasks (1 file per dt dir) with no
+    // per-write repartition. At 100 TB: repartition(col("dt"),
+    // col("game_id")) to spread a day over N tasks/files.
+    val parsed = parseRaw(spark, raw)
+      .repartition(col("dt")).cache()
     // the window-ranked kyoku intermediate feeds 5 of the 9 tables —
-    // cache it so the explode+window shuffle runs once, not five times
+    // cache it so the explode+window runs once, not five times
     val kb = kyokusBase(parsed).cache()
     try {
       val dts = tables(parsed, kb)
@@ -154,12 +192,9 @@ object Pipeline {
         Future {
           dts(name)
             .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
-            // cluster rows by their target partition so each dt= dir gets
-            // one file instead of one per shuffle partition — at this
-            // scale the commit protocol (file moves) dominated the write.
-            // At 100 TB: repartition(col("dt"), col("game_id")) to spread
-            // a day across N files while keeping dt-local writes.
-            .repartition(col("dt"))
+            // no repartition here: tasks are already dt-clustered by the
+            // single upstream shuffle, so each dt= dir gets one file and
+            // the commit protocol stays off the profile
             .write.mode("overwrite").partitionBy("dt")
             .parquet(s"$outDir/$name")
         }
@@ -168,9 +203,14 @@ object Pipeline {
     } finally {
       parsed.unpersist()
       kb.unpersist()
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(key, x)
+        case None    => spark.conf.unset(key)
+      }
+      restore("spark.sql.sources.partitionOverwriteMode", prev)
+      if (smallInput) {
+        restore("spark.sql.codegen.wholeStage", prevCodegen)
+        restore("spark.sql.codegen.factoryMode", prevFactory)
       }
     }
   }
