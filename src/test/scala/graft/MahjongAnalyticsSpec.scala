@@ -21,26 +21,27 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
 
   test("win rate by rule flags") {
     val rows = MahjongAnalytics.winRateByRule(spark, dir).collect()
-    // fixtures: 4p aka game (1 kyoku, 1 win), 4p no-aka (2 kyokus, 0 wins),
-    // sanma (1 kyoku, 1 win)
-    assert(rows.map(_.getAs[Long]("kyokus")).sum == 4)
-    assert(rows.map(_.getAs[Long]("wins")).sum == 2)
-    val sanma = rows.filter(_.getAs[Boolean]("is_sanma")).head
-    assert(sanma.getAs[Double]("win_rate") == 1.0)
+    // fixtures: 4p aka game (1 kyoku, 1 win), 4p no-aka (2 kyokus,
+    // 0 wins), no-aka sanma (1 kyoku, 1 win), aka sanma (2 kyokus, 1 win)
+    assert(rows.map(_.getAs[Long]("kyokus")).sum == 6)
+    assert(rows.map(_.getAs[Long]("wins")).sum == 3)
+    val sanma = rows.filter(_.getAs[Boolean]("is_sanma"))
+      .map(_.getAs[Double]("win_rate")).sorted
+    assert(sanma.toSeq == Seq(0.5, 1.0))
   }
 
   test("yaku frequency explodes the nested struct list") {
     val rows = MahjongAnalytics.yakuFrequency(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("times"), r.getAs[Long]("total_han")))
       .toMap
-    assert(rows("ドラ") == (2L, 5L))      // 2 han + 3 han
+    assert(rows("ドラ") == (3L, 7L))      // 2 + 3 + 2 han
     assert(rows("立直") == (1L, 1L))
     assert(rows("天和") == (1L, 0L))      // yakuman rows carry han=0
   }
 
   test("score progression accumulates per player over kyokus") {
     val df = MahjongAnalytics.scoreProgression(spark, dir)
-    assert(df.count() == 16) // 4 kyokus x 4 seats
+    assert(df.count() == 24) // 6 kyokus x 4 seats
     val g2 = df.where(df("game_id") === "2024010101gm-0002" &&
                       df("player_index") === 2)
       .orderBy("id").collect().map(_.getAs[Long]("running_diff"))
@@ -61,8 +62,9 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
   test("player ranking aggregates places and points") {
     val rows = MahjongAnalytics.playerRanking(spark, dir).collect()
     // g1 contributes 4 named players, g3 (sanma) 3 — its 4th score row
-    // has no matching player name; g2 never reached owari
-    assert(rows.length == 7)
+    // has no matching player name; g2 never reached owari; g4 (sanma)
+    // adds 3 named seats plus the kept-empty n3="" seat
+    assert(rows.length == 11)
     val top = rows.head
     assert(top.getAs[String]("player_name") == "q") // +73.1 sanma winner
     assert(top.getAs[Long]("firsts") == 1L)
@@ -77,7 +79,7 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
         |JOIN rules r ON r.game_id = k.game_id
         |LEFT JOIN agaris a ON a.kyoku_id = k.id
         |GROUP BY r.is_sanma ORDER BY r.is_sanma""".stripMargin).collect()
-    assert(winRate.map(_.getAs[Long]("kyokus")).sum == 4)
+    assert(winRate.map(_.getAs[Long]("kyokus")).sum == 6)
     // codec UDFs resolve in the same session
     val tiles = spark.sql(
       "SELECT graft_tiles(array(0, 16), true) AS t").first().getString(0)
@@ -86,8 +88,12 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
 
   test("riichi outcomes join declarations to wins") {
     val rows = MahjongAnalytics.riichiOutcomes(spark, dir).collect()
-    assert(rows.length == 1)
-    assert(rows.head.getAs[Long]("riichis") == 1L)
-    assert(rows.head.getAs[Long]("riichi_wins") == 0L) // seat 2 declared, seat 0 won
+    // the * marker follows the next discard after REACH step 1
+    // (reference semantics): g1 -> seat 2's F41, g4 (sanma) -> seat 1's
+    // E58; neither declarer won
+    assert(rows.map(r => (r.getAs[Int]("player_index"),
+                          r.getAs[Long]("riichis"),
+                          r.getAs[Long]("riichi_wins"))).toSeq ==
+      Seq((1, 1L, 0L), (2, 1L, 0L)))
   }
 }

@@ -24,21 +24,22 @@ class PipelineSpec extends AnyFunSuite {
   private def table(name: String) = spark.read.parquet(s"$outDir/$name")
 
   test("all 9 tables written with expected row counts") {
-    assert(table("games").count() == 3)
-    assert(table("rules").count() == 3)
-    assert(table("game_players").count() == 11) // 4 + 4 + 3
-    assert(table("game_scores").count() == 8)   // 2 games ended
-    assert(table("kyokus").count() == 4)
-    assert(table("haipais").count() == 15)      // 4 + (4+4) + 3
-    assert(table("nagares").count() == 2)
-    assert(table("agaris").count() == 2)
+    assert(table("games").count() == 4)
+    assert(table("rules").count() == 4)
+    assert(table("game_players").count() == 15) // 4 + 4 + 3 + 4 (sanma n3="")
+    assert(table("game_scores").count() == 12)  // 3 games ended
+    assert(table("kyokus").count() == 6)
+    assert(table("haipais").count() == 21)      // 4 + (4+4) + 3 + (3+3 sanma)
+    assert(table("nagares").count() == 3)
+    assert(table("agaris").count() == 3)
     assert(table("actions").count() > 10)
   }
 
   test("hive partitioning by dt") {
     assert(Files.exists(Paths.get(s"$outDir/games/dt=2024-01-01")))
     assert(Files.exists(Paths.get(s"$outDir/games/dt=2024-01-02")))
-    assert(table("games").select("dt").distinct().count() == 2)
+    assert(Files.exists(Paths.get(s"$outDir/games/dt=2024-01-03")))
+    assert(table("games").select("dt").distinct().count() == 3)
   }
 
   test("kyoku ids follow days*100000 + seq per date, deterministically") {
