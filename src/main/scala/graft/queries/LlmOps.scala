@@ -127,9 +127,10 @@ object LlmOps {
     // self-join shuffle on `rep`; persist truncates the growing lineage.
     val bucketRep = bands.groupBy("band_id", "band_hash")
       .agg(min(col("doc_id")).as("bucket_min"))
-    var cur = bands.join(bucketRep, Seq("band_id", "band_hash"))
+    var cache = bands.join(bucketRep, Seq("band_id", "band_hash"))
       .groupBy("doc_id").agg(min(col("bucket_min")).as("rep"))
       .persist()
+    var cur = cache
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 16) {
@@ -139,12 +140,14 @@ object LlmOps {
         .select(col("doc_id"), col("rep"),
                 least(coalesce(col("rep2"), col("rep")), col("rep")).as("new_rep"))
         .persist()
-      changed = next.where(col("new_rep") =!= col("rep")).count()
-      val prev = cur
-      cur = next.select(col("doc_id"), col("new_rep").as("rep")).persist()
-      cur.count() // materialize before releasing parents
-      prev.unpersist()
-      next.unpersist()
+      // one action materializes the new cache AND reports convergence
+      changed = next
+        .agg(coalesce(sum(when(col("new_rep") =!= col("rep"), 1L)
+                            .otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      cache.unpersist()
+      cache = next
+      cur = next.select(col("doc_id"), col("new_rep").as("rep"))
       rounds += 1
     }
     cur

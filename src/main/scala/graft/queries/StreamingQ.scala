@@ -162,14 +162,35 @@ object StreamingQ {
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val ms = MemoryStream[Ev]
+      // checkpoint (offset/commit logs, state snapshots) on tmpfs when
+      // available: each micro-batch fsyncs the logs, and for a 3-batch
+      // semantics check those fsyncs dominate wall time. Real deployments
+      // point this at durable storage — the fixture needs determinism,
+      // not durability.
+      val ckptBase =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(ckptBase, s"graft_ckpt_${name}_")
       val q = build(ms.toDF())
         .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append).start()
       try {
         Seq(batch1, batch2, batch3).foreach { b =>
           ms.addData(b); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // the memory-sink table keeps the results; the checkpoint is scrap
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => }
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
