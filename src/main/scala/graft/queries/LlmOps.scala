@@ -661,6 +661,144 @@ object LlmOps {
     ).orderBy("doc_id")
   }
 
+  /** The composed training-data cleaning pipeline — the operators above
+    * chained the way a pretraining corpus build would run them:
+    * exact-dedup (canonical rep per content hash) → per-doc quality
+    * gate (token count, type-token ratio) → language ID → per
+    * (source, pred_lang) corpus profile. One DataFrame, fully oracled:
+    * every stage is exact arithmetic, so the whole chain hash-matches
+    * DuckDB. At 100 TB each stage keeps its own scale shape (hash
+    * groupBy; explode→agg; marker scoring) and Catalyst pipelines the
+    * narrow stages between the shuffles.
+    */
+  val qPipelineClean: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val canonical = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // per-doc stats in one typed pass: the declarative spelling
+    // (explode → groupBy with countDistinct + 5 marker sums) pays an
+    // expand ×2 on the token rows plus a token-level shuffle; a doc is
+    // a self-contained unit, so one kernel pass computes all of it with
+    // zero shuffle (the oracle keeps the declarative spelling)
+    val langs = LangMarkers.keys.toSeq.sorted
+    val markerSets = langs.map(l => LangMarkers(l).toSet)
+    val perDoc = docs.join(canonical, "doc_id")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val scores = new Array[Long](markerSets.length)
+        val seen = new java.util.HashSet[String]()
+        toks.foreach { t =>
+          seen.add(t)
+          var i = 0
+          while (i < markerSets.length) {
+            if (markerSets(i).contains(t)) scores(i) += 1
+            i += 1
+          }
+        }
+        val ttr =
+          if (toks.isEmpty) 0.0
+          else BigDecimal(seen.size.toDouble / toks.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var bestScore = -1L
+        var bestLang = "und"
+        var i = 0
+        while (i < scores.length) {
+          if (scores(i) > bestScore) { bestScore = scores(i); bestLang = langs(i) }
+          i += 1
+        }
+        (id, src, toks.length.toLong, ttr, bestLang)
+      }
+      .toDF("doc_id", "source", "n_tokens", "ttr", "pred_lang")
+    perDoc
+      .where(col("n_tokens").between(20, 1000) && col("ttr") >= 0.5)
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("source", "pred_lang")
+  }
+
+  val qPipelineCleanSql: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      s"SUM(CASE WHEN tok IN (${LangMarkers(l).map("'" + _ + "'").mkString(",")}) " +
+        s"THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n    ")
+    val gr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $gr THEN '$l'").mkString(" ")
+    s"""WITH canonical AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+       |), toks AS (
+       |  SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
+       |  FROM documents d JOIN canonical c ON c.doc_id = d.doc_id
+       |), per_doc AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_tokens,
+       |    ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr,
+       |    $scoreCols
+       |  FROM toks WHERE length(tok) > 0
+       |  GROUP BY doc_id, source
+       |), gated AS (
+       |  SELECT source, CASE $cases ELSE 'und' END AS pred_lang, n_tokens
+       |  FROM per_doc
+       |  WHERE n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.5
+       |)
+       |SELECT source, pred_lang, COUNT(*) AS docs,
+       |  SUM(n_tokens) AS total_tokens
+       |FROM gated GROUP BY source, pred_lang
+       |ORDER BY source, pred_lang""".stripMargin
+  }
+
+  /** k-NN join: for every probe vector (a deterministic 1-in-50 sample)
+    * the top-5 cosine neighbors. The per-probe top-k is a window rank
+    * over the candidate fanout — at scale the probes broadcast and the
+    * rank's partition key is the probe id, so candidate scoring is
+    * map-side and only k rows per probe survive to the shuffle. Ranked
+    * on the ROUNDED cosine (ties → vec_id asc) so ordering is
+    * engine-independent.
+    */
+  val qSimKnnJoin: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select("qid", "vec_id", "cos_sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  val qSimKnnJoinSql: String =
+    """WITH probes AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT p.qid, e.vec_id,
+      |    ROUND(
+      |      SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)) /
+      |      (sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) *
+      |       sqrt(SUM(CAST(p.qv[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)))), 6)
+      |      AS cos_sim
+      |  FROM embeddings e CROSS JOIN probes p,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id % 50 <> 0
+      |  GROUP BY p.qid, e.vec_id
+      |), ranked AS (
+      |  SELECT qid, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT qid, vec_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
@@ -677,7 +815,9 @@ object LlmOps {
     "q_text_tokens"      -> qTextTokens,
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
-    "q_text_fingerprint" -> qTextFingerprint
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_pipeline_clean"   -> qPipelineClean,
+    "q_sim_knn_join"     -> qSimKnnJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,6 +829,8 @@ object LlmOps {
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,
-    "q_dedup_jaccard" -> qDedupJaccardSql
+    "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_pipeline_clean" -> qPipelineCleanSql,
+    "q_sim_knn_join"   -> qSimKnnJoinSql
   )
 }
