@@ -115,7 +115,83 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** STUB resize kernel: deterministic byte downsample standing in for a
+    * real scaler (javax.imageio / libvips). Output length is exactly
+    * targetW×targetH so downstream size accounting is real.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val n = targetW * targetH
+    val out = new Array[Byte](n)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        out(i) = payload((i.toLong * payload.length / n).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Binary-in/binary-out partition-local transform: images are resized
+    * in place, other modalities pass through. Same batch discipline as
+    * extractFeatures — and the resized payload stays partition-local
+    * until a sink consumes it (no shuffle of binaries).
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // (real pipeline: allocate scaler context here, once per task)
+      rows.map { r =>
+        if (r.modality == "image")
+          r.copy(payload = resizeStub(r.payload, targetW, targetH),
+                 width = targetW, height = targetH)
+        else r
+      }
+    }
+  }
+
+  /** One sampled frame of a video blob. */
+  final case class FrameRow(media_id: Long, frame_idx: Int,
+                            frame_bytes: Long, frame_checksum: Long)
+
+  /** Frame sampling: 1→N row expansion, iterator-based so a long video
+    * never materializes all frames in memory at once. Every `stride`-th
+    * frame is emitted; frame payloads are summarized (bytes + checksum)
+    * immediately so, as everywhere else, no binary crosses a shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.modality == "video").flatMap { r =>
+        val (_, nFrames) = decodeStub(r.payload, r.modality)
+        // (real pipeline: demux/seek context allocated per blob here)
+        Iterator.range(0, nFrames, stride).map { idx =>
+          val frame = resizeStub(r.payload, 16, 16) // stand-in frame decode
+          var h = 1125899906842597L + idx
+          var i = 0
+          while (i < frame.length) { h = 31 * h + frame(i); i += 1 }
+          FrameRow(r.media_id, idx, frame.length.toLong, h)
+        }
+      }
+    }
+  }
+
+  /** Frame-sample pipeline: videos → every-30th frame → per-media frame
+    * stats. Rows-only + MultimodalSpec assertions (stride arithmetic,
+    * determinism).
+    */
+  val qMultimodalFrames: Q = (s, d) => {
+    sampleFrames(syntheticMedia(s, d), stride = 30)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("frame_bytes")).as("sampled_bytes"),
+           countDistinct(col("frame_checksum")).as("distinct_frames"))
+      .orderBy("media_id")
+  }
+
   val entries: Map[String, Q] = Map(
-    "q_multimodal_features" -> qMultimodalFeatures
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_frames"   -> qMultimodalFrames
   )
 }

@@ -34,4 +34,47 @@ class MultimodalSpec extends AnyFunSuite {
     val (_, vidFrames) = Multimodal.decodeStub("abc".getBytes, "video")
     assert(vidFrames >= 1 && vidFrames <= 120)
   }
+
+  test("resize rewrites image payloads to target dims, passes others through") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val resized = Multimodal.resizeImages(media, 32, 32).collect()
+    resized.foreach { r =>
+      if (r.modality == "image") {
+        assert(r.payload.length == 32 * 32)
+        assert(r.width == 32 && r.height == 32)
+      } else assert(r.payload.length > 0 && r.width == 64)
+    }
+    assert(resized.length == media.count())
+  }
+
+  test("frame sampling follows the stride and stays deterministic") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val frames = Multimodal.sampleFrames(media, stride = 30)
+      .orderBy("media_id", "frame_idx").collect().toSeq
+    assert(frames.nonEmpty)
+    // per-media: indices are 0, 30, 60... and count == ceil(n_frames/30)
+    val byMedia = frames.groupBy(_.media_id)
+    val nFrames = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.n_frames).toMap
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx) == (0 until nFrames(id) by 30))
+    }
+    // only videos contribute
+    val modalities = media.collect().map(m => m.media_id -> m.modality).toMap
+    assert(byMedia.keySet.forall(id => modalities(id) == "video"))
+    val again = Multimodal.sampleFrames(
+      Multimodal.syntheticMedia(spark, sf), stride = 30)
+      .orderBy("media_id", "frame_idx").collect().toSeq
+    assert(frames == again)
+  }
+
+  test("q_multimodal_frames aggregates per-media sampled stats") {
+    val rows = Multimodal.qMultimodalFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") >= 1)
+      assert(r.getAs[Long]("sampled_bytes") ==
+             r.getAs[Long]("n_sampled") * 256) // 16×16 stub frames
+    }
+  }
 }
