@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q_scan_pruned", "q_agg_group", "q_join_broadcast",
                          "q_topk_global", "q_join_multiway", "q_sim_topk",
-                         "q_join_asof_native", "q_headline_shipping")
+                         "q_join_asof_native", "q_headline_shipping",
+                         "q_sim_knn_join", "q_pipeline_clean")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
