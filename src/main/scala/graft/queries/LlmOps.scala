@@ -287,6 +287,15 @@ object LlmOps {
     * chunks (pigeonhole over 4 chunks ⇒ covers hamming ≤ 3 ≈ cosine ≥
     * ~0.95 at k=32), then the exact cosine (native expression) verifies.
     * No all-pairs pass — same linearity argument as text LSH.
+    *
+    * On the driver testdata this returns 0 rows AND THAT IS THE RIGHT
+    * ANSWER: the embeddings are independent random vectors with no
+    * planted near-identical pairs (measured max pairwise cosine 0.51 at
+    * sf0.01, 0.60 at sf0.1 — nowhere near the 0.95 dedup bar). The
+    * detection mechanism is verified by LlmOpsSpec, which plants a
+    * near-identical pair and asserts exactly it is found; lowering the
+    * threshold to force rows here would misstate what embedding dedup
+    * means.
     */
   val qDedupEmbed: Q = (s, d) => {
     import s.implicits._
