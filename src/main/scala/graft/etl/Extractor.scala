@@ -64,6 +64,44 @@ object Extractor {
   def extractLogIds(indexText: String): Seq[String] =
     HrefPattern.findAllMatchIn(indexText).map(_.group(1)).toSeq
 
+  /** Live HTTP transport (reference extractor.py:16,43,64 `requests.get`
+    * with a browser User-Agent): a JDK HttpClient closed over the two
+    * base URLs the reference hardcodes — archives resolve against
+    * `datBase` (reference DOWNLOAD_PREFIX) and `log/?<id>` paths against
+    * `logBase`. Returned function plugs straight into [[ingest]]'s
+    * `fetch` parameter; unit-tested end-to-end against a loopback HTTP
+    * server (ExtractorSpec).
+    */
+  def httpTransport(datBase: String, logBase: String,
+                    userAgent: String = "Mozilla/5.0 (graft-etl)")
+      : String => Array[Byte] = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    (path: String) => {
+      val url =
+        if (path.startsWith("http")) path
+        else if (path.startsWith("log/?")) logBase + path
+        else datBase + path
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("User-Agent", userAgent)
+        .timeout(java.time.Duration.ofSeconds(60))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() / 100 == 2,
+              s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
+    }
+  }
+
+  /** Fetch the archive listing itself (reference list.cgi GET) through
+    * the same transport semantics.
+    */
+  def fetchList(listUrl: String, fetch: String => Array[Byte]): String =
+    new String(fetch(listUrl), StandardCharsets.UTF_8)
+
   /** Full ingest: list → prune → fetch+gunzip each archive → extract log
     * ids → fetch each log → `<outDir>/<yyyymmdd>/<id>.xml`.
     * Returns the written file paths.

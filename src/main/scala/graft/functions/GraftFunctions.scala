@@ -47,7 +47,8 @@ object GraftFunctions {
   class MinhashMerge extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.empty
     def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = merge2(b, a)
-    def merge(x: Array[Long], y: Array[Long]): Array[Long] = merge2(x, y)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      merge2(x, scala.collection.immutable.ArraySeq.unsafeWrapArray(y))
     private def merge2(b: Array[Long], a: Seq[Long]): Array[Long] = {
       if (a == null || a.isEmpty) return b
       if (b.isEmpty) return a.toArray

@@ -73,4 +73,45 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(out, "20240102",
       "2024010201gm-c.xml")))
   }
+
+  test("live HTTP transport ingests from a loopback server") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenUA = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def reply(ex: HttpExchange, body: Array[Byte]): Unit = {
+      seenUA.add(ex.getRequestHeaders.getFirst("User-Agent"))
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    }
+    val idx = """<a href="log/?2024010100gm-h">x</a>"""
+    server.createContext("/list.cgi", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        reply(ex, """list([{file:"scc20240101.log.gz",size:1}]);""".getBytes)
+    })
+    server.createContext("/dat/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = reply(ex, gzip(idx))
+    })
+    server.createContext("/0/log/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val id = ex.getRequestURI.getQuery
+        reply(ex, s"<mjloggm ver='2.3'><!-- $id --></mjloggm>".getBytes)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetch = Extractor.httpTransport(
+        datBase = s"$base/dat/", logBase = s"$base/0/", userAgent = "graft-ua")
+      val listing = Extractor.fetchList(s"$base/list.cgi", fetch)
+      val out = Files.createTempDirectory("graft_http_").toString
+      val written = Extractor.ingest(listing, fetch, out)
+      assert(written.size == 1)
+      val f = java.nio.file.Paths.get(out, "20240101", "2024010100gm-h.xml")
+      assert(Files.exists(f))
+      assert(Files.readString(f).contains("2024010100gm-h"))
+      assert(seenUA.toArray.forall(_ == "graft-ua"))
+    } finally server.stop(0)
+  }
 }
