@@ -20,6 +20,24 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
+    // ...and the streaming machinery (incremental planner, state store,
+    // checkpoint log) — otherwise whichever MemoryStream semantics
+    // check runs first absorbs ~2 s of one-time init
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_benchwarm_")
+      val q = ms.toDF().groupBy("value").count()
+        .writeStream.format("memory").queryName("graft_bench_warm")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Complete).start()
+      ms.addData(1L, 2L)
+      q.processAllAvailable()
+      q.stop()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
