@@ -76,11 +76,16 @@ object Relational {
   val qSinkPartitioned: Q = (s, d) => {
     val tmp = scratchDir("sink", d)
     Tables.lineitem(s, d)
+      // project before the sink: the downstream aggregate reads 2 of 11
+      // columns, so only those (plus the salt source) are written —
+      // column pruning applies to sinks too, not just scans
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
       // (partition key, salt) split: each l_returnflag directory is
       // written by up to 8 tasks instead of 1 — 3 distinct flags would
       // otherwise serialize the whole table through 3 tasks at any
       // scale, while files-per-directory stays bounded at 8
       .repartition(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)))
+      .drop("l_orderkey")
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy("l_returnflag")
