@@ -28,13 +28,20 @@ object Bench {
       import org.apache.spark.sql.streaming.OutputMode
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val ms = MemoryStream[Long]
+      import org.apache.spark.sql.functions.{col, count, lit, window}
+      val ms = MemoryStream[java.sql.Timestamp]
       val ckpt = java.nio.file.Files.createTempDirectory("graft_benchwarm_")
-      val q = ms.toDF().groupBy("value").count()
+      // mirror the semantics checks' plan shape (watermark + windowed
+      // agg + append) so their codegen is already cached when timed
+      val q = ms.toDF().withColumnRenamed("value", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)))
         .writeStream.format("memory").queryName("graft_bench_warm")
         .option("checkpointLocation", ckpt.toString)
-        .outputMode(OutputMode.Complete).start()
-      ms.addData(1L, 2L)
+        .outputMode(OutputMode.Append).start()
+      ms.addData(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      ms.addData(java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => }
