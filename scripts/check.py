@@ -60,7 +60,7 @@ def main():
             pd.testing.assert_frame_equal(
                 actual.reset_index(drop=True),
                 expected.reset_index(drop=True),
-                check_dtype=False, check_exact=True)
+                check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(actual)} rows)")
             n_pass += 1
         except AssertionError as e:

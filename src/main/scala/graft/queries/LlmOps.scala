@@ -150,10 +150,17 @@ object LlmOps {
       cur = next.select(col("doc_id"), col("new_rep").as("rep"))
       rounds += 1
     }
-    cur
+    // materialize the (much smaller) duplicate set and cut the lineage so
+    // the loop's final cache can be freed now instead of leaking one
+    // corpus-sized cached dataset per invocation into the shared session;
+    // the localCheckpoint blocks are reclaimed by the ContextCleaner when
+    // the returned plan is dropped
+    val out = cur
       .select(col("doc_id"), col("rep").as("cluster_rep"))
       .where(col("doc_id") =!= col("cluster_rep"))
-      .orderBy("doc_id")
+      .localCheckpoint(true)
+    cache.unpersist()
+    out.orderBy("doc_id")
   }
 
   /** SimHash (64-bit) per document + near-dup pairs by Hamming distance.
@@ -257,19 +264,16 @@ object LlmOps {
       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
       |), grams AS (
       |  SELECT DISTINCT doc_id, source,
-      |    ts[i] || ' ' || ts[i+1] AS gram
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
       |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
       |  WHERE ts[i] IS NOT NULL AND length(ts[i]) > 0
       |    AND (len(ts) < 2 OR (ts[i+1] IS NOT NULL AND length(ts[i+1]) > 0))
-      |), grams2 AS (
-      |  SELECT doc_id, source,
-      |    CASE WHEN gram LIKE '% %' THEN gram ELSE gram END AS gram
-      |  FROM grams
       |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS n FROM grams2 GROUP BY doc_id
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      |  FROM grams2 a JOIN grams2 b
+      |  FROM grams a JOIN grams b
       |    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
       |)
@@ -755,7 +759,7 @@ object LlmOps {
        |  WHERE n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.5
        |)
        |SELECT source, pred_lang, COUNT(*) AS docs,
-       |  SUM(n_tokens) AS total_tokens
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM gated GROUP BY source, pred_lang
        |ORDER BY source, pred_lang""".stripMargin
   }
