@@ -15,7 +15,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths once so initialization
-    // cost doesn't land on whichever query happens to run first
+    // cost doesn't land on whichever query happens to run first; the
+    // warmup is timed separately and reported as warmup_sec so
+    // cross-round streaming deltas aren't confounded by one-time init
+    val warm0 = System.nanoTime()
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -45,6 +48,7 @@ object Bench {
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => }
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -54,7 +58,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)

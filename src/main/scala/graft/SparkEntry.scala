@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Extensions, Funcs, Headline, LlmOps, Multimodal,
-  Relational, StreamingQ, Windows}
+  Relational, Skew, StreamingQ, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.entries ++ Windows.entries ++ Funcs.entries ++
       LlmOps.entries ++ StreamingQ.entries ++ Multimodal.entries ++
-      Extensions.entries ++ Headline.entries
+      Extensions.entries ++ Headline.entries ++ Skew.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -33,5 +33,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
       LlmOps.oracles ++ StreamingQ.oracles ++ Extensions.oracles ++
-      Headline.oracles
+      Headline.oracles ++ Skew.oracles
 }

@@ -3,6 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+import util._
+
 /** Skew mitigation for equi-joins (SCALE.md "Joins"): when a handful of
   * hot keys dominate (the `events.user_id` shape — 15 distinct values),
   * a plain shuffle puts each hot key on one reducer. Salting fans each
@@ -50,4 +53,29 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Gate entry: salted join on the deliberately skewed key. `events`
+    * has 15 distinct `user_id` values over all its rows — the worst
+    * case for a plain shuffle join (15 reducers do all the work). The
+    * salted plan spreads each hot key over 8 sub-keys; the result is
+    * identical to the plain join, which is exactly what the DuckDB
+    * oracle runs.
+    */
+  val qJoinSkew: Q = (s, d) => {
+    val events = Tables.events(s, d)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    saltedJoin(events, cust, "user_id", "c_custkey", salts = 8)
+      .groupBy(col("user_id"), col("c_name"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val qJoinSkewSql: String =
+    """SELECT e.user_id, c.c_name, COUNT(*) AS n_events
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY e.user_id, c.c_name
+      |ORDER BY e.user_id""".stripMargin
+
+  val entries: Map[String, Q] = Map("q_join_skew" -> qJoinSkew)
+  val oracles: Map[String, String] = Map("q_join_skew" -> qJoinSkewSql)
 }
