@@ -64,6 +64,38 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bounded top-k by (score desc, id asc) as a typed Aggregator — the
+    * partial-aggregation form of a distributed top-k/kNN merge. Each
+    * map task reduces its scored stream to ≤k rows per group BEFORE
+    * the exchange (partial ObjectHashAggregate), so the shuffle
+    * carries at most k rows per (group, task) instead of the full
+    * candidate fanout — the property a kNN join needs to survive a
+    * candidate set that grows with the data.
+    *
+    * The comparator is total on (score, id) with unique ids, so
+    * reduce/merge are associative+commutative and the result is
+    * identical to a row_number() window over the same ordering.
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Double, Long)],
+                       a: (Double, Long)): Seq[(Double, Long)] =
+      if (b.length >= k && better(b.last, a)) b
+      else (b :+ a).sortWith(better).take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      insert(b, a)
+    def merge(x: Seq[(Double, Long)],
+              y: Seq[(Double, Long)]): Seq[(Double, Long)] = y.foldLeft(x)(insert)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Register every graft SQL function on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_tiles",

@@ -764,28 +764,58 @@ object LlmOps {
        |ORDER BY source, pred_lang""".stripMargin
   }
 
-  /** k-NN join: for every probe vector (a deterministic 1-in-50 sample)
-    * the top-5 cosine neighbors. The per-probe top-k is a window rank
-    * over the candidate fanout — at scale the probes broadcast and the
-    * rank's partition key is the probe id, so candidate scoring is
-    * map-side and only k rows per probe survive to the shuffle. Ranked
-    * on the ROUNDED cosine (ties → vec_id asc) so ordering is
-    * engine-independent.
+  /** Exact k-NN join: for every probe vector (a deterministic 1-in-50
+    * sample) the top-5 cosine neighbors. Exact kNN is inherently
+    * O(|cands|·|probes|) scoring — what must NOT grow with the data is
+    * (a) any single executor's memory and (b) the shuffle volume after
+    * scoring. Shape:
+    *
+    *  - block-partitioned pair generation: candidates take a uniform
+    *    block id (`vec_id % KnnBlocks`), probes replicate once per
+    *    block, and the pair space is an EQUI-join on the block id — no
+    *    O(N) broadcast anywhere (the old spelling broadcast the probe
+    *    table, which grows linearly with the data). Locally Catalyst
+    *    still picks a broadcast-hash join because the replicated probe
+    *    side is tiny — that is the optimizer's size-based call, not a
+    *    hint; past the threshold AQE plans a sort-merge join whose
+    *    per-key probe buffer is spillable. `KnnBlocks` bounds the join
+    *    parallelism — at 1000 executors raise it (or derive it from
+    *    `spark.sparkContext.defaultParallelism`).
+    *  - map-side partial top-k: the per-probe top-5 is a typed
+    *    Aggregator ([[GraftFunctions.TopKByScore]]), not a window
+    *    rank, so each task reduces its scored stream to ≤5 rows per
+    *    probe BEFORE the exchange; the post-scoring shuffle carries
+    *    O(probes·k) per task, never the full fanout.
+    *
+    * Ranked on the ROUNDED cosine (ties → vec_id asc) so ordering is
+    * engine-independent; the DuckDB oracle computes the same join
+    * exhaustively. The approximate path that also prunes the SCORING
+    * cost is [[qSimKnnJoinIvf]].
     */
+  val KnnBlocks = 32
+
+  private def topkExplode(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.GraftFunctions.TopKByScore(k))
+    scored.groupBy("qid")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("vec_id"),
+              col("col._1").as("cos_sim"),
+              (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   val qSimKnnJoin: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val probes = emb.where(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
-      .crossJoin(broadcast(probes))
+      .withColumn("blk", explode(sequence(lit(0), lit(KnnBlocks - 1))))
+    val cands = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+      .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks)).cast("int"))
+    val scored = cands.join(probes, "blk")
       .select(col("qid"), col("vec_id"),
               round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 5)
-      .select("qid", "vec_id", "cos_sim", "rnk")
-      .orderBy("qid", "rnk")
+    topkExplode(scored, 5)
   }
 
   val qSimKnnJoinSql: String =
@@ -812,6 +842,111 @@ object LlmOps {
       |SELECT qid, vec_id, cos_sim, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** IVF-bucketed approximate k-NN join — the 100 TB path that prunes
+    * the SCORING cost, not just the memory shape: candidates are
+    * assigned to their nearest of `IvfNlist` centroid buckets, each
+    * probe scores only its `IvfNprobe` nearest buckets, and the
+    * candidate⋈probe pair space is an EQUI-join on the bucket id
+    * (nprobe/nlist of the exact join's pair count; at scale the bucket
+    * id doubles as the physical partitioning key, so a probe's tasks
+    * read nprobe buckets, not the table).
+    *
+    * Everything is deterministic arithmetic — centroids are the fixed
+    * rows vec_id 1..nlist, distances are ROUNDED cosines with cid-asc
+    * tie-breaks — so unlike most ANN operators this one is fully
+    * DuckDB-oracled (the oracle replays the same assignment, probing
+    * and ranking in SQL). Recall-vs-exact is asserted separately in
+    * LlmOpsSpec.
+    *
+    * Scale notes: the only broadcast is the nlist-row centroid table
+    * (constant-sized); the nearest-centroid argmax is a max(struct)
+    * aggregation, which partial-combines map-side to one row per
+    * vector (the ×nlist fanout never reaches an exchange); the final
+    * per-probe top-5 is the same map-side-partial
+    * [[GraftFunctions.TopKByScore]] as the exact join.
+    */
+  val IvfNlist  = 16
+  val IvfNprobe = 4
+
+  val qSimKnnJoinIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.where(col("vec_id").between(1, IvfNlist))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probes = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+    // candidate → nearest centroid: argmax over a constant-sized
+    // broadcast via max(struct(dist, -cid)) — partial-aggregates
+    // map-side, so the ×nlist fanout collapses before any shuffle
+    val assigned = cands.crossJoin(broadcast(cents))
+      .withColumn("cdist", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdist"), negate(col("cid")).as("ncid"))).as("best"),
+           first(col("embedding")).as("embedding"))
+      .select(negate(col("best.ncid")).as("cid"), col("vec_id"), col("embedding"))
+    // probe → its nprobe nearest buckets (same bounded top-k shape)
+    val probeDists = probes.crossJoin(broadcast(cents))
+      .select(col("qid").as("p_qid"), col("cid").as("p_cid"),
+              round(cosine(col("qv"), col("cv")), 6).as("qdist"))
+    val topn = udaf(new graft.functions.GraftFunctions.TopKByScore(IvfNprobe))
+    val probed = probeDists.groupBy("p_qid")
+      .agg(topn(col("qdist"), col("p_cid")).as("top"))
+      .select(col("p_qid").as("qid"), explode(col("top._2")).as("cid"))
+      .join(probes, "qid")
+    val scored = assigned.join(probed, "cid")
+      .select(col("qid"), col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+    topkExplode(scored, 5)
+  }
+
+  private def duckCos(a: String, b: String): String =
+    s"ROUND(SUM(CAST($a[idx.i] AS DOUBLE) * CAST($b[idx.i] AS DOUBLE)) / " +
+      s"(sqrt(SUM(CAST($a[idx.i] AS DOUBLE) * CAST($a[idx.i] AS DOUBLE))) * " +
+      s"sqrt(SUM(CAST($b[idx.i] AS DOUBLE) * CAST($b[idx.i] AS DOUBLE)))), 6)"
+
+  val qSimKnnJoinIvfSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |cents AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND $IvfNlist
+      |), probes AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |), cands AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+      |), cdist AS (
+      |  SELECT c.vec_id, ct.cid, ${duckCos("c.embedding", "ct.cv")} AS cdist
+      |  FROM cands c CROSS JOIN cents ct, idx
+      |  GROUP BY c.vec_id, ct.cid
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cdist DESC, cid ASC) AS rn
+      |    FROM cdist) WHERE rn = 1
+      |), qdist AS (
+      |  SELECT p.qid, ct.cid, ${duckCos("p.qv", "ct.cv")} AS qdist
+      |  FROM probes p CROSS JOIN cents ct, idx
+      |  GROUP BY p.qid, ct.cid
+      |), probed AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (
+      |      PARTITION BY qid ORDER BY qdist DESC, cid ASC) AS rn
+      |    FROM qdist) WHERE rn <= $IvfNprobe
+      |), scored AS (
+      |  SELECT pr.qid, a.vec_id, ${duckCos("e.embedding", "p.qv")} AS cos_sim
+      |  FROM probed pr
+      |  JOIN assigned a ON a.cid = pr.cid
+      |  JOIN probes p ON p.qid = pr.qid
+      |  JOIN cands e ON e.vec_id = a.vec_id, idx
+      |  GROUP BY pr.qid, a.vec_id
+      |), ranked AS (
+      |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT qid, vec_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
@@ -830,7 +965,8 @@ object LlmOps {
     "q_text_langid"      -> qTextLangid,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_pipeline_clean"   -> qPipelineClean,
-    "q_sim_knn_join"     -> qSimKnnJoin
+    "q_sim_knn_join"     -> qSimKnnJoin,
+    "q_sim_knn_join_ivf" -> qSimKnnJoinIvf
   )
 
   val oracles: Map[String, String] = Map(
@@ -844,6 +980,7 @@ object LlmOps {
     "q_text_langid"   -> qTextLangidSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
-    "q_sim_knn_join"   -> qSimKnnJoinSql
+    "q_sim_knn_join"   -> qSimKnnJoinSql,
+    "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql
   )
 }

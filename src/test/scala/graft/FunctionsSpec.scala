@@ -50,4 +50,32 @@ class FunctionsSpec extends AnyFunSuite {
         |FROM li_udaf""".stripMargin).first().getDouble(0)
     assert(got == want) // bit-identical by construction
   }
+
+  test("top-k aggregator matches a row_number window over the same order") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ties on score (groups a and b share score 5.0 across ids) exercise
+    // the id-asc tie-break; k larger than group c's size exercises finish
+    // on a short buffer
+    val df = Seq(
+      ("a", 5.0, 10L), ("a", 5.0, 3L), ("a", 7.0, 8L), ("a", 1.0, 1L),
+      ("a", 7.0, 2L), ("b", 5.0, 4L), ("b", 5.0, 9L), ("b", 6.0, 7L),
+      ("c", 2.0, 5L)
+    ).toDF("g", "score", "id")
+    val topk = udaf(new GraftFunctions.TopKByScore(3))
+    val got = df.groupBy("g")
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col._2").as("id"), col("col._1").as("score"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+                           r.getLong(3))).sorted.toSeq
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(1),
+                           r.getInt(3).toLong)).sorted.toSeq
+    assert(got == want)
+  }
 }

@@ -122,6 +122,18 @@ class LlmOpsSpec extends AnyFunSuite {
            s"recall too low: ${(exact & approx).size}/10")
   }
 
+  test("IVF kNN join recalls most exact top-5 neighbors per probe") {
+    def byProbe(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact  = byProbe(LlmOps.qSimKnnJoin(spark, sf).collect())
+    val approx = byProbe(LlmOps.qSimKnnJoinIvf(spark, sf).collect())
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    val recall = exact.map { case (q, e) =>
+      (e & approx(q)).size.toDouble / e.size }.sum / exact.size
+    assert(recall >= 0.3, f"mean recall@5 too low: $recall%.2f")
+  }
+
   test("language id emits a known code per document") {
     val langs = LlmOps.qTextLangid(spark, sf).select("pred_lang")
       .distinct().collect().map(_.getString(0)).toSet
