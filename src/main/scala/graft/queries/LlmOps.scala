@@ -299,7 +299,9 @@ object LlmOps {
     * detection mechanism is verified by LlmOpsSpec, which plants a
     * near-identical pair and asserts exactly it is found; lowering the
     * threshold to force rows here would misstate what embedding dedup
-    * means.
+    * means. The claim that 0 is correct is itself driver-checked:
+    * [[qDedupEmbedStats]] is the oracled, always-non-empty companion
+    * that measures the pairwise-cosine distribution this scaladoc cites.
     */
   val qDedupEmbed: Q = (s, d) => {
     import s.implicits._
@@ -351,6 +353,52 @@ object LlmOps {
       .where(col("cos_sim") >= 0.95)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Pairwise-cosine distribution over the 1-in-10 sample — the oracled
+    * evidence behind [[qDedupEmbed]]'s documented-correct 0 rows (max
+    * pairwise cosine far below the 0.95 dedup bar). All-pairs over a
+    * sample is inherently quadratic, so the pair space is generated the
+    * same way as [[qSimKnnJoin]]'s: one side takes a uniform block id,
+    * the other replicates once per block, and the pairing is an
+    * EQUI-join on the block id (each unordered pair meets exactly once,
+    * in the left row's block) — no cartesian, no forced broadcast. The
+    * mean uses an exact DECIMAL(18,6) sum of the 6-dp-rounded cosines so
+    * Spark and DuckDB agree bit-for-bit regardless of addition order.
+    */
+  val qDedupEmbedStats: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val a = emb
+      .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks)).cast("int"))
+      .select(col("blk"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb
+      .withColumn("blk", explode(sequence(lit(0), lit(KnnBlocks - 1))))
+      .select(col("blk"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
+      .select(round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .agg(count(lit(1)).as("n_pairs"),
+           max(col("cos_sim")).as("max_cos"),
+           (sum(col("cos_sim").cast(DecimalType(18, 6))).cast("double") /
+             count(lit(1))).as("mean_cos"))
+  }
+
+  val qDedupEmbedStatsSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+      |    SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY a.vec_id, b.vec_id
+      |), c AS (
+      |  SELECT ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM p
+      |)
+      |SELECT COUNT(*) AS n_pairs, MAX(cos_sim) AS max_cos,
+      |       CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_cos
+      |FROM c""".stripMargin
 
   // ---------------------------------------------------------- similarity
 
@@ -955,6 +1003,7 @@ object LlmOps {
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_dedup_jaccard"    -> qDedupJaccard,
     "q_dedup_embed"      -> qDedupEmbed,
+    "q_dedup_embed_stats" -> qDedupEmbedStats,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
@@ -981,6 +1030,7 @@ object LlmOps {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
-    "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql
+    "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
+    "q_dedup_embed_stats" -> qDedupEmbedStatsSql
   )
 }
