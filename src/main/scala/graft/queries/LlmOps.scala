@@ -700,26 +700,81 @@ object LlmOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  /** Rolling-hash document fingerprint (winnowing-style: polynomial
-    * rolling hash over the token stream, keep the max hash per window of
-    * 4). Deterministic; rows-only + unit test. No DuckDB oracle is
-    * possible: the hash is Spark's xxhash64 (seed 42, Spark-specific
-    * type-tagged preimage), which DuckDB's hash()/xxhash cannot
-    * reproduce — re-spelling would mean re-implementing Spark's hash in
-    * SQL, which verifies nothing.
+  /** Winnowing-style document fingerprint: xxhash64 per token, max hash
+    * per sliding window of [[FingerprintWindow]], fingerprint = xxhash64
+    * over the distinct selected hashes. Deterministic; rows-only + unit
+    * test. No DuckDB oracle is possible: the hash is Spark's xxhash64
+    * (seed 42, Spark-specific type-tagged preimage), which DuckDB's
+    * hash()/xxhash cannot reproduce — re-spelling would mean
+    * re-implementing Spark's hash in SQL, which verifies nothing.
+    *
+    * Runs as a typed per-row kernel ([[fingerprintKernel]]), not nested
+    * HOF expressions: the previous transform-over-sequence spelling
+    * re-evaluated the token-hash array once per window position under
+    * Catalyst's project collapsing — O(tokens²) per row, the same
+    * recomputation class that cost 288 s on the pre-kernel minhash.
+    * LlmOpsSpec pins the kernel bit-identical to the expression form.
     */
+  val FingerprintWindow = 4
+
+  /** One O(tokens) pass: token hashes via XXH64.hashUTF8String (exactly
+    * what the xxhash64 function evaluates), window max via a monotonic
+    * deque (window-size-independent cost), first-occurrence dedup, and
+    * the same skip-null seed-42 long fold Spark's HashExpression applies
+    * to an array<bigint>. Returns (fingerprint, n_selected).
+    */
+  private[graft] def fingerprintKernel(text: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val seed = 42L
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    // empty token stream: the expression form yields wins = [null];
+    // hashing skips null elements, so the fold stays at the seed
+    if (n == 0) return (seed, 1L)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed)
+      i += 1
+    }
+    val w = FingerprintWindow
+    val selected =
+      if (n < w) Array(hashes.max)
+      else {
+        val out = new Array[Long](n - w + 1)
+        val dq = new Array[Int](n) // monotonic deque of candidate indices
+        var head = 0
+        var tail = 0
+        var j = 0
+        while (j < n) {
+          while (tail > head && hashes(dq(tail - 1)) <= hashes(j)) tail -= 1
+          dq(tail) = j
+          tail += 1
+          if (dq(head) <= j - w) head += 1
+          if (j >= w - 1) out(j - w + 1) = hashes(dq(head))
+          j += 1
+        }
+        out
+      }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    selected.foreach(seen.add(_))
+    var fp = seed
+    val it = seen.iterator()
+    while (it.hasNext) fp = XXH64.hashLong(it.next(), fp)
+    (fp, seen.size.toLong)
+  }
+
   val qTextFingerprint: Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    val wins = when(n < 4, array(array_max(hashes)))
-      .otherwise(transform(sequence(lit(0), n - 4),
-        i => array_max(slice(hashes, i + 1, lit(4)))))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      xxhash64(array_distinct(wins)).as("fingerprint"),
-      size(array_distinct(wins)).cast("long").as("n_selected")
-    ).orderBy("doc_id")
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (fp, k) = fingerprintKernel(text)
+        (id, fp, k)
+      }
+      .toDF("doc_id", "fingerprint", "n_selected")
+      .orderBy("doc_id")
   }
 
   /** The composed training-data cleaning pipeline — the operators above

@@ -140,6 +140,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
   }
 
+  test("fingerprint kernel is bit-identical to the HOF expression form") {
+    // the reference semantics the kernel replaced (kept here, not in
+    // main code, as the executable spec of fingerprintKernel)
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(hashes)
+    val wins = when(n < 4, array(array_max(hashes)))
+      .otherwise(transform(sequence(lit(0), n - 4),
+        i => array_max(slice(hashes, i + 1, lit(4)))))
+    val want = Tables.documents(spark, sf).select(
+        col("doc_id"),
+        xxhash64(array_distinct(wins)).as("fingerprint"),
+        size(array_distinct(wins)).cast("long").as("n_selected"))
+      .orderBy("doc_id").collect().toSeq
+    val got = LlmOps.qTextFingerprint(spark, sf).collect().toSeq
+    assert(got == want)
+    // edge shapes the testdata may not contain: empty, short, ties
+    assert(LlmOps.fingerprintKernel("") == (42L, 1L))
+    assert(LlmOps.fingerprintKernel("a b")._2 == 1L)
+    assert(LlmOps.fingerprintKernel("x x x x x x")._2 == 1L)
+  }
+
   test("fingerprints are deterministic and mostly distinct") {
     val a = LlmOps.qTextFingerprint(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
