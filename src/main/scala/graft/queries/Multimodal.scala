@@ -10,12 +10,15 @@ import util._
   * video ride along as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs as partition-local batch transforms.
   *
-  * The decode kernels themselves are STUBS — this container has no image
-  * or audio libraries, so `decodeStub` derives deterministic fake
-  * features from the payload bytes. Everything around them is real and
-  * tested: the schema, the mapPartitions batch shape (the Scala analog
-  * of mapInPandas: one iterator per partition, amortizing per-batch
-  * setup), and the partitioning strategy.
+  * The IMAGE path is real end to end: `syntheticMedia` emits genuine
+  * PNG blobs, `decodeImage` reads them with javax.imageio and computes
+  * the true pixel mean, and `resizeImage` decodes → rescales →
+  * re-encodes. Audio and video kernels remain STUBS (`decodeStub` —
+  * this container has no audio/video codecs) deriving deterministic
+  * fake features from the payload bytes. Everything around both paths
+  * is real and tested: the schema, the mapPartitions batch shape (the
+  * Scala analog of mapInPandas: one iterator per partition, amortizing
+  * per-batch setup), and the partitioning strategy.
   *
   * Scale notes (100 TB of media):
   *  - binaries never shuffle: metadata extraction projects features
@@ -39,8 +42,64 @@ object Multimodal {
                                  n_bytes: Long, checksum: Long,
                                  mean_intensity: Double, n_frames: Int)
 
-  /** STUB decode kernel: a real implementation would hand `payload` to
-    * javax.imageio / a JNI codec here. The fake is deterministic in the
+  // javax.imageio would otherwise spool through temp files per blob —
+  // pure in-memory codec work is what an executor task wants
+  private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Deterministic 8-bit grayscale PNG — a real, decodable image whose
+    * pixels derive from (docId, pixel index) so every run and every
+    * engine sees the same bytes.
+    */
+  private[graft] def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+    require(imageIoReady)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mix = docId * 6364136223846793005L +
+          (y.toLong * w + x) * 1442695040888963407L
+        raster.setSample(x, y, 0, ((mix >>> 33) & 0xFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: javax.imageio parses the blob; mean intensity is
+    * the true mean over every pixel sample of every band, scaled to
+    * [0, 1]. One frame by definition of a still image.
+    */
+  def decodeImage(payload: Array[Byte]): (Double, Int) = {
+    require(imageIoReady)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (sum.toDouble / (w.toLong * h * bands) / 255.0, 1)
+  }
+
+  /** STUB decode kernel for audio/video: a real implementation would
+    * hand `payload` to a codec here. The fake is deterministic in the
     * payload bytes so tests are stable.
     */
   def decodeStub(payload: Array[Byte], modality: String): (Double, Int) = {
@@ -76,28 +135,35 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // (real pipeline: allocate decoder context here, once per task)
+      // (audio/video pipeline: allocate codec context here, once per task)
       rows.map { r =>
-        val (mean, frames) = decodeStub(r.payload, r.modality)
+        val (mean, frames) =
+          if (r.modality == "image") decodeImage(r.payload)
+          else decodeStub(r.payload, r.modality)
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
                       checksum(r.payload), mean, frames)
       }
     }
   }
 
-  /** Deterministic synthetic media table built from `documents` text
-    * bytes — stands in for a real blob column in the driver testdata.
+  /** Deterministic synthetic media table built from `documents` — stands
+    * in for a real blob column in the driver testdata. Image rows carry
+    * genuine 64×64 grayscale PNGs (seeded by doc_id); audio/video rows
+    * carry the document's text bytes as an opaque stand-in payload.
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("m"))
       .map { r =>
-        val modality = r.getLong(2) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        r.getLong(2) match {
+          case 0 => MediaRow(r.getLong(0), "image", pngBytes(r.getLong(0), 64, 64),
+                             width = 64, height = 64, sample_rate = 0)
+          case 1 => MediaRow(r.getLong(0), "audio", r.getString(1).getBytes("UTF-8"),
+                             width = 0, height = 0, sample_rate = 16000)
+          case _ => MediaRow(r.getLong(0), "video", r.getString(1).getBytes("UTF-8"),
+                             width = 64, height = 64, sample_rate = 16000)
         }
-        MediaRow(r.getLong(0), modality, r.getString(1).getBytes("UTF-8"),
-                 width = 64, height = 64, sample_rate = 16000)
       }
   }
 
@@ -115,8 +181,28 @@ object Multimodal {
       .orderBy("modality")
   }
 
-  /** STUB resize kernel: deterministic byte downsample standing in for a
-    * real scaler (javax.imageio / libvips). Output length is exactly
+  /** REAL image resize: decode with javax.imageio, repaint onto a
+    * target-sized canvas with bilinear interpolation, re-encode as PNG.
+    * The output is a decodable image of exactly the target dimensions.
+    */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(imageIoReady)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val dst = new java.awt.image.BufferedImage(targetW, targetH, src.getType)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB resize kernel for the video frame path: deterministic byte
+    * downsample standing in for a real scaler. Output length is exactly
     * targetW×targetH so downstream size accounting is real.
     */
   def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
@@ -141,10 +227,9 @@ object Multimodal {
       : Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // (real pipeline: allocate scaler context here, once per task)
       rows.map { r =>
         if (r.modality == "image")
-          r.copy(payload = resizeStub(r.payload, targetW, targetH),
+          r.copy(payload = resizeImage(r.payload, targetW, targetH),
                  width = targetW, height = targetH)
         else r
       }

@@ -29,20 +29,37 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("decode stub honors modality frame semantics") {
-    val (_, imgFrames) = Multimodal.decodeStub("abc".getBytes, "image")
-    assert(imgFrames == 1)
     val (_, vidFrames) = Multimodal.decodeStub("abc".getBytes, "video")
     assert(vidFrames >= 1 && vidFrames <= 120)
   }
 
-  test("resize rewrites image payloads to target dims, passes others through") {
+  test("image decode reads real pixels: known uniform PNG, known mean") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) img.getRaster.setSample(x, y, 0, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (mean, frames) = Multimodal.decodeImage(bos.toByteArray)
+    assert(mean == 100.0 / 255.0 && frames == 1)
+    // and the synthetic corpus blobs are themselves real images
+    val blob = Multimodal.pngBytes(7L, 64, 64)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    assert(decoded.getWidth == 64 && decoded.getHeight == 64)
+    val (m, _) = Multimodal.decodeImage(blob)
+    assert(m > 0.0 && m < 1.0) // hash-mixed pixels, nowhere near uniform
+  }
+
+  test("resize re-encodes images at target dims, passes others through") {
     val media = Multimodal.syntheticMedia(spark, sf)
     val resized = Multimodal.resizeImages(media, 32, 32).collect()
     resized.foreach { r =>
       if (r.modality == "image") {
-        assert(r.payload.length == 32 * 32)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        assert(img.getWidth == 32 && img.getHeight == 32)
         assert(r.width == 32 && r.height == 32)
-      } else assert(r.payload.length > 0 && r.width == 64)
+      } else assert(r.payload.length > 0 && (r.width == 0 || r.width == 64))
     }
     assert(resized.length == media.count())
   }
