@@ -261,14 +261,15 @@ object LlmOps {
 
   val qDedupJaccardSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
       |), grams AS (
       |  SELECT DISTINCT doc_id, source,
       |    CASE WHEN len(ts) < 2 THEN ts[i]
       |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
       |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
-      |  WHERE ts[i] IS NOT NULL AND length(ts[i]) > 0
-      |    AND (len(ts) < 2 OR (ts[i+1] IS NOT NULL AND length(ts[i+1]) > 0))
+      |  WHERE len(ts) >= 1
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
       |), inter AS (
