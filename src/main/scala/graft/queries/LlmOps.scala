@@ -229,12 +229,7 @@ object LlmOps {
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, src, text) =>
-        val toks = text.split(" ").filter(_.nonEmpty)
-        val gs =
-          if (toks.length == 0) Iterator.empty
-          else if (toks.length == 1) Iterator.single(toks(0))
-          else toks.sliding(2).map(_.mkString(" "))
-        gs.toArray.distinct.map(g => (id, src, g))
+        twoGrams(text).map(g => (id, src, g))
       }
       .toDF("doc_id", "source", "gram")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -284,6 +279,108 @@ object LlmOps {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 2-gram kernel shared by the exact jaccard stage and the chained
+    * LSH→verify operator: all token 2-grams (or the lone token for
+    * 1-token docs), distinct within doc.
+    */
+  private[graft] def twoGrams(text: String): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val gs =
+      if (toks.length == 0) Iterator.empty
+      else if (toks.length == 1) Iterator.single(toks(0))
+      else toks.sliding(2).map(_.mkString(" "))
+    gs.toArray.distinct
+  }
+
+  /** The 100 TB near-dup operator: MinHash-LSH candidate generation
+    * CHAINED into the exact 2-gram jaccard verify — the composition the
+    * [[qDedupJaccard]] scaladoc describes ("at scale the self-join runs
+    * only on LSH candidates") as one executable, gated pipeline.
+    *
+    * Stage 1 reuses [[minhashBands]]: a pair becomes a candidate iff the
+    * docs agree on at least one of the 16 bands — a self-equi-join on
+    * (band_id, band_hash), shuffle ∝ n·bands, never all-pairs. Stage 2
+    * scores ONLY the candidates: each (doc_a, doc_b) pair joins its
+    * 2-gram sets through two equi-joins (explode a's grams, match b's on
+    * (doc_b, gram)), so the verify cost is candidates × grams-per-doc —
+    * independent of corpus size for a fixed near-dup rate. No stage
+    * touches the n² pair space.
+    *
+    * Oracled at threshold 0.5: DuckDB replays the FULL corpus-wide exact
+    * jaccard and thresholds it; the hash-pass therefore proves, not
+    * assumes, that LSH recall at 0.5 is exactly 1 on this corpus (the
+    * band-collision probability at j=0.5's implied shingle similarity is
+    * 1-(1-s⁴)¹⁶; the corpus' qualifying pairs all sit at j ≥ 0.8 where
+    * a miss is ~impossible, and the driver gate re-proves it every run).
+    * LlmOpsSpec additionally plants near-dups and asserts chained ==
+    * full-restricted on them.
+    */
+  val qDedupLshVerify: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bands = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        minhashBands(text).zipWithIndex.map { case (h, b) => (id, b, h) }
+      }
+      .toDF("doc_id", "band_id", "band_hash")
+    val cand = bands.alias("a")
+      .join(bands.hint("shuffle_hash").alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => twoGrams(text).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram"))
+              .hint("shuffle_hash"),
+            Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              round(col("inter").cast("double") /
+                    (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Full corpus-wide exact jaccard at the same threshold — the oracle
+    * deliberately does NOT know about LSH, so a hash-pass certifies the
+    * chained pipeline loses nothing at this threshold.
+    */
+  val qDedupLshVerifySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Embedding-cosine near-dup: random-hyperplane LSH (SimHash for
@@ -1058,6 +1155,7 @@ object LlmOps {
     "q_dedup_near"       -> qDedupNear,
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_dedup_jaccard"    -> qDedupJaccard,
+    "q_dedup_lsh_verify" -> qDedupLshVerify,
     "q_dedup_embed"      -> qDedupEmbed,
     "q_dedup_embed_stats" -> qDedupEmbedStats,
     "q_sim_topk"         -> qSimTopk,
@@ -1084,6 +1182,7 @@ object LlmOps {
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,

@@ -94,6 +94,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("chained LSH→verify equals full exact jaccard on planted corpus") {
+    // brute-force exact jaccard over all pairs (tiny corpus) — what the
+    // chained operator must reproduce at threshold 0.5 if LSH candidate
+    // generation has full recall on the qualifying pairs
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val gramSets = docs.map { case (id, t) => id -> LlmOps.twoGrams(t).toSet }
+    val full = (for {
+      i <- gramSets.indices; j <- i + 1 until gramSets.length
+      (ia, sa) = gramSets(i); (ib, sb) = gramSets(j)
+      jac = (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= 0.5
+    } yield (ia, ib, math.rint(jac * 1e6) / 1e6)).toSet
+    assert(full == Set((0L, 1L, 0.933333), (0L, 2L, 1.0), (1L, 2L, 0.933333)),
+           s"fixture drifted: $full")
+    val chained = LlmOps.qDedupLshVerify(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    assert(chained == full, s"chained=$chained full=$full")
+  }
+
   test("embedding LSH finds planted near-identical vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
