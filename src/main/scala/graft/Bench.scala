@@ -49,16 +49,26 @@ object Bench {
       q.stop()
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
+    // median-of-3 per query: a single timing on this VM varies ±15%
+    // run-to-run and one outlier run inflated q_dedup_jaccard 5× in
+    // round 5 — the median is the reported figure, the min is kept
+    // alongside as the noise floor. REPS=1 restores single-shot mode.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)

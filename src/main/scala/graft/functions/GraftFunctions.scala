@@ -74,7 +74,11 @@ object GraftFunctions {
     *
     * The comparator is total on (score, id) with unique ids, so
     * reduce/merge are associative+commutative and the result is
-    * identical to a row_number() window over the same ordering.
+    * identical to a row_number() window over the same ordering. A NaN
+    * score (e.g. cosine of a zero-norm vector) would break that
+    * totality — better() answers false both ways and the sort order
+    * becomes undefined — so NaN rows are dropped at insert, which is
+    * also what the row_number-over-DESC oracle shape does with NULLs.
     */
   class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -82,7 +86,8 @@ object GraftFunctions {
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     private def insert(b: Seq[(Double, Long)],
                        a: (Double, Long)): Seq[(Double, Long)] =
-      if (b.length >= k && better(b.last, a)) b
+      if (a._1.isNaN) b
+      else if (b.length >= k && better(b.last, a)) b
       else (b :+ a).sortWith(better).take(k)
     def zero: Seq[(Double, Long)] = Seq.empty
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =

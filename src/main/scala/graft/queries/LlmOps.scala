@@ -452,26 +452,36 @@ object LlmOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Pairwise-cosine distribution over the 1-in-10 sample — the oracled
+  /** Pairwise-cosine distribution over a BOUNDED sample — the oracled
     * evidence behind [[qDedupEmbed]]'s documented-correct 0 rows (max
     * pairwise cosine far below the 0.95 dedup bar). All-pairs over a
-    * sample is inherently quadratic, so the pair space is generated the
-    * same way as [[qSimKnnJoin]]'s: one side takes a uniform block id,
-    * the other replicates once per block, and the pairing is an
+    * sample is inherently quadratic, so two bounds apply: (1) the
+    * sample modulus derives from the corpus row count (targeting ~200
+    * vectors ⇒ ~20k pairs) so total scoring work stays CONSTANT as the
+    * data scales, not quadratic in it; (2) the pair space is generated
+    * the same way as [[qSimKnnJoin]]'s: one side takes a uniform block
+    * id, the other replicates once per block, and the pairing is an
     * EQUI-join on the block id (each unordered pair meets exactly once,
     * in the left row's block) — no cartesian, no forced broadcast. The
-    * mean uses an exact DECIMAL(18,6) sum of the 6-dp-rounded cosines so
-    * Spark and DuckDB agree bit-for-bit regardless of addition order.
+    * DuckDB oracle re-derives the same modulus with a scalar subquery.
+    * The mean uses an exact DECIMAL(18,6) sum of the 6-dp-rounded
+    * cosines so Spark and DuckDB agree bit-for-bit regardless of
+    * addition order.
     */
+  val EmbedStatsSampleTarget = 200
+
   val qDedupEmbedStats: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-      .where(pmod(col("vec_id"), lit(10)) === 0)
+    val all = Tables.embeddings(s, d)
+    val modulus = math.max(1L, all.count() / EmbedStatsSampleTarget)
+    val blocks = knnBlocks(s)
+    val emb = all
+      .where(pmod(col("vec_id"), lit(modulus)) === 0)
       .select(col("vec_id"), col("embedding"))
     val a = emb
-      .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks)).cast("int"))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
       .select(col("blk"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = emb
-      .withColumn("blk", explode(sequence(lit(0), lit(KnnBlocks - 1))))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .select(col("blk"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
       .select(round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
@@ -482,7 +492,9 @@ object LlmOps {
   }
 
   val qDedupEmbedStatsSql: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    """WITH m AS (SELECT GREATEST(1, COUNT(*) // 200) AS md FROM embeddings),
+      |e AS (SELECT vec_id, embedding FROM embeddings
+      |      WHERE vec_id % (SELECT md FROM m) = 0),
       |p AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
@@ -972,16 +984,16 @@ object LlmOps {
     * scoring. Shape:
     *
     *  - block-partitioned pair generation: candidates take a uniform
-    *    block id (`vec_id % KnnBlocks`), probes replicate once per
+    *    block id (`vec_id % blocks`), probes replicate once per
     *    block, and the pair space is an EQUI-join on the block id — no
     *    O(N) broadcast anywhere (the old spelling broadcast the probe
     *    table, which grows linearly with the data). Locally Catalyst
     *    still picks a broadcast-hash join because the replicated probe
     *    side is tiny — that is the optimizer's size-based call, not a
     *    hint; past the threshold AQE plans a sort-merge join whose
-    *    per-key probe buffer is spillable. `KnnBlocks` bounds the join
-    *    parallelism — at 1000 executors raise it (or derive it from
-    *    `spark.sparkContext.defaultParallelism`).
+    *    per-key probe buffer is spillable. The block count bounds the
+    *    join parallelism and is DERIVED from the session's actual
+    *    parallelism ([[knnBlocks]]) — 1000 executors get ≥1000 blocks.
     *  - map-side partial top-k: the per-probe top-5 is a typed
     *    Aggregator ([[GraftFunctions.TopKByScore]]), not a window
     *    rank, so each task reduces its scored stream to ≤5 rows per
@@ -993,7 +1005,16 @@ object LlmOps {
     * exhaustively. The approximate path that also prunes the SCORING
     * cost is [[qSimKnnJoinIvf]].
     */
-  val KnnBlocks = 32
+  /** Pair-space parallelism for block-partitioned kNN/all-pairs shapes:
+    * at least 32 blocks, scaled up with the cluster's actual
+    * parallelism (1000 executors ⇒ more blocks), capped so the probe
+    * replication factor stays bounded. The RESULT is invariant in the
+    * block count — every (candidate, probe) pair meets exactly once for
+    * any block count — which LlmOpsSpec proves by re-running the join
+    * at a different count.
+    */
+  def knnBlocks(s: SparkSession): Int =
+    math.min(1024, math.max(32, s.sparkContext.defaultParallelism))
 
   private def topkExplode(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.GraftFunctions.TopKByScore(k))
@@ -1006,18 +1027,20 @@ object LlmOps {
       .orderBy("qid", "rnk")
   }
 
-  val qSimKnnJoin: Q = (s, d) => {
+  private[graft] def knnJoinWith(blocks: Int): Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val probes = emb.where(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("blk", explode(sequence(lit(0), lit(KnnBlocks - 1))))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
     val cands = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
-      .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks)).cast("int"))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
     val scored = cands.join(probes, "blk")
       .select(col("qid"), col("vec_id"),
               round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
     topkExplode(scored, 5)
   }
+
+  val qSimKnnJoin: Q = (s, d) => knnJoinWith(knnBlocks(s))(s, d)
 
   val qSimKnnJoinSql: String =
     """WITH probes AS (

@@ -13,12 +13,16 @@ import util._
   * The IMAGE path is real end to end: `syntheticMedia` emits genuine
   * PNG blobs, `decodeImage` reads them with javax.imageio and computes
   * the true pixel mean, and `resizeImage` decodes → rescales →
-  * re-encodes. Audio and video kernels remain STUBS (`decodeStub` —
-  * this container has no audio/video codecs) deriving deterministic
-  * fake features from the payload bytes. Everything around both paths
-  * is real and tested: the schema, the mapPartitions batch shape (the
-  * Scala analog of mapInPandas: one iterator per partition, amortizing
-  * per-batch setup), and the partitioning strategy.
+  * re-encodes. The AUDIO path is equally real: `wavBytes` emits genuine
+  * RIFF/WAVE 16-bit PCM blobs and `decodeAudio` parses them with
+  * javax.sound.sampled, reporting the true sample count and mean
+  * absolute amplitude. Only the VIDEO kernel remains a STUB
+  * (`decodeStub` — this container has no video codecs) deriving
+  * deterministic fake features from the payload bytes. Everything
+  * around all three paths is real and tested: the schema, the
+  * mapPartitions batch shape (the Scala analog of mapInPandas: one
+  * iterator per partition, amortizing per-batch setup), and the
+  * partitioning strategy.
   *
   * Scale notes (100 TB of media):
   *  - binaries never shuffle: metadata extraction projects features
@@ -76,7 +80,8 @@ object Multimodal {
 
   /** REAL image decode: javax.imageio parses the blob; mean intensity is
     * the true mean over every pixel sample of every band, scaled to
-    * [0, 1]. One frame by definition of a still image.
+    * [0, 1] by each band's ACTUAL sample depth (a 16-bit PNG divides by
+    * 65535, not 255). One frame by definition of a still image.
     */
   def decodeImage(payload: Array[Byte]): (Double, Int) = {
     require(imageIoReady)
@@ -84,21 +89,89 @@ object Multimodal {
     require(img != null, "payload is not a decodable image")
     val raster = img.getRaster
     val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
-    var sum = 0L
+    // exact integer accumulation per band, ONE division by the band's
+    // actual depth max at the end — a 16-bit PNG divides by 65535, an
+    // 8-bit one by 255 (and no per-sample float rounding accumulates)
+    val bandSum = new Array[Long](bands)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         var b = 0
-        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        while (b < bands) {
+          bandSum(b) += raster.getSample(x, y, b)
+          b += 1
+        }
         x += 1
       }
       y += 1
     }
-    (sum.toDouble / (w.toLong * h * bands) / 255.0, 1)
+    var norm = 0.0
+    var b = 0
+    while (b < bands) {
+      val depthMax = ((1L << raster.getSampleModel.getSampleSize(b)) - 1L).toDouble
+      norm += bandSum(b) / depthMax
+      b += 1
+    }
+    (norm / (w.toLong * h * bands), 1)
   }
 
-  /** STUB decode kernel for audio/video: a real implementation would
+  /** Deterministic 16-bit mono PCM WAV — a real, decodable audio blob.
+    * The waveform is a square wave whose amplitude derives from the doc
+    * id (sign flips every 32 samples), so the mean ABSOLUTE amplitude
+    * is exactly `amp` and tests can assert it to the bit.
+    */
+  private[graft] def wavAmplitude(docId: Long): Int =
+    1000 + (docId % 8).toInt * 3000
+
+  private[graft] def wavBytes(docId: Long, nSamples: Int,
+                              sampleRate: Int): Array[Byte] = {
+    val amp = wavAmplitude(docId)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if (((i / 32) & 1) == 0) amp else -amp
+      data(2 * i) = (v & 0xFF).toByte // WAV PCM is little-endian
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: javax.sound.sampled parses the RIFF/WAVE
+    * container and format chunk; features are the true PCM frame count
+    * and the mean absolute sample amplitude scaled to [0, 1] (÷ 2¹⁵ for
+    * 16-bit). Rejects anything but the 16-bit mono little-endian PCM it
+    * is given — a production pipeline would transcode other formats at
+    * this boundary.
+    */
+  def decodeAudio(payload: Array[Byte]): (Double, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian,
+            s"expected 16-bit mono little-endian PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sumAbs = 0L
+    var i = 0
+    while (i < n) {
+      val v = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      sumAbs += math.abs(v)
+      i += 1
+    }
+    (if (n == 0) 0.0 else sumAbs.toDouble / n / 32768.0, n)
+  }
+
+  /** STUB decode kernel for video: a real implementation would
     * hand `payload` to a codec here. The fake is deterministic in the
     * payload bytes so tests are stable.
     */
@@ -114,7 +187,6 @@ object Multimodal {
     val mean = if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
     val frames = modality match {
       case "video" => 1 + math.abs(h % 120).toInt // pretend fps*duration
-      case "audio" => 1 + math.abs(h % 48000).toInt
       case _       => 1
     }
     (mean, frames)
@@ -137,9 +209,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       // (audio/video pipeline: allocate codec context here, once per task)
       rows.map { r =>
-        val (mean, frames) =
-          if (r.modality == "image") decodeImage(r.payload)
-          else decodeStub(r.payload, r.modality)
+        val (mean, frames) = r.modality match {
+          case "image" => decodeImage(r.payload)
+          case "audio" => decodeAudio(r.payload)
+          case _       => decodeStub(r.payload, r.modality)
+        }
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
                       checksum(r.payload), mean, frames)
       }
@@ -148,8 +222,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table built from `documents` — stands
     * in for a real blob column in the driver testdata. Image rows carry
-    * genuine 64×64 grayscale PNGs (seeded by doc_id); audio/video rows
-    * carry the document's text bytes as an opaque stand-in payload.
+    * genuine 64×64 grayscale PNGs, audio rows genuine 16-bit PCM WAVs
+    * (both seeded by doc_id); video rows carry the document's text bytes
+    * as an opaque stand-in payload.
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -159,7 +234,10 @@ object Multimodal {
         r.getLong(2) match {
           case 0 => MediaRow(r.getLong(0), "image", pngBytes(r.getLong(0), 64, 64),
                              width = 64, height = 64, sample_rate = 0)
-          case 1 => MediaRow(r.getLong(0), "audio", r.getString(1).getBytes("UTF-8"),
+          case 1 => MediaRow(r.getLong(0), "audio",
+                             wavBytes(r.getLong(0),
+                                      nSamples = 2048 + (r.getLong(0) % 5).toInt * 256,
+                                      sampleRate = 16000),
                              width = 0, height = 0, sample_rate = 16000)
           case _ => MediaRow(r.getLong(0), "video", r.getString(1).getBytes("UTF-8"),
                              width = 64, height = 64, sample_rate = 16000)
@@ -189,7 +267,14 @@ object Multimodal {
     require(imageIoReady)
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(src != null, "payload is not a decodable image")
-    val dst = new java.awt.image.BufferedImage(targetW, targetH, src.getType)
+    // images ImageIO surfaces as TYPE_CUSTOM (0) — 16-bit or some
+    // ICC-profile PNGs — have no matching BufferedImage constructor;
+    // render those onto an ARGB canvas instead of throwing
+    val dstType =
+      if (src.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+        java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else src.getType
+    val dst = new java.awt.image.BufferedImage(targetW, targetH, dstType)
     val g = dst.createGraphics()
     try {
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -94,6 +94,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("knn join result is invariant in the block count") {
+    // the point of block-partitioned pair generation: every
+    // (candidate, probe) pair meets exactly once for ANY block count,
+    // so deriving the count from cluster parallelism can't change rows
+    val at7 = LlmOps.knnJoinWith(7)(spark, sf).collect().toSeq
+    val at32 = LlmOps.knnJoinWith(32)(spark, sf).collect().toSeq
+    assert(at7.nonEmpty && at7 == at32)
+  }
+
   test("chained LSH→verify equals full exact jaccard on planted corpus") {
     // brute-force exact jaccard over all pairs (tiny corpus) — what the
     // chained operator must reproduce at threshold 0.5 if LSH candidate

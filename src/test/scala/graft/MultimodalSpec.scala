@@ -50,6 +50,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m > 0.0 && m < 1.0) // hash-mixed pixels, nowhere near uniform
   }
 
+  test("audio decode reads real PCM: known square wave, exact amplitude") {
+    // square wave of amplitude A: mean |sample| is exactly A
+    val blob = Multimodal.wavBytes(docId = 3L, nSamples = 2048,
+                                   sampleRate = 16000)
+    // the blob is a genuine RIFF/WAVE file the JDK codec accepts
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(blob))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    assert(fmt.getFormat.getSampleRate == 16000f)
+    val (mean, frames) = Multimodal.decodeAudio(blob)
+    assert(frames == 2048)
+    assert(mean == Multimodal.wavAmplitude(3L).toDouble / 32768.0)
+  }
+
+  test("image decode scales 16-bit samples by the actual bit depth") {
+    // uniform 16-bit gray image: mean must be v/65535, not v/255
+    val cm = new java.awt.image.ComponentColorModel(
+      java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY),
+      Array(16), false, false, java.awt.Transparency.OPAQUE,
+      java.awt.image.DataBuffer.TYPE_USHORT)
+    val raster = cm.createCompatibleWritableRaster(8, 8)
+    for (y <- 0 until 8; x <- 0 until 8) raster.setSample(x, y, 0, 40000)
+    val img = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (mean, _) = Multimodal.decodeImage(bos.toByteArray)
+    assert(mean == 40000.0 / 65535.0)
+    // ...and resize handles the TYPE_CUSTOM BufferedImage it decodes to
+    val resized = Multimodal.resizeImage(bos.toByteArray, 4, 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+  }
+
   test("resize re-encodes images at target dims, passes others through") {
     val media = Multimodal.syntheticMedia(spark, sf)
     val resized = Multimodal.resizeImages(media, 32, 32).collect()
