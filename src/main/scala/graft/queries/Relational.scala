@@ -326,6 +326,64 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** Bucketed fact-fact join — the one 100 TB join shape where NEITHER
+    * side broadcasts: both facts are bucketed at rest on the join key
+    * (`bucketBy(N, key)` + in-bucket sort), so the sort-merge join
+    * reads both sides co-partitioned and plans NO Exchange on either
+    * input — the shuffle happened once at write time and is amortized
+    * over every subsequent join. PlanSpec asserts the exchange-free
+    * join shape with broadcasting disabled; the oracle replays the join
+    * on the raw tables, proving the bucketed round-trip loses nothing.
+    *
+    * The pre-write `repartition(n, key)` uses the same murmur3 hash as
+    * the bucket spec, so each bucket is written by exactly one task →
+    * one file per bucket — the layout that also lets the reader elide
+    * the sort (and at 100 TB keeps file counts = buckets, not
+    * buckets × tasks).
+    */
+  val BucketCount = 8
+
+  private[graft] def bucketedFacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = scratchDir("bucketed", d)
+    def sink(df: DataFrame, key: String, name: String): DataFrame = {
+      val tbl = s"graft_${name}_b_" + Integer.toHexString(d.hashCode)
+      df.repartition(BucketCount, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(BucketCount, key).sortBy(key)
+        .option("path", s"$base/$name")
+        .saveAsTable(tbl)
+      s.table(tbl)
+    }
+    val o = sink(Tables.orders(s, d)
+                   .select("o_orderkey", "o_orderpriority"),
+                 "o_orderkey", "orders")
+    val l = sink(Tables.lineitem(s, d)
+                   .select("l_orderkey", "l_extendedprice", "l_discount"),
+                 "l_orderkey", "lineitem")
+    (o, l)
+  }
+
+  val qJoinBucketed: Q = (s, d) => {
+    val dec = DecimalType(18, 2)
+    val (o, l) = bucketedFacts(s, d)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice").cast(dec) *
+               (lit(1).cast(dec) - col("l_discount").cast(dec)))
+             .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinBucketedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- aggregates
 
   /** TPC-H-Q1-shaped multi-measure hash aggregate (the reference's
@@ -648,6 +706,7 @@ object Relational {
     "q_join_asof"        -> qJoinAsof,
     "q_join_asof_native" -> qJoinAsofNative,
     "q_join_multiway"    -> qJoinMultiway,
+    "q_join_bucketed"    -> qJoinBucketed,
     "q_agg_group"        -> qAggGroup,
     "q_agg_distinct"     -> qAggDistinct,
     "q_agg_rollup"       -> qAggRollup,
@@ -681,6 +740,7 @@ object Relational {
     "q_join_asof"        -> qJoinAsofSql,
     "q_join_asof_native" -> qJoinAsofSql,
     "q_join_multiway"    -> qJoinMultiwaySql,
+    "q_join_bucketed"    -> qJoinBucketedSql,
     "q_agg_group"        -> qAggGroupSql,
     "q_agg_distinct"     -> qAggDistinctSql,
     "q_agg_rollup"       -> qAggRollupSql,

@@ -71,6 +71,77 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body` with every size-based broadcast disabled, restoring the
+    * previous thresholds afterwards — any BroadcastExchange that
+    * survives is an explicit hint.
+    */
+  private def withBroadcastOff[A](body: => A): A = {
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+                         "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    try {
+      thresholds.foreach(spark.conf.set(_, "-1"))
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q_join_bucketed: co-partitioned sort-merge join plans NO exchange") {
+    val (o, l) = graft.queries.Relational.bucketedFacts(spark, sf)
+    withBroadcastOff {
+      val joined = o.join(l, org.apache.spark.sql.functions.col("o_orderkey") ===
+                             org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"),
+             "bucketed fact-fact join must be a sort-merge join")
+      assert(!p.contains("Exchange"),
+             "both sides are bucketed on the join key — any Exchange " +
+             s"means the at-rest co-partitioning was not used:\n$p")
+    }
+  }
+
+  test("q_sim_knn_join_ivf: only the hinted constant-size centroid broadcasts") {
+    val p = plan("q_sim_knn_join_ivf")
+    assert(p.contains("partial_topkbyscore"),
+           "per-probe top-k must partial-aggregate map-side")
+    withBroadcastOff {
+      val df = SparkEntry.queries("q_sim_knn_join_ivf")(spark, sf)
+      val p2 = plan(df)
+      // tree form only ("BroadcastExchange (6)") — the formatted detail
+      // section repeats each node as "(6) BroadcastExchange"
+      val n = "BroadcastExchange \\(\\d+\\)".r.findAllIn(p2).size
+      assert(n <= 2,
+             "with size-based broadcasting off, only the two hinted " +
+             s"nlist-row centroid-table broadcasts may remain, got $n:\n$p2")
+      assert(!p2.contains("CartesianProduct"))
+    }
+  }
+
+  test("q_join_skew: salt explode on the build side, equi-join includes the salt") {
+    withBroadcastOff {
+      val df = SparkEntry.queries("q_join_skew")(spark, sf)
+      val p = plan(df)
+      assert(p.contains("explode"),
+             "build side must fan out over the salt range")
+      assert(p.contains("__salt"),
+             "join keys must include the salt sub-key")
+      assert(!p.contains("BroadcastExchange"),
+             "the salted build side must not broadcast with the threshold off")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q_dedup_embed_stats: pair space is an equi-join on the block id") {
+    val df = SparkEntry.queries("q_dedup_embed_stats")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("blk"), "join keys must include the block id")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+           "sampled all-pairs must never plan a cartesian")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
