@@ -614,16 +614,19 @@ object LlmOps {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     // assign: nearest centroid per vector (broadcast the centroid table)
+    // ROUNDED distances (cid-asc tie-breaks) exactly as in
+    // [[qSimKnnJoinIvf]], so assignment and probing are
+    // engine-independent and the whole pipeline replays in DuckDB
     val assigned = emb.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(cents))
-      .withColumn("cdist", cosine(col("embedding"), col("cv")))
+      .withColumn("cdist", round(cosine(col("embedding"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid").asc)))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("embedding"))
     // probe: nprobe centroids nearest to the query
     val probed = cents.crossJoin(broadcast(q))
-      .withColumn("qdist", cosine(col("cv"), col("qv")))
+      .withColumn("qdist", round(cosine(col("cv"), col("qv")), 6))
       .orderBy(col("qdist").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"))
@@ -633,6 +636,44 @@ object LlmOps {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
+
+  /** Full DuckDB replay of the single-query IVF pipeline (assignment →
+    * probe → scan of probed buckets → top-10) — same determinism
+    * argument as [[qSimKnnJoinIvfSql]].
+    */
+  val qSimAnnIvfSql: String =
+    s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |cents AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id BETWEEN 1 AND 16
+      |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cdist AS (
+      |  SELECT e.vec_id, ct.cid, ${duckCos("e.embedding", "ct.cv")} AS cdist
+      |  FROM embeddings e CROSS JOIN cents ct, idx
+      |  WHERE e.vec_id <> 0
+      |  GROUP BY e.vec_id, ct.cid
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cdist DESC, cid ASC) AS rn
+      |    FROM cdist) WHERE rn = 1
+      |), qdist AS (
+      |  SELECT ct.cid, ${duckCos("ct.cv", "q.qv")} AS qdist
+      |  FROM cents ct CROSS JOIN q, idx
+      |  GROUP BY ct.cid
+      |), probed AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (
+      |      ORDER BY qdist DESC, cid ASC) AS rn
+      |    FROM qdist) WHERE rn <= 4
+      |)
+      |SELECT a.vec_id, ${duckCos("e.embedding", "q.qv")} AS cos_sim
+      |FROM assigned a
+      |JOIN probed p ON a.cid = p.cid
+      |JOIN embeddings e ON e.vec_id = a.vec_id
+      |CROSS JOIN q, idx
+      |GROUP BY a.vec_id
+      |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin
 
   // ------------------------------------------------------- text analysis
 
@@ -1209,6 +1250,7 @@ object LlmOps {
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
+    "q_sim_ann_ivf"   -> qSimAnnIvfSql,
     "q_dedup_embed_stats" -> qDedupEmbedStatsSql
   )
 }

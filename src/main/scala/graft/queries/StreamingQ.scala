@@ -43,6 +43,35 @@ class RunningCountProcessor
   }
 }
 
+/** transformWithState processor for the ORACLED replay: running
+  * (count, exact cents) per user — associative integer accumulation, so
+  * the emitted totals are bit-identical to a windowed DECIMAL(18,2)
+  * cumulative sum regardless of per-batch addition order.
+  */
+class RunningCumulProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, KeyCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.ValueState
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)](
+      "runningCumul", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timers: TimerValues): Iterator[KeyCount] = {
+    val (n0, c0) = if (state.exists()) state.get() else (0L, 0L)
+    var n = n0
+    var c = c0
+    rows.foreach { e => n += 1; c += StreamingQ.cents(e.value) }
+    state.update((n, c))
+    Iterator.single(KeyCount(key, n, StreamingQ.centsToDouble(c)))
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.3). The reference's analog
   * is the daily incremental append (E13): each date directory is a
   * micro-batch. Window aggregations are verified two ways:
@@ -150,6 +179,11 @@ object StreamingQ {
     ev(7, "2024-01-01 14:30:00", 2, "view", 6.0))   // advances wm past 12:xx
 
   private def runMemoryStream(s: SparkSession, name: String)
+                             (build: DataFrame => DataFrame): DataFrame =
+    runReplayStream(s, name, Seq(batch1, batch2, batch3))(build)
+
+  private def runReplayStream(s: SparkSession, name: String,
+                              batches: Seq[Seq[Ev]])
                              (build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
@@ -178,7 +212,7 @@ object StreamingQ {
         .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append).start()
       try {
-        Seq(batch1, batch2, batch3).foreach { b =>
+        batches.foreach { b =>
           ms.addData(b); q.processAllAvailable()
         }
       } finally {
@@ -219,8 +253,10 @@ object StreamingQ {
   /** Per-key running state via flatMapGroupsWithState — the streaming
     * form of the reference's sequential event fold (E8, scrape.py:355-609):
     * state scoped to a key, updated per batch, emitted on change.
+    * Hand-placed 3-batch fixture; incremental semantics asserted in
+    * StreamingSpec. The ORACLED gate entry is [[qStreamStateful]].
     */
-  val qStreamStateful: Q = (s, _) => {
+  private[graft] val qStreamStatefulFixture: Q = (s, _) => {
     import s.implicits._
     val fn: (Long, Iterator[Ev], GroupState[KeyCount]) => Iterator[KeyCount] =
       (user, rows, state) => {
@@ -231,7 +267,7 @@ object StreamingQ {
         state.update(next)
         Iterator(next)
       }
-    runMemoryStream(s, "graft_stream_state") { df =>
+    runMemoryStream(s, "graft_stream_state_fx") { df =>
       df.as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,
@@ -240,20 +276,115 @@ object StreamingQ {
     }.orderBy("user_id", "n")
   }
 
+  /** The SAME stateful operator, DuckDB-oracled: the `events` table is
+    * replayed through a real MemoryStream as five calendar-week
+    * micro-batches (Monday-truncated in both engines), and the per-key
+    * fold emits its running (count, total) after every batch a key
+    * appears in. A per-key running state over time-ordered batches has
+    * an exact batch equivalent — a window-ordered cumulative sum per
+    * (user, week) — which is precisely what the oracle computes, so the
+    * incremental execution path itself gets a hash-compare instead of a
+    * rows-only check.
+    *
+    * Exactness: the running total accumulates exact cents (the 2-dp
+    * values scaled to Long) and converts once at emit via
+    * BigDecimal(cents, 2).toDouble — the same decimal→double step as
+    * util.dsum, so the cumulative totals are bit-identical to DuckDB's
+    * windowed DECIMAL(18,2) sums regardless of per-batch addition
+    * order. Ordering: n is strictly increasing per user, so
+    * (user_id, n) is a total order both engines agree on.
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the operator:
+    * MemoryStream data is driver-resident by definition (same as the
+    * fixture batches). The operator under test — the distributed
+    * per-key fold and its state store — sees only the stream.
+    */
+  /** events → one batch per Monday-truncated calendar week, time order. */
+  private def eventWeekBatches(s: SparkSession, d: String): Seq[Seq[Ev]] = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"), date_trunc("week", col("ts")).as("wk"))
+      .as[(Long, Timestamp, Long, String, Double, Timestamp)]
+      .collect()
+    evs.groupBy(_._6).toSeq.sortBy(_._1.getTime)
+      .map(_._2.toSeq.map(t => Ev(t._1, t._2, t._3, t._4, t._5)))
+  }
+
+  /** Exact cents of a 2-decimal value — the running total accumulates
+    * these (associative, order-independent) and converts once at emit.
+    */
+  private[graft] def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  private[graft] def centsToDouble(c: Long): Double =
+    java.math.BigDecimal.valueOf(c, 2).doubleValue()
+
+  val qStreamStateful: Q = (s, d) => {
+    import s.implicits._
+    val batches = eventWeekBatches(s, d)
+    val fn: (Long, Iterator[Ev], GroupState[(Long, Long)]) => Iterator[KeyCount] =
+      (user, rows, state) => {
+        val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+        var n = n0
+        var c = c0
+        rows.foreach { e => n += 1; c += cents(e.value) }
+        state.update((n, c))
+        Iterator(KeyCount(user, n, centsToDouble(c)))
+      }
+    runReplayStream(s, "graft_stream_state", batches) { df =>
+      df.as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.NoTimeout)(fn)
+        .toDF()
+    }.orderBy("user_id", "n")
+  }
+
+  val qStreamStatefulSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk, value
+      |  FROM events
+      |), per AS (
+      |  SELECT user_id, wk, COUNT(*) AS cnt,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS tot
+      |  FROM e GROUP BY user_id, wk
+      |)
+      |SELECT user_id,
+      |  CAST(SUM(cnt) OVER w AS BIGINT) AS n,
+      |  CAST(CAST(SUM(tot) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM per
+      |WINDOW w AS (PARTITION BY user_id ORDER BY wk ROWS UNBOUNDED PRECEDING)
+      |ORDER BY user_id, n""".stripMargin
+
   /** The same per-key running state through Spark 4's transformWithState
     * (the successor API, SURVEY.md §7.4.7): explicit ValueState handle,
     * RocksDB state store (required by the API; the production-scale
     * store anyway). Emits the same rows as the flatMapGroupsWithState
     * form — asserted in StreamingSpec.
     */
-  val qStreamStatefulTws: Q = (s, _) => {
-    import s.implicits._
-    val prevProvider =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(key)
+    s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      runMemoryStream(s, "graft_stream_tws") { df =>
+    try body
+    finally prevProvider match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Hand-placed 3-batch fixture form (StreamingSpec asserts it emits
+    * the same rows as [[qStreamStatefulFixture]]); the ORACLED gate
+    * entry is [[qStreamStatefulTws]].
+    */
+  private[graft] val qStreamStatefulTwsFixture: Q = (s, _) =>
+    withRocksDb(s) {
+      import s.implicits._
+      runMemoryStream(s, "graft_stream_tws_fx") { df =>
         df.as[Ev]
           .groupByKey(_.user_id)
           .transformWithState(new RunningCountProcessor(),
@@ -261,11 +392,27 @@ object StreamingQ {
             OutputMode.Append)
           .toDF()
       }
-    } finally prevProvider match {
-      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }.orderBy("user_id", "n")
+    }.orderBy("user_id", "n")
+
+  /** transformWithState on the SAME week-batched replay of `events` as
+    * [[qStreamStateful]], with the same cents-exact running state (the
+    * RocksDB store the API requires is also the production-scale one) —
+    * so the successor stateful API is hash-compared against the same
+    * cumulative-window oracle instead of rows-only.
+    */
+  val qStreamStatefulTws: Q = (s, d) =>
+    withRocksDb(s) {
+      import s.implicits._
+      val batches = eventWeekBatches(s, d)
+      runReplayStream(s, "graft_stream_tws", batches) { df =>
+        df.as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningCumulProcessor(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append)
+          .toDF()
+      }
+    }.orderBy("user_id", "n")
 
   val entries: Map[String, Q] = Map(
     "q_stream_stateful_tws" -> qStreamStatefulTws,
@@ -280,6 +427,10 @@ object StreamingQ {
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding"  -> qStreamSlidingSql,
-    "q_stream_session"  -> qStreamSessionSql
+    "q_stream_session"  -> qStreamSessionSql,
+    "q_stream_stateful" -> qStreamStatefulSql,
+    // same replay, same cumulative-window equivalent — the successor
+    // API is held to the identical oracle
+    "q_stream_stateful_tws" -> qStreamStatefulSql
   )
 }

@@ -33,17 +33,17 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState matches flatMapGroupsWithState semantics") {
-    val fmgws = StreamingQ.qStreamStateful(spark, "").collect()
+    val fmgws = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
                  r.getAs[Double]("total"))).toSeq
-    val tws = StreamingQ.qStreamStatefulTws(spark, "").collect()
+    val tws = StreamingQ.qStreamStatefulTwsFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
                  r.getAs[Double]("total"))).toSeq
     assert(tws == fmgws)
   }
 
   test("flatMapGroupsWithState accumulates per-key state across batches") {
-    val rows = StreamingQ.qStreamStateful(spark, "").collect()
+    val rows = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
                  r.getAs[Double]("total")))
     assert(rows.toSeq == Seq(
