@@ -133,6 +133,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_lsh_verify: band-bucket equi-joins, no broadcast of corpus data") {
+    withBroadcastOff {
+      val df = SparkEntry.queries("q_dedup_lsh_verify")(spark, sf)
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"),
+             "candidate generation and gram intersection hash-join on " +
+             "wide keys — sorting them is pure overhead")
+      assert(!p.contains("BroadcastExchange"),
+             "nothing in the chained LSH→verify pipeline may broadcast " +
+             "table-derived data")
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+             "the n² pair space must never be planned")
+    }
+  }
+
   test("q_dedup_embed_stats: pair space is an equi-join on the block id") {
     val df = SparkEntry.queries("q_dedup_embed_stats")(spark, sf)
     val p = plan(df)
