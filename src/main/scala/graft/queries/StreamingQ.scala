@@ -184,7 +184,17 @@ object StreamingQ {
 
   private def runReplayStream(s: SparkSession, name: String,
                               batches: Seq[Seq[Ev]])
-                             (build: DataFrame => DataFrame): DataFrame = {
+                             (build: DataFrame => DataFrame): DataFrame =
+    runReplayStreams(s, name, Seq(batches))(dfs => build(dfs.head))
+
+  /** N-source replay: stream i consumes `perStream(i)`; batch k of every
+    * stream is added before one processAllAvailable, so watermarks
+    * advance in lockstep across sources (what a shared event-time clock
+    * does in production).
+    */
+  private[graft] def runReplayStreams(s: SparkSession, name: String,
+                                      perStream: Seq[Seq[Seq[Ev]]])
+                                     (build: Seq[DataFrame] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -195,7 +205,7 @@ object StreamingQ {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      val ms = MemoryStream[Ev]
+      val streams = perStream.map(_ => MemoryStream[Ev])
       // checkpoint (offset/commit logs, state snapshots) on tmpfs when
       // available: each micro-batch fsyncs the logs, and for a 3-batch
       // semantics check those fsyncs dominate wall time. Real deployments
@@ -207,13 +217,17 @@ object StreamingQ {
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val ckpt = java.nio.file.Files
         .createTempDirectory(ckptBase, s"graft_ckpt_${name}_")
-      val q = build(ms.toDF())
+      val q = build(streams.map(_.toDF()))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append).start()
       try {
-        batches.foreach { b =>
-          ms.addData(b); q.processAllAvailable()
+        val rounds = perStream.map(_.length).max
+        (0 until rounds).foreach { k =>
+          streams.zip(perStream).foreach { case (ms, batches) =>
+            if (k < batches.length && batches(k).nonEmpty) ms.addData(batches(k))
+          }
+          q.processAllAvailable()
         }
       } finally {
         q.stop()
@@ -365,6 +379,51 @@ object StreamingQ {
     * store anyway). Emits the same rows as the flatMapGroupsWithState
     * form — asserted in StreamingSpec.
     */
+  /** Stream-stream interval join — the remaining big streaming shape:
+    * clicks ⋈ views of the same user with the view at most 10 minutes
+    * before the click, both sides true MemoryStreams fed the week
+    * replay in lockstep. Watermarks (30 min) plus the time-range
+    * predicate bound BOTH sides' join state: a buffered view is evicted
+    * once the watermark passes view_ts + 10 min, because no future
+    * click can reach back to it — at 100 TB/day this eviction is the
+    * difference between bounded state and an unbounded buffer.
+    *
+    * Oracled: an append-mode inner interval join, once every source is
+    * drained, emits exactly the batch join (the week batches are
+    * time-ordered, so no input row is ever below the watermark — the
+    * boundary argument is the same as [[qStreamStateful]]'s), which is
+    * what DuckDB computes. Late-data *drop* semantics are covered
+    * separately by [[qStreamWatermark]]'s fixture.
+    */
+  val qStreamJoin: Q = (s, d) => {
+    val batches = eventWeekBatches(s, d)
+    runReplayStreams(s, "graft_stream_join", Seq(batches, batches)) { dfs =>
+      val clicks = dfs(0).where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val views = dfs(1).where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+                col("ts").as("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+        .select(col("click_id"), col("view_id"), col("user_id"))
+    }.orderBy("click_id", "view_id")
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+      |ORDER BY click_id, view_id""".stripMargin
+
   private def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(key)
@@ -421,7 +480,8 @@ object StreamingQ {
     "q_stream_session"   -> qStreamSession,
     "q_stream_watermark" -> qStreamWatermark,
     "q_stream_dedup"     -> qStreamDedup,
-    "q_stream_stateful"  -> qStreamStateful
+    "q_stream_stateful"  -> qStreamStateful,
+    "q_stream_join"      -> qStreamJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +491,7 @@ object StreamingQ {
     "q_stream_stateful" -> qStreamStatefulSql,
     // same replay, same cumulative-window equivalent — the successor
     // API is held to the identical oracle
-    "q_stream_stateful_tws" -> qStreamStatefulSql
+    "q_stream_stateful_tws" -> qStreamStatefulSql,
+    "q_stream_join" -> qStreamJoinSql
   )
 }

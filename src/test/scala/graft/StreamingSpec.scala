@@ -32,6 +32,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 7L)) // id 6 below watermark
   }
 
+  test("stream-stream interval join matches across micro-batch boundaries") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, expr}
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      Ev(id, Timestamp.valueOf(t), u, typ, 1.0)
+    // the view arrives one micro-batch BEFORE its matching click — the
+    // join must buffer it in state across the boundary; user 2's click
+    // has no view within 10 minutes and must not emit
+    val views = Seq(
+      Seq(ev(10, "2024-01-01 10:00:00", 1, "view")),
+      Seq(ev(12, "2024-01-01 13:00:00", 1, "view")),
+      Seq.empty)
+    val clicks = Seq(
+      Seq.empty,
+      Seq(ev(11, "2024-01-01 10:05:00", 1, "click")),
+      Seq(ev(13, "2024-01-01 13:05:00", 1, "click"),
+          ev(14, "2024-01-01 13:00:00", 2, "click")))
+    val out = StreamingQ.runReplayStreams(
+        spark, "graft_stream_join_fx", Seq(clicks, views)) { dfs =>
+      val c = dfs(0).select(col("event_id").as("click_id"), col("user_id"),
+                            col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val v = dfs(1).select(col("event_id").as("view_id"),
+                            col("user_id").as("v_user"),
+                            col("ts").as("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+      c.join(v, col("user_id") === col("v_user") &&
+                col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+                col("view_ts") <= col("click_ts"))
+        .select(col("click_id"), col("view_id"))
+    }.orderBy("click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((11L, 10L), (13L, 12L)))
+  }
+
   test("transformWithState matches flatMapGroupsWithState semantics") {
     val fmgws = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
