@@ -107,14 +107,21 @@ object LlmOps {
     }
   }
 
-  val qDedupNear: Q = (s, d) => {
+  /** (doc_id, band_id, band_hash) rows — the LSH bucket keys shared by
+    * [[qDedupNear]] (clustering) and [[qDedupLshVerify]] (candidates).
+    */
+  private def bandRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bands = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         minhashBands(text).zipWithIndex.map { case (h, b) => (id, b, h) }
       }
       .toDF("doc_id", "band_id", "band_hash")
+  }
+
+  val qDedupNear: Q = (s, d) => {
+    val bands = bandRows(s, d)
     // Cluster-representative assignment instead of materializing pairs:
     // a bucket with k near-identical docs holds k²/2 pairs (quadratic —
     // measured 237s at sf0.1 on this corpus), but dedup only needs one
@@ -320,11 +327,7 @@ object LlmOps {
   val qDedupLshVerify: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val bands = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        minhashBands(text).zipWithIndex.map { case (h, b) => (id, b, h) }
-      }
-      .toDF("doc_id", "band_id", "band_hash")
+    val bands = bandRows(s, d)
     val cand = bands.alias("a")
       .join(bands.hint("shuffle_hash").alias("b"),
         col("a.band_id") === col("b.band_id") &&
