@@ -397,12 +397,18 @@ object StreamingQ {
     */
   val qStreamJoin: Q = (s, d) => {
     val batches = eventWeekBatches(s, d)
-    runReplayStreams(s, "graft_stream_join", Seq(batches, batches)) { dfs =>
-      val clicks = dfs(0).where(col("event_type") === "click")
+    // two TOPICS, not two copies of the firehose: each source carries
+    // only its event type (the shape a click stream and a view stream
+    // have in production) — 5× less ingest than filtering in-stream
+    val clickBatches = batches.map(_.filter(_.event_type == "click"))
+    val viewBatches = batches.map(_.filter(_.event_type == "view"))
+    runReplayStreams(s, "graft_stream_join",
+                     Seq(clickBatches, viewBatches)) { dfs =>
+      val clicks = dfs(0)
         .select(col("event_id").as("click_id"), col("user_id"),
                 col("ts").as("click_ts"))
         .withWatermark("click_ts", "30 minutes")
-      val views = dfs(1).where(col("event_type") === "view")
+      val views = dfs(1)
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
                 col("ts").as("view_ts"))
         .withWatermark("view_ts", "30 minutes")
