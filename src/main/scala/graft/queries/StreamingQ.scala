@@ -396,7 +396,13 @@ object StreamingQ {
     * separately by [[qStreamWatermark]]'s fixture.
     */
   val qStreamJoin: Q = (s, d) => {
-    val batches = eventWeekBatches(s, d)
+    // an inner interval join emits the same rows under ANY time-ordered
+    // batching (unlike the stateful fold, whose per-batch emissions ARE
+    // the result), so the replay merges the five week batches into two —
+    // one boundary still proves cross-batch state buffering (the
+    // fine-grained boundary semantics live in StreamingSpec's fixture)
+    // while per-micro-batch state-store commit overhead drops 2.5×
+    val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
     // two TOPICS, not two copies of the firehose: each source carries
     // only its event type (the shape a click stream and a view stream
     // have in production) — 5× less ingest than filtering in-stream
