@@ -324,7 +324,14 @@ object LlmOps {
     * LlmOpsSpec additionally plants near-dups and asserts chained ==
     * full-restricted on them.
     */
-  val qDedupLshVerify: Q = (s, d) => {
+  val qDedupLshVerify: Q = (s, d) => lshVerifiedPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** LSH-candidate → exact-verify pair pipeline shared by
+    * [[qDedupLshVerify]] (emits the pairs) and [[qDedupNearClusters]]
+    * (clusters them): (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    * 2-gram jaccard ≥ 0.5, unordered.
+    */
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val bands = bandRows(s, d)
@@ -352,8 +359,118 @@ object LlmOps {
               round(col("inter").cast("double") /
                     (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Near-dup CLUSTERING over the verified pair graph — the full
+    * production dedup chain as one gated operator: MinHash-LSH candidates
+    * → exact 2-gram jaccard verify (≥ 0.5, via [[lshVerifiedPairs]]) →
+    * connected components → `(doc_id, cluster_id)` where `cluster_id` is
+    * the component's min doc_id. Unlike [[qDedupNear]] (which clusters
+    * raw band collisions, so an LSH false positive can glue clusters),
+    * every edge here is exact-verified, which is what makes the output
+    * independently replayable by an engine that knows nothing about LSH.
+    *
+    * Components by min-label propagation: labels start at min(self,
+    * neighbors); each round (a) propagates the min across edges (one
+    * shuffle on dst) and (b) pointer-jumps rep := label(rep) so chains
+    * halve — O(log diameter) rounds. Edges are verified near-dup pairs
+    * (∝ corpus dup rate, not n²), so each round's shuffle is tiny
+    * relative to the corpus; at 100 TB the same loop runs with the
+    * pair set partitioned on dst, and the round count stays log-bounded
+    * (large-star/small-star is the same recurrence). Convergence is
+    * detected by a changed-label count piggybacked on the round's one
+    * action, same as [[qDedupNear]].
+    *
+    * Oracled end-to-end: DuckDB recomputes the FULL corpus-wide exact
+    * jaccard pair graph at 0.5 (no LSH), then derives each doc's
+    * component min via a recursive-CTE transitive closure — so the
+    * hash-pass proves candidate recall AND the clustering in one gate.
+    */
+  val qDedupNearClusters: Q = (s, d) => {
+    val pairs = lshVerifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("mn"), col("src")).as("rep"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 16) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("rep")).as("nrep"))
+      val propagated = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val next = propagated.alias("x")
+        .join(propagated.select(col("doc_id").as("rep"),
+                                col("rep").as("rep2")).alias("y"),
+              Seq("rep"), "left")
+        .select(col("doc_id"), col("rep"),
+                least(coalesce(col("rep2"), col("rep")), col("rep")).as("new_rep"))
+        .persist()
+      changed = next
+        .agg(coalesce(sum(when(col("new_rep") =!= col("rep"), 1L)
+                            .otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      val prev = labels
+      labels = next.select(col("doc_id"), col("new_rep").as("rep")).persist()
+      labels.count()
+      prev.unpersist()
+      next.unpersist()
+      rounds += 1
+    }
+    val out = labels
+      .select(col("doc_id"), col("rep").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out.orderBy("doc_id")
+  }
+
+  /** Oracle for [[qDedupNearClusters]]: full exact-jaccard pair graph at
+    * 0.5 (same CTEs as [[qDedupLshVerifySql]] — deliberately no LSH),
+    * components via recursive transitive closure: reach(src,dst) is the
+    * reflexive-transitive closure over symmetric edges, so min(dst) per
+    * src is exactly the component's min doc_id.
+    */
+  val qDedupNearClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) v(a)
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+      |)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Full corpus-wide exact jaccard at the same threshold — the oracle
     * deliberately does NOT know about LSH, so a hash-pass certifies the
@@ -1223,6 +1340,7 @@ object LlmOps {
     "q_dedup_simhash"    -> qDedupSimhash,
     "q_dedup_jaccard"    -> qDedupJaccard,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
+    "q_dedup_near_clusters" -> qDedupNearClusters,
     "q_dedup_embed"      -> qDedupEmbed,
     "q_dedup_embed_stats" -> qDedupEmbedStats,
     "q_sim_topk"         -> qSimTopk,
@@ -1250,6 +1368,7 @@ object LlmOps {
     "q_text_langid"   -> qTextLangidSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
+    "q_dedup_near_clusters" -> qDedupNearClustersSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,

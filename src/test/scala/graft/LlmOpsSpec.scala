@@ -125,6 +125,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(chained == full, s"chained=$chained full=$full")
   }
 
+  test("near-dup clustering emits verified components with min-id labels") {
+    val rows = LlmOps.qDedupNearClusters(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    // docs 0,1,2 form one verified component (jaccard ≥ 0.5 pairwise);
+    // 3 and 4 share no verified edge so they are absent entirely
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"got $rows")
+  }
+
+  test("near-dup clustering closes a transitive verify chain") {
+    import spark.implicits._
+    // Same sliding-window construction as the bucket-chain test, but the
+    // precondition here is on the VERIFIED pair graph: adjacent docs have
+    // 2-gram jaccard ≥ 0.5, docs two apart fall below it — so the exact
+    // pair graph is the path 0–1–2–3 and only transitive closure (not
+    // pairwise verify alone) can put 3 in cluster 0.
+    val texts = (0 until 4).map { i =>
+      (i * 6 until i * 6 + 24).map(j => f"tok$j%03d").mkString(" ")
+    }
+    val gramSets = texts.map(t => LlmOps.twoGrams(t).toSet)
+    val verifiedEdges = (for {
+      i <- 0 until 4; j <- i + 1 until 4
+      jac = (gramSets(i) & gramSets(j)).size.toDouble /
+            (gramSets(i) | gramSets(j)).size
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    assert(verifiedEdges == Set((0, 1), (1, 2), (2, 3)),
+           s"fixture no longer forms a verified path: $verifiedEdges")
+    val dir = Files.createTempDirectory("graft_vchain_").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = LlmOps.qDedupNearClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+           s"verified chain did not collapse to the root: $clusters")
+  }
+
   test("embedding LSH finds planted near-identical vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
