@@ -10,19 +10,20 @@ import util._
   * video ride along as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs as partition-local batch transforms.
   *
-  * The IMAGE path is real end to end: `syntheticMedia` emits genuine
-  * PNG blobs, `decodeImage` reads them with javax.imageio and computes
-  * the true pixel mean, and `resizeImage` decodes → rescales →
-  * re-encodes. The AUDIO path is equally real: `wavBytes` emits genuine
-  * RIFF/WAVE 16-bit PCM blobs and `decodeAudio` parses them with
-  * javax.sound.sampled, reporting the true sample count and mean
-  * absolute amplitude. Only the VIDEO kernel remains a STUB
-  * (`decodeStub` — this container has no video codecs) deriving
-  * deterministic fake features from the payload bytes. Everything
-  * around all three paths is real and tested: the schema, the
-  * mapPartitions batch shape (the Scala analog of mapInPandas: one
-  * iterator per partition, amortizing per-batch setup), and the
-  * partitioning strategy.
+  * All three paths are real end to end. IMAGE: `syntheticMedia` emits
+  * genuine PNG blobs, `decodeImage` reads them with javax.imageio and
+  * computes the true pixel mean, and `resizeImage` decodes → rescales →
+  * re-encodes. AUDIO: `wavBytes` emits genuine RIFF/WAVE 16-bit PCM
+  * blobs and `decodeAudio` parses them with javax.sound.sampled,
+  * reporting the true sample count and mean absolute amplitude. VIDEO:
+  * `y4mBytes` emits genuine YUV4MPEG2 streams (this container ships no
+  * compressed-video codec, but Y4M is a real interchange container —
+  * what ffmpeg pipes between tools) and `y4mOpen`/`decodeVideo` demux
+  * the FRAME records and read the raw 4:2:0 YCbCr planes; frame
+  * sampling decodes and rescales real luma pixels. Shared by all three:
+  * the schema, the mapPartitions batch shape (the Scala analog of
+  * mapInPandas: one iterator per partition, amortizing per-batch
+  * setup), and the partitioning strategy.
   *
   * Scale notes (100 TB of media):
   *  - binaries never shuffle: metadata extraction projects features
@@ -171,25 +172,127 @@ object Multimodal {
     (if (n == 0) 0.0 else sumAbs.toDouble / n / 32768.0, n)
   }
 
-  /** STUB decode kernel for video: a real implementation would
-    * hand `payload` to a codec here. The fake is deterministic in the
-    * payload bytes so tests are stable.
+  /** Deterministic YUV4MPEG2 (Y4M) video blob: a real, parseable video
+    * container — plain-text header, then per frame a `FRAME\n` marker and
+    * raw 4:2:0 YCbCr planes. Pixels follow a closed-form gradient so
+    * tests can assert exact plane means: Y(x,y,f) = (x+y+f+31·docId) mod
+    * 256, Cb ≡ 128, Cr(f) = (64+f) mod 256.
     */
-  def decodeStub(payload: Array[Byte], modality: String): (Double, Int) = {
-    var h = 1125899906842597L
-    var s = 0L
-    var i = 0
-    while (i < payload.length) {
-      h = 31 * h + payload(i)
-      s += (payload(i) & 0xFF)
-      i += 1
+  private[graft] def y4mBytes(docId: Long, w: Int, h: Int,
+                              nFrames: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dimensions")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+                .getBytes("US-ASCII"))
+    val cw = w / 2
+    val ch = h / 2
+    var f = 0
+    while (f < nFrames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bos.write(((x + y + f + 31 * docId) & 0xFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < cw * ch) { bos.write(128); i += 1 }
+      i = 0
+      while (i < cw * ch) { bos.write((64 + f) & 0xFF); i += 1 }
+      f += 1
     }
-    val mean = if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
-    val frames = modality match {
-      case "video" => 1 + math.abs(h % 120).toInt // pretend fps*duration
-      case _       => 1
+    bos.toByteArray
+  }
+
+  /** A parsed Y4M stream: geometry plus a LAZY frame iterator — each
+    * `next()` yields one frame's raw YCbCr bytes (Y plane first, then
+    * Cb, Cr at quarter size). Long videos never materialize all frames.
+    */
+  private[graft] final case class Y4mVideo(width: Int, height: Int,
+                                           frames: Iterator[Array[Byte]])
+
+  /** REAL video demux: parses the YUV4MPEG2 stream header (W/H/C
+    * parameters) and walks the FRAME records. Only 4:2:0 chroma (the
+    * Y4M default and the dominant distribution format) is accepted —
+    * a production pipeline would transcode other samplings here, the
+    * same boundary contract as [[decodeAudio]].
+    */
+  private[graft] def y4mOpen(payload: Array[Byte]): Y4mVideo = {
+    var nl = 0
+    while (nl < payload.length && payload(nl) != '\n') nl += 1
+    require(nl < payload.length, "no Y4M header terminator")
+    val header = new String(payload, 0, nl, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks.headOption.contains("YUV4MPEG2"), s"not a Y4M stream: $header")
+    def param(p: Char): Option[String] =
+      toks.tail.find(t => t.nonEmpty && t.head == p).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing W"))
+    val h = param('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("Y4M header missing H"))
+    val chroma = param('C').getOrElse("420jpeg")
+    require(chroma.startsWith("420"), s"only 4:2:0 supported, got C$chroma")
+    val frameSize = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+    val it = new Iterator[Array[Byte]] {
+      private var off = nl + 1
+      def hasNext: Boolean = off < payload.length
+      def next(): Array[Byte] = {
+        require(payload.length - off >= 5 &&
+                  new String(payload, off, 5, "US-ASCII") == "FRAME",
+                s"bad FRAME marker at offset $off")
+        var e = off + 5
+        while (e < payload.length && payload(e) != '\n') e += 1
+        require(e < payload.length, "unterminated FRAME header")
+        val start = e + 1
+        require(payload.length - start >= frameSize,
+                s"truncated frame at offset $start")
+        off = start + frameSize
+        java.util.Arrays.copyOfRange(payload, start, start + frameSize)
+      }
     }
-    (mean, frames)
+    Y4mVideo(w, h, it)
+  }
+
+  /** REAL video decode: demux the Y4M container, accumulate every plane
+    * sample of every frame exactly (integer sum, one division at the
+    * end), report mean sample intensity in [0, 1] and the true frame
+    * count.
+    */
+  def decodeVideo(payload: Array[Byte]): (Double, Int) = {
+    val v = y4mOpen(payload)
+    var sum = 0L
+    var bytes = 0L
+    var n = 0
+    v.frames.foreach { fr =>
+      var i = 0
+      while (i < fr.length) { sum += (fr(i) & 0xFF); i += 1 }
+      bytes += fr.length
+      n += 1
+    }
+    (if (bytes == 0) 0.0 else sum.toDouble / bytes / 255.0, n)
+  }
+
+  /** REAL plane scaler (nearest-neighbor) for the video frame path: maps
+    * each target pixel back to its source pixel in the luma plane.
+    */
+  private[graft] def resizePlane(plane: Array[Byte], w: Int, h: Int,
+                                 targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](targetW * targetH)
+    var ty = 0
+    while (ty < targetH) {
+      val sy = (ty.toLong * h / targetH).toInt
+      var tx = 0
+      while (tx < targetW) {
+        val sx = (tx.toLong * w / targetW).toInt
+        out(ty * targetW + tx) = plane(sy * w + sx)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
   }
 
   private def checksum(payload: Array[Byte]): Long = {
@@ -212,7 +315,7 @@ object Multimodal {
         val (mean, frames) = r.modality match {
           case "image" => decodeImage(r.payload)
           case "audio" => decodeAudio(r.payload)
-          case _       => decodeStub(r.payload, r.modality)
+          case _       => decodeVideo(r.payload)
         }
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
                       checksum(r.payload), mean, frames)
@@ -222,9 +325,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table built from `documents` — stands
     * in for a real blob column in the driver testdata. Image rows carry
-    * genuine 64×64 grayscale PNGs, audio rows genuine 16-bit PCM WAVs
-    * (both seeded by doc_id); video rows carry the document's text bytes
-    * as an opaque stand-in payload.
+    * genuine 64×64 grayscale PNGs, audio rows genuine 16-bit PCM WAVs,
+    * video rows genuine 32×32 YUV4MPEG2 streams of 31–120 frames (all
+    * seeded by doc_id).
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -239,8 +342,10 @@ object Multimodal {
                                       nSamples = 2048 + (r.getLong(0) % 5).toInt * 256,
                                       sampleRate = 16000),
                              width = 0, height = 0, sample_rate = 16000)
-          case _ => MediaRow(r.getLong(0), "video", r.getString(1).getBytes("UTF-8"),
-                             width = 64, height = 64, sample_rate = 16000)
+          case _ => MediaRow(r.getLong(0), "video",
+                             y4mBytes(r.getLong(0), w = 32, h = 32,
+                                      nFrames = 31 + (r.getLong(0) % 90).toInt),
+                             width = 32, height = 32, sample_rate = 0)
         }
       }
   }
@@ -286,23 +391,6 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB resize kernel for the video frame path: deterministic byte
-    * downsample standing in for a real scaler. Output length is exactly
-    * targetW×targetH so downstream size accounting is real.
-    */
-  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val n = targetW * targetH
-    val out = new Array[Byte](n)
-    if (payload.nonEmpty) {
-      var i = 0
-      while (i < n) {
-        out(i) = payload((i.toLong * payload.length / n).toInt)
-        i += 1
-      }
-    }
-    out
-  }
-
   /** Binary-in/binary-out partition-local transform: images are resized
     * in place, other modalities pass through. Same batch discipline as
     * extractFeatures — and the resized payload stays partition-local
@@ -326,22 +414,25 @@ object Multimodal {
                             frame_bytes: Long, frame_checksum: Long)
 
   /** Frame sampling: 1→N row expansion, iterator-based so a long video
-    * never materializes all frames in memory at once. Every `stride`-th
-    * frame is emitted; frame payloads are summarized (bytes + checksum)
-    * immediately so, as everywhere else, no binary crosses a shuffle.
+    * never materializes all frames in memory at once. The Y4M demuxer
+    * streams frame records; every `stride`-th frame has its luma plane
+    * decoded and resized (real nearest-neighbor over real pixels) to
+    * 16×16, then is summarized (bytes + checksum) immediately so, as
+    * everywhere else, no binary crosses a shuffle.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.modality == "video").flatMap { r =>
-        val (_, nFrames) = decodeStub(r.payload, r.modality)
-        // (real pipeline: demux/seek context allocated per blob here)
-        Iterator.range(0, nFrames, stride).map { idx =>
-          val frame = resizeStub(r.payload, 16, 16) // stand-in frame decode
-          var h = 1125899906842597L + idx
-          var i = 0
-          while (i < frame.length) { h = 31 * h + frame(i); i += 1 }
-          FrameRow(r.media_id, idx, frame.length.toLong, h)
+        val v = y4mOpen(r.payload) // demux context allocated once per blob
+        v.frames.zipWithIndex.collect {
+          case (fr, idx) if idx % stride == 0 =>
+            val luma = java.util.Arrays.copyOfRange(fr, 0, v.width * v.height)
+            val frame = resizePlane(luma, v.width, v.height, 16, 16)
+            var h = 1125899906842597L + idx
+            var i = 0
+            while (i < frame.length) { h = 31 * h + frame(i); i += 1 }
+            FrameRow(r.media_id, idx, frame.length.toLong, h)
         }
       }
     }

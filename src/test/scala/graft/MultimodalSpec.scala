@@ -28,9 +28,36 @@ class MultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
-  test("decode stub honors modality frame semantics") {
-    val (_, vidFrames) = Multimodal.decodeStub("abc".getBytes, "video")
-    assert(vidFrames >= 1 && vidFrames <= 120)
+  test("video decode reads real YCbCr planes: gradient Y4M, exact means") {
+    // independent arithmetic: the test brute-forces the generator's
+    // closed-form gradient; the decoder must reproduce it from bytes
+    val (docId, w, h, n) = (5L, 8, 8, 3)
+    val blob = Multimodal.y4mBytes(docId, w, h, n)
+    val v = Multimodal.y4mOpen(blob)
+    assert(v.width == w && v.height == h)
+    val frames = v.frames.toSeq
+    assert(frames.length == n)
+    for (f <- 0 until n) {
+      val fr = frames(f)
+      assert(fr.length == w * h + 2 * (w / 2) * (h / 2))
+      val yMean = fr.take(w * h).map(_ & 0xFF).sum.toDouble / (w * h)
+      val expectY = (for (y <- 0 until h; x <- 0 until w)
+        yield (x + y + f + 31 * docId) & 0xFF).sum.toDouble / (w * h)
+      assert(yMean == expectY)
+      val cb = fr.slice(w * h, w * h + (w / 2) * (h / 2))
+      val cr = fr.drop(w * h + (w / 2) * (h / 2))
+      assert(cb.forall(b => (b & 0xFF) == 128))
+      assert(cr.forall(b => (b & 0xFF) == 64 + f))
+    }
+    // decodeVideo: exact overall mean over every plane sample
+    val allBytes = frames.flatten
+    val expectMean = allBytes.map(_ & 0xFF).sum.toDouble / allBytes.length / 255.0
+    val (mean, nf) = Multimodal.decodeVideo(blob)
+    assert(mean == expectMean && nf == n)
+    // malformed input is rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mOpen("MPEG-PS not y4m\n".getBytes("US-ASCII"))
+    }
   }
 
   test("image decode reads real pixels: known uniform PNG, known mean") {
@@ -93,7 +120,7 @@ class MultimodalSpec extends AnyFunSuite {
           new java.io.ByteArrayInputStream(r.payload))
         assert(img.getWidth == 32 && img.getHeight == 32)
         assert(r.width == 32 && r.height == 32)
-      } else assert(r.payload.length > 0 && (r.width == 0 || r.width == 64))
+      } else assert(r.payload.length > 0 && (r.width == 0 || r.width == 32))
     }
     assert(resized.length == media.count())
   }
@@ -125,7 +152,7 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_sampled") >= 1)
       assert(r.getAs[Long]("sampled_bytes") ==
-             r.getAs[Long]("n_sampled") * 256) // 16×16 stub frames
+             r.getAs[Long]("n_sampled") * 256) // 16×16 resized luma planes
     }
   }
 }
