@@ -436,6 +436,71 @@ object StreamingQ {
       | AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** LEFT-OUTER stream-stream interval join — the other production
+    * shape: every click emits, matched or not; an unmatched click's
+    * null-padded row may only be emitted once the watermark proves no
+    * matching view can still arrive (watermark > click_ts, since a
+    * matching view has view_ts ≤ click_ts). That timing is the
+    * operator's whole point, and it is what makes the final answer
+    * equal to the BATCH left join only if every click's eviction bound
+    * is eventually passed — so the replay appends two sentinel rounds
+    * (one event per topic, a year past the corpus, tagged user −1 and
+    * filtered from the output): the first advances BOTH sides'
+    * watermarks past every real event (the engine takes the MIN across
+    * inputs, so a single-topic sentinel would stall the clock), the
+    * second guarantees a micro-batch in which the newly-evicted state
+    * emits. With the flush forced, the stream's answer IS the batch
+    * left join, and DuckDB oracles it (NULLS FIRST to match Spark's
+    * ascending null order). Late-null *timing* semantics — no null row
+    * while a match could still arrive — are pinned by StreamingSpec's
+    * fixture, where batch boundaries are hand-placed.
+    *
+    * State bound at 100 TB/day: views evict at watermark > view_ts +
+    * 10 min, clicks at watermark > click_ts — both sides' buffers hold
+    * only the watermark-delay window, same as the inner form; the outer
+    * semantics add no state, only deferred emission.
+    */
+  val qStreamJoinOuter: Q = (s, d) => {
+    val base = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
+    val clickBatches = base.map(_.filter(_.event_type == "click"))
+    val viewBatches = base.map(_.filter(_.event_type == "view"))
+    val maxTs = base.flatten.map(_.ts.getTime).max
+    def sentinel(k: Int) = Seq(Ev(-1L - k, new Timestamp(
+      maxTs + (k + 1) * 365L * 86400000L), -1L, "sentinel", 0.0))
+    runReplayStreams(s, "graft_stream_join_outer",
+                     Seq(clickBatches ++ Seq(sentinel(0), sentinel(2)),
+                         viewBatches ++ Seq(sentinel(1), sentinel(3)))) { dfs =>
+      val clicks = dfs(0)
+        .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val views = dfs(1)
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+                col("ts").as("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+      clicks.join(views,
+        col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts"),
+        "leftOuter")
+        .select(col("click_id"), col("view_id"), col("user_id"))
+      // NOTE: the sentinel filter must NOT live inside this streaming
+      // plan — Catalyst pushes a non-event-time predicate below
+      // withWatermark to the source, so the sentinel rows would never
+      // reach the watermark operator and the clock would never advance.
+    }.where(col("user_id") >= 0).orderBy("click_id", "view_id")
+  }
+
+  val qStreamJoinOuterSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+      |ORDER BY click_id, view_id NULLS FIRST""".stripMargin
+
   private def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(key)
@@ -493,7 +558,8 @@ object StreamingQ {
     "q_stream_watermark" -> qStreamWatermark,
     "q_stream_dedup"     -> qStreamDedup,
     "q_stream_stateful"  -> qStreamStateful,
-    "q_stream_join"      -> qStreamJoin
+    "q_stream_join"      -> qStreamJoin,
+    "q_stream_join_outer" -> qStreamJoinOuter
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +570,7 @@ object StreamingQ {
     // same replay, same cumulative-window equivalent — the successor
     // API is held to the identical oracle
     "q_stream_stateful_tws" -> qStreamStatefulSql,
-    "q_stream_join" -> qStreamJoinSql
+    "q_stream_join" -> qStreamJoinSql,
+    "q_stream_join_outer" -> qStreamJoinOuterSql
   )
 }

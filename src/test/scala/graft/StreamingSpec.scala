@@ -68,6 +68,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((11L, 10L), (13L, 12L)))
   }
 
+  test("left-outer stream join emits nulls only after watermark eviction") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long) =
+      Ev(id, Timestamp.valueOf(t), u, "e", 1.0)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val clicks = MemoryStream[Ev]
+      val views = MemoryStream[Ev]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ojfx_")
+      val q = {
+        val c = clicks.toDF()
+          .select(col("event_id").as("click_id"), col("user_id"),
+                  col("ts").as("click_ts"))
+          .withWatermark("click_ts", "30 minutes")
+        val v = views.toDF()
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+                  col("ts").as("view_ts"))
+          .withWatermark("view_ts", "30 minutes")
+        c.join(v, col("user_id") === col("v_user") &&
+                  col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+                  col("view_ts") <= col("click_ts"), "leftOuter")
+          .select(col("click_id"), col("view_id"))
+          .writeStream.format("memory").queryName("graft_oj_fx")
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append).start()
+      }
+      def rows() = spark.table("graft_oj_fx").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      try {
+        // batch 0: matched pair + a click with no view — matched row
+        // emits now; the unmatched click must NOT (a view for it could
+        // still arrive inside the watermark delay)
+        clicks.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+                           ev(2, "2024-01-01 10:05:00", 2)))
+        views.addData(Seq(ev(100, "2024-01-01 09:58:00", 1)))
+        q.processAllAvailable()
+        assert(rows() == Set((1L, Some(100L))),
+               "null row emitted while a match could still arrive")
+        // batch 1: both topics advance the event-time clock past click
+        // 2's eviction bound — now, and only now, its null row appears
+        clicks.addData(Seq(ev(3, "2024-01-01 12:00:00", 9)))
+        views.addData(Seq(ev(101, "2024-01-01 12:00:00", 8)))
+        q.processAllAvailable()
+        assert(rows() == Set((1L, Some(100L)), (2L, None)),
+               "evicted unmatched click did not emit its null row")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("transformWithState matches flatMapGroupsWithState semantics") {
     val fmgws = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
