@@ -17,6 +17,12 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-key session accumulator for the stateful op. */
 case class KeyCount(user_id: Long, n: Long, total: Double)
 
+/** TTL-fold emission: the key's running (n, total) since its last
+  * reset, stamped with the batch's max event time.
+  */
+case class TtlOut(user_id: Long, last_ts: java.sql.Timestamp, n: Long,
+                  total: Double)
+
 /** transformWithState processor: running count/total per user with an
   * explicit ValueState handle.
   */
@@ -550,8 +556,148 @@ object StreamingQ {
       }
     }.orderBy("user_id", "n")
 
+  /** Event-time micros of a timestamp (getTime is millis — the events
+    * table carries microsecond precision, and a gap compare that
+    * truncates to millis can disagree with the oracle at the boundary).
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  private val TtlMicros: Long = 2L * 86400L * 1000000L // 2 days
+
+  /** Shared TTL-fold kernel: per-key running (count, exact cents) that
+    * RESTARTS from zero when the key's event-time gap exceeds the TTL,
+    * with state REMOVED via [[GroupStateTimeout.EventTimeTimeout]] once
+    * the watermark passes last_ts + TTL. `onTimeout` is what the
+    * timed-out call emits (the oracled form emits nothing; the fixture
+    * form emits a tombstone so the spec can witness the eviction).
+    */
+  private def ttlFoldFn(onTimeout: Long => Iterator[TtlOut])
+      : (Long, Iterator[Ev], GroupState[(Long, Long, Long)]) => Iterator[TtlOut] =
+    (user, rows, state) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        onTimeout(user)
+      } else {
+        // iterator order is not defined — sort by event time so the
+        // gap scan is deterministic (ties: gap 0, order irrelevant)
+        val evs = rows.toSeq.sortBy(e => micros(e.ts))
+        var (last, n, c) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+        evs.foreach { e =>
+          val t = micros(e.ts)
+          if (last != Long.MinValue && t - last > TtlMicros) { n = 0L; c = 0L }
+          n += 1
+          c += cents(e.value)
+          last = t
+        }
+        state.update((last, n, c))
+        // eviction bound: wm > last + TTL ⇒ any future event of this key
+        // in a time-ordered stream has gap > TTL and would restart anyway
+        // (eviction is output-neutral; it exists to bound the store)
+        state.setTimeoutTimestamp(last / 1000L + TtlMicros / 1000L)
+        Iterator.single(TtlOut(user, new Timestamp(last / 1000L), n,
+                               centsToDouble(c)))
+      }
+    }
+
+  /** Per-key running state WITH A TTL — the 100 TB answer to "keyed
+    * state grows forever": a key inactive past the TTL has its state
+    * dropped by an event-time timeout (bounding the state store to keys
+    * active within the TTL window), and its next event starts from
+    * zero. Restart is decided by the EVENT-TIME GAP (scanned per event,
+    * so a mid-batch gap also resets), which makes the output a pure
+    * sessionized cumulative sum — independently replayable by DuckDB —
+    * while the timeout handles the operational half (state removal).
+    * The two halves agree by construction on a time-ordered stream: if
+    * the watermark passed last_ts + TTL (eviction), every later event
+    * of that key sits above the watermark, so its gap exceeds the TTL
+    * and the gap-reset fires regardless of whether the state row was
+    * still there. [[qStreamStatefulTtlFixture]] + StreamingSpec witness
+    * the eviction path itself (tombstone on `hasTimedOut`).
+    *
+    * Emission per active key per batch: (user, week, running n, running
+    * total since last reset), cents-exact like [[qStreamStateful]].
+    * (user_id, wk) is a total order both engines agree on — n is NOT
+    * one here, since it restarts at 1 after each reset.
+    */
+  val qStreamStatefulTtl: Q = (s, d) => {
+    import s.implicits._
+    val batches = eventWeekBatches(s, d)
+    runReplayStream(s, "graft_stream_ttl", batches) { df =>
+      df.withWatermark("ts", "1 minute")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.EventTimeTimeout)(
+          ttlFoldFn(_ => Iterator.empty))
+        .toDF()
+        .select(col("user_id"), date_trunc("week", col("last_ts")).as("wk"),
+                col("n"), col("total"))
+    }.orderBy("user_id", "wk")
+  }
+
+  /** Sessionized cumulative sum: a session break where the per-user
+    * event gap exceeds the TTL, then a weekly cumulative (count, exact
+    * decimal total) within (user, session); each (user, week) reports
+    * the session its last event belongs to — exactly what the TTL fold
+    * emits at each batch end.
+    */
+  val qStreamStatefulTtlSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk, value
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, wk, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 2 DAY THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts, wk, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), per AS (
+      |  SELECT user_id, sid, wk, COUNT(*) AS cnt,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS tot
+      |  FROM sess GROUP BY user_id, sid, wk
+      |), cum AS (
+      |  SELECT user_id, sid, wk,
+      |    CAST(SUM(cnt) OVER pw AS BIGINT) AS n,
+      |    CAST(CAST(SUM(tot) OVER pw AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |  FROM per
+      |  WINDOW pw AS (PARTITION BY user_id, sid ORDER BY wk
+      |                ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT user_id, wk, n, total FROM (
+      |  SELECT user_id, wk, n, total,
+      |    row_number() OVER (PARTITION BY user_id, wk ORDER BY sid DESC) AS rn
+      |  FROM cum) WHERE rn = 1
+      |ORDER BY user_id, wk""".stripMargin
+
+  /** Fixture form for StreamingSpec: same kernel, but the timed-out
+    * call emits a (user, −1, −1) tombstone so the spec can observe the
+    * eviction itself, not just the restart.
+    */
+  private[graft] def runStatefulTtlFixture(s: SparkSession,
+                                           batches: Seq[Seq[Ev]]): DataFrame = {
+    import s.implicits._
+    runReplayStream(s, "graft_stream_ttl_fx", batches) { df =>
+      df.withWatermark("ts", "1 minute")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.EventTimeTimeout)(
+          ttlFoldFn(u => Iterator.single(
+            TtlOut(u, new Timestamp(0L), -1L, -1.0))))
+        .toDF()
+    }
+  }
+
   val entries: Map[String, Q] = Map(
     "q_stream_stateful_tws" -> qStreamStatefulTws,
+    "q_stream_stateful_ttl" -> qStreamStatefulTtl,
     "q_stream_tumbling"  -> qStreamTumbling,
     "q_stream_sliding"   -> qStreamSliding,
     "q_stream_session"   -> qStreamSession,
@@ -571,6 +717,7 @@ object StreamingQ {
     // API is held to the identical oracle
     "q_stream_stateful_tws" -> qStreamStatefulSql,
     "q_stream_join" -> qStreamJoinSql,
-    "q_stream_join_outer" -> qStreamJoinOuterSql
+    "q_stream_join_outer" -> qStreamJoinOuterSql,
+    "q_stream_stateful_ttl" -> qStreamStatefulTtlSql
   )
 }

@@ -124,6 +124,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("TTL fold: timed-out key is evicted and restarts; active key accumulates") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, "e", v)
+    // TTL = 2 days. A appears once, goes silent while B keeps the
+    // event-time clock moving, gets EVICTED (watermark passes
+    // last_ts + TTL in a batch where A has no data), then returns and
+    // must restart from zero. C's gap (3 d) exceeds the TTL but the
+    // watermark never passes C's eviction bound before C returns — so
+    // C exercises the gap-reset path WITHOUT eviction. B accumulates
+    // through every batch.
+    val batches = Seq(
+      Seq(ev(1, "2024-01-01 10:00:00", 1, 1.0),   // A
+          ev(2, "2024-01-01 10:00:00", 2, 1.0),   // B
+          ev(3, "2024-01-01 10:00:00", 3, 5.0)),  // C
+      Seq(ev(4, "2024-01-02 10:00:00", 2, 1.0)),  // B; wm → Jan 1 09:59
+      Seq(ev(5, "2024-01-04 10:00:00", 2, 1.0),   // wm → Jan 2 09:59
+          ev(6, "2024-01-04 10:00:00", 3, 7.0)),  // C: gap 3 d > TTL → reset
+      Seq(ev(7, "2024-01-05 10:00:00", 2, 1.0)),  // wm → Jan 4 09:59 > A's
+                                                  // Jan 3 10:00 bound → evict A
+      Seq(ev(8, "2024-01-06 10:00:00", 1, 9.0),   // A returns: fresh state
+          ev(9, "2024-01-06 10:00:00", 2, 1.0)))
+    val out = StreamingQ.runStatefulTtlFixture(spark, batches).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+                 r.getAs[Double]("total")))
+    val a = out.filter(_._1 == 1L).toList
+    val b = out.filter(_._1 == 2L).map(t => (t._2, t._3)).sorted.toList
+    val c = out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet
+    // A: first fold, then the eviction tombstone, then a restart at 1
+    assert(a == List((1L, 1L, 1.0), (1L, -1L, -1.0), (1L, 1L, 9.0)),
+           s"eviction/restart sequence wrong: $a")
+    // B: plain accumulation, never reset, never evicted
+    assert(b == List((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)))
+    // C: gap-reset without eviction — second emission restarts, no tombstone
+    assert(c == Set((1L, 5.0), (1L, 7.0)), s"gap reset wrong: $c")
+  }
+
   test("transformWithState matches flatMapGroupsWithState semantics") {
     val fmgws = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
