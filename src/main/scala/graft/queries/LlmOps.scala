@@ -218,6 +218,78 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-engine check for the SimHash path. The signature kernel
+    * itself ([[simhash64]]) is a Scala hash function no other engine can
+    * replay — but everything DOWNSTREAM of it can be: this query writes
+    * the (doc_id, sh) signature table to parquet, then recomputes the
+    * near-dup candidate histogram FROM THAT PARQUET — chunk explode,
+    * same-chunk self-join (the pigeonhole rule), hamming =
+    * bit_count(xor), histogram over hamming ≤ 3 — and the DuckDB oracle
+    * reads the same parquet and re-derives the identical histogram with
+    * its own integer bit ops. A hash-pass certifies the bucketing,
+    * join, distinct and hamming arithmetic, isolating trust to the
+    * 64-bit kernel that [[qDedupSimhash]]'s planted-dup spec covers.
+    *
+    * The parquet handoff lives at a FIXED path (`/tmp/...`) because the
+    * oracle SQL is a static string the driver replays verbatim — each
+    * invocation overwrites it for the sf dir under test, and the
+    * correctness gate always runs the compare right after the dump.
+    */
+  private[graft] val SimhashSigPath = "/tmp/graft_simhash_sigs.parquet"
+
+  val qDedupSimhashStats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "sh")
+      .write.mode("overwrite").parquet(SimhashSigPath)
+    // recompute downstream from the materialized file, so both engines
+    // read the exact same signature bytes
+    val sigs = s.read.parquet(SimhashSigPath)
+    val chunks = sigs
+      .select(col("doc_id"), col("sh"), explode(array((0 until 4).map(lit): _*)).as("chunk_id"))
+      .select(col("doc_id"), col("sh"), col("chunk_id"),
+              expr("shiftrightunsigned(sh, chunk_id * 16) & 65535")
+                .as("chunk_val"))
+    val a = chunks.alias("a")
+    val b = chunks.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .select(col("hamming").cast("long"), col("n_pairs"))
+      .orderBy("hamming")
+  }
+
+  /** DuckDB re-derivation from the SAME signature parquet: arithmetic
+    * right shift + mask equals Spark's unsigned shift + mask on the
+    * 16-bit chunks, xor/bit_count are exact 64-bit ops.
+    */
+  val qDedupSimhashStatsSql: String =
+    s"""WITH sigs AS (
+      |  SELECT doc_id, sh FROM '$SimhashSigPath/*.parquet'
+      |), chunks AS (
+      |  SELECT doc_id, sh, c.c AS chunk_id,
+      |         (sh >> (c.c * 16)) & 65535 AS chunk_val
+      |  FROM sigs, (VALUES (0), (1), (2), (3)) c(c)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.sh AS sha, b.sh AS shb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+      |   AND a.doc_id < b.doc_id
+      |)
+      |SELECT CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming,
+      |       COUNT(*) AS n_pairs
+      |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+      |GROUP BY 1 ORDER BY hamming""".stripMargin
+
   /** N-gram (token 2-gram) Jaccard similarity for pairs within the same
     * source — exact verification stage that would follow LSH candidate
     * generation at scale (where the self-join below runs only on LSH
@@ -1338,6 +1410,7 @@ object LlmOps {
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_near"       -> qDedupNear,
     "q_dedup_simhash"    -> qDedupSimhash,
+    "q_dedup_simhash_stats" -> qDedupSimhashStats,
     "q_dedup_jaccard"    -> qDedupJaccard,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
     "q_dedup_near_clusters" -> qDedupNearClusters,
@@ -1369,6 +1442,7 @@ object LlmOps {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,
+    "q_dedup_simhash_stats" -> qDedupSimhashStatsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
