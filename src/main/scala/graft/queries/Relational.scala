@@ -340,17 +340,42 @@ object Relational {
     * one file per bucket — the layout that also lets the reader elide
     * the sort (and at 100 TB keeps file counts = buckets, not
     * buckets × tasks).
+    *
+    * Bucket count is SIZED TO THE DATA, not a constant: one bucket ≈
+    * one 128 MB file at rest (the parquet sweet spot — large enough to
+    * amortize footer/dictionary overhead, small enough that one bucket
+    * is one task's worth of work), rounded up to a power of two so a
+    * future re-bucketing by doubling/halving stays hash-aligned.
+    * Floor 8 keeps tiny demo inputs parallel; cap 2^20 bounds the
+    * at-rest file count (100 TB / 128 MB ≈ 2^20 — past that, grow the
+    * file size, not the bucket count).
     */
-  val BucketCount = 8
+  private[graft] def bucketCountForBytes(bytes: Long): Int = {
+    val target = 128L * 1024 * 1024
+    val needed = math.max(1L, (bytes + target - 1) / target)
+    val pow2 = java.lang.Long.highestOneBit(needed) *
+      (if (java.lang.Long.bitCount(needed) == 1) 1 else 2)
+    math.min(1 << 20, math.max(8L, pow2)).toInt
+  }
+
+  private def bucketCountFor(s: SparkSession, d: String): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = Seq("orders.parquet", "lineitem.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
+      p.getFileSystem(conf).getContentSummary(p).getLength
+    }.sum
+    bucketCountForBytes(bytes)
+  }
 
   private[graft] def bucketedFacts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val base = scratchDir("bucketed", d)
+    val nBuckets = bucketCountFor(s, d)
     def sink(df: DataFrame, key: String, name: String): DataFrame = {
       val tbl = s"graft_${name}_b_" + Integer.toHexString(d.hashCode)
-      df.repartition(BucketCount, col(key))
+      df.repartition(nBuckets, col(key))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(BucketCount, key).sortBy(key)
+        .bucketBy(nBuckets, key).sortBy(key)
         .option("path", s"$base/$name")
         .saveAsTable(tbl)
       s.table(tbl)

@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket count sizing: 128 MB target, power of two, floored and capped") {
+    import graft.queries.Relational.bucketCountForBytes
+    val mb = 1024L * 1024
+    assert(bucketCountForBytes(0L) == 8)               // tiny input → floor
+    assert(bucketCountForBytes(500 * mb) == 8)         // 4 needed → floor 8
+    assert(bucketCountForBytes(2048 * mb) == 16)       // exact power of two
+    assert(bucketCountForBytes(2049 * mb) == 32)       // rounds UP, stays pow2
+    assert(bucketCountForBytes(100L * 1024 * 1024 * mb) == (1 << 20)) // 100 TB cap
+  }
+
   test("q_sim_knn_join_ivf: only the hinted constant-size centroid broadcasts") {
     val p = plan("q_sim_knn_join_ivf")
     assert(p.contains("partial_topkbyscore"),
