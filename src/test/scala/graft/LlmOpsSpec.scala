@@ -164,6 +164,33 @@ class LlmOpsSpec extends AnyFunSuite {
            s"verified chain did not collapse to the root: $clusters")
   }
 
+  test("LSH candidate pair count grows ~linearly with the corpus, never n²") {
+    // the scaling claim behind the whole near-dup story, measured on
+    // WORK (candidate pairs scored by the verify stage), not wall time:
+    // a 10× corpus must grow candidates ~10× (dup rate is constant in
+    // this corpus), nowhere near the 100× an all-pairs plan would pay
+    def candPairs(dir: String): (Long, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").collect()
+      val counts = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+      docs.foreach { r =>
+        LlmOps.minhashBands(r.getString(1)).zipWithIndex.foreach {
+          case (h, b) =>
+            counts((b, h)) = counts.getOrElse((b, h), 0L) + 1L
+        }
+      }
+      (docs.length.toLong, counts.valuesIterator.map(k => k * (k - 1) / 2).sum)
+    }
+    val (n1, p1) = candPairs("/root/testdata/sf0.01")
+    val (n2, p2) = candPairs("/root/testdata/sf0.1")
+    val corpusGrowth = n2.toDouble / n1
+    val pairGrowth = p2.toDouble / p1
+    assert(p1 > 0 && p2 > 0, "fixture lost its near-dups")
+    assert(pairGrowth < math.pow(corpusGrowth, 1.5),
+           f"candidate growth $pairGrowth%.1f× vs corpus $corpusGrowth%.1f× " +
+           "— bucketing is no longer bounding the pair space")
+  }
+
   test("embedding LSH finds planted near-identical vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
