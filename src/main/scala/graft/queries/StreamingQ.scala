@@ -467,7 +467,13 @@ object StreamingQ {
     * semantics add no state, only deferred emission.
     */
   val qStreamJoinOuter: Q = (s, d) => {
-    val base = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
+    // with the sentinel flush the emitted SET equals the batch left join
+    // under ANY time-ordered batching (only emission timing shifts), so
+    // the real events replay as ONE micro-batch and the state-store
+    // rounds go to the minimum 3; the cross-batch buffering and
+    // null-timing semantics are pinned by StreamingSpec's fixture,
+    // where batch boundaries are the point
+    val base = Seq(eventWeekBatches(s, d).flatten)
     val clickBatches = base.map(_.filter(_.event_type == "click"))
     val viewBatches = base.map(_.filter(_.event_type == "view"))
     val maxTs = base.flatten.map(_.ts.getTime).max
