@@ -1066,21 +1066,21 @@ object LlmOps {
     * the same skip-null seed-42 long fold Spark's HashExpression applies
     * to an array<bigint>. Returns (fingerprint, n_selected).
     */
-  private[graft] def fingerprintKernel(text: String): (Long, Long) = {
+  private[graft] def tokenHashes(text: String): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val seed = 42L
-    val toks = text.split(" ").filter(_.nonEmpty)
-    val n = toks.length
-    // empty token stream: the expression form yields wins = [null];
-    // hashing skips null elements, so the fold stays at the seed
-    if (n == 0) return (seed, 1L)
-    val hashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      hashes(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed)
-      i += 1
-    }
+    text.split(" ").iterator.filter(_.nonEmpty)
+      .map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+      .toArray
+  }
+
+  /** Winnowing selection over a token-hash stream: max hash per sliding
+    * window of [[FingerprintWindow]] (monotonic deque, O(tokens)),
+    * deduped to first occurrence. Factored out so the cross-engine
+    * stats companion can check exactly this algorithm.
+    */
+  private[graft] def winnowSelect(hashes: Array[Long]): Array[Long] = {
+    val n = hashes.length
     val w = FingerprintWindow
     val selected =
       if (n < w) Array(hashes.max)
@@ -1102,10 +1102,25 @@ object LlmOps {
       }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     selected.foreach(seen.add(_))
-    var fp = seed
+    val out = new Array[Long](seen.size)
     val it = seen.iterator()
-    while (it.hasNext) fp = XXH64.hashLong(it.next(), fp)
-    (fp, seen.size.toLong)
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  private[graft] def fingerprintKernel(text: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seed = 42L
+    val hashes = tokenHashes(text)
+    // empty token stream: the expression form yields wins = [null];
+    // hashing skips null elements, so the fold stays at the seed
+    if (hashes.length == 0) return (seed, 1L)
+    val sel = winnowSelect(hashes)
+    var fp = seed
+    var i = 0
+    while (i < sel.length) { fp = XXH64.hashLong(sel(i), fp); i += 1 }
+    (fp, sel.length.toLong)
   }
 
   val qTextFingerprint: Q = (s, d) => {
@@ -1119,6 +1134,74 @@ object LlmOps {
       .toDF("doc_id", "fingerprint", "n_selected")
       .orderBy("doc_id")
   }
+
+  /** Cross-engine check for the winnowing path, same pattern as
+    * [[qDedupSimhashStats]]: the per-token hash stream (doc_id, pos, h)
+    * is materialized to parquet, Spark reports order-insensitive exact
+    * stats of its deque-selected fingerprint set (count, xor, min, max
+    * of the distinct window maxima), and DuckDB re-derives the SAME
+    * stats from the same parquet with its own window max + DISTINCT —
+    * an independent second implementation of the selection. A hash-pass
+    * certifies the monotonic-deque winnowing and the dedup, isolating
+    * trust to the xxhash64 preimages (pinned bit-identical to the
+    * expression form by LlmOpsSpec). The final fingerprint fold stays
+    * Spark-only (Spark's seeded hashLong chain — re-spelling it in SQL
+    * would verify nothing).
+    */
+  private[graft] val FingerprintHashPath =
+    "/tmp/graft_fingerprint_hashes.parquet"
+
+  val qTextFingerprintStats: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs
+      .flatMap { case (id, text) =>
+        tokenHashes(text).zipWithIndex.map { case (h, p) => (id, p, h) }
+      }
+      .toDF("doc_id", "pos", "h")
+      .write.mode("overwrite").parquet(FingerprintHashPath)
+    docs
+      .flatMap { case (id, text) =>
+        val hashes = tokenHashes(text)
+        if (hashes.isEmpty) None
+        else {
+          val sel = winnowSelect(hashes)
+          Some((id, sel.length.toLong, sel.reduce(_ ^ _), sel.min, sel.max))
+        }
+      }
+      .toDF("doc_id", "n_selected", "xor_sel", "min_sel", "max_sel")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB winnowing replay from the materialized hash stream: window
+    * max over the trailing [[FingerprintWindow]] positions (whole-doc
+    * max when the doc is shorter than a window), DISTINCT, then the
+    * same exact integer stats.
+    */
+  val qTextFingerprintStatsSql: String =
+    s"""WITH h AS (
+      |  SELECT doc_id, pos, h FROM '$FingerprintHashPath/*.parquet'
+      |), n AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id
+      |), win AS (
+      |  SELECT doc_id, pos,
+      |    MAX(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN ${FingerprintWindow - 1} PRECEDING
+      |                 AND CURRENT ROW) AS wm
+      |  FROM h
+      |), sel AS (
+      |  SELECT DISTINCT w.doc_id, w.wm
+      |  FROM win w JOIN n USING (doc_id)
+      |  WHERE n.n >= $FingerprintWindow AND w.pos >= ${FingerprintWindow - 1}
+      |  UNION
+      |  SELECT doc_id, MAX(h) AS wm FROM h
+      |  WHERE doc_id IN (SELECT doc_id FROM n WHERE n < $FingerprintWindow)
+      |  GROUP BY doc_id
+      |)
+      |SELECT doc_id, COUNT(*) AS n_selected, bit_xor(wm) AS xor_sel,
+      |       MIN(wm) AS min_sel, MAX(wm) AS max_sel
+      |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The composed training-data cleaning pipeline — the operators above
     * chained the way a pretraining corpus build would run them:
@@ -1425,6 +1508,7 @@ object LlmOps {
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
     "q_sim_knn_join"     -> qSimKnnJoin,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvf
@@ -1443,6 +1527,7 @@ object LlmOps {
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,
     "q_dedup_simhash_stats" -> qDedupSimhashStatsSql,
+    "q_text_fingerprint_stats" -> qTextFingerprintStatsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
