@@ -1123,6 +1123,48 @@ object LlmOps {
     (fp, sel.length.toLong)
   }
 
+  /** Corpus rebalancing (data mixing) — the curation step between dedup
+    * and training: downsample overrepresented strata so no language
+    * exceeds the smallest language's share. Selection is a DETERMINISTIC
+    * hash-rate rule, not `sample()`: keep a doc iff
+    * `knuth(doc_id) · n_lang < cap · 2³¹` where `knuth` is the
+    * multiplicative hash `(doc_id · 2654435761) mod 2³¹` and `cap` is
+    * the min per-language count — i.e. each language keeps a ≈cap-sized
+    * subset chosen by a fixed hash, independent of partitioning, run
+    * order, and engine. This is the 100 TB shape: one scan, a broadcast
+    * of the per-language counts (5 rows), a filter — no per-group sort
+    * or window over a 20 TB language partition (an exact-cap variant
+    * would rank within language; the rate rule trades ±√cap count
+    * jitter for a shuffle-free plan). The integer cross-multiplied
+    * compare is exact while `n_lang · 2³¹ < 2⁶³` (n_lang < 4·10⁹ —
+    * beyond that, promote to 128-bit decimal).
+    *
+    * Oracled row-for-row: DuckDB recomputes the same counts, cap, hash
+    * and compare — pure integer arithmetic both engines agree on.
+    */
+  val qSampleBalance: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val cap = counts.agg(min(col("n_lang"))).first().getLong(0)
+    docs.join(broadcast(counts), "lang")
+      .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1L << 31)))
+      .where(col("hkey") * col("n_lang") < lit(cap) * lit(1L << 31))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val qSampleBalanceSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+      |), cap AS (
+      |  SELECT MIN(n_lang) AS cap FROM c
+      |)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN c USING (lang), cap
+      |WHERE ((d.doc_id * 2654435761) % 2147483648) * c.n_lang
+      |      < cap.cap * 2147483648
+      |ORDER BY doc_id""".stripMargin
+
   val qTextFingerprint: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -1510,6 +1552,7 @@ object LlmOps {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
+    "q_sample_balance"   -> qSampleBalance,
     "q_sim_knn_join"     -> qSimKnnJoin,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvf
   )
@@ -1529,6 +1572,7 @@ object LlmOps {
     "q_dedup_simhash_stats" -> qDedupSimhashStatsSql,
     "q_text_fingerprint_stats" -> qTextFingerprintStatsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
+    "q_sample_balance" -> qSampleBalanceSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
     "q_sim_ann_ivf"   -> qSimAnnIvfSql,

@@ -164,6 +164,30 @@ class LlmOpsSpec extends AnyFunSuite {
            s"verified chain did not collapse to the root: $clusters")
   }
 
+  test("corpus rebalance caps every language near the smallest stratum") {
+    val dir = "/root/testdata/sf0.01"
+    val before = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = before.values.min
+    val kept = LlmOps.qSampleBalance(spark, dir).collect()
+    val keptByLang = kept.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    // the hash-rate rule keeps ≈cap per language (±√cap-ish jitter);
+    // the overrepresented stratum must actually shrink toward the cap
+    val tol = 3 * math.sqrt(cap.toDouble).ceil.toLong
+    before.keys.foreach { l =>
+      val k = keptByLang.getOrElse(l, 0L)
+      assert(math.abs(k - math.min(cap, before(l))) <= tol,
+             s"$l kept $k, expected ≈${math.min(cap, before(l))} ± $tol")
+    }
+    assert(keptByLang("en") < before("en") / 2,
+           "overrepresented language was not downsampled")
+    // deterministic: same rows on a re-run over a different partitioning
+    val again = LlmOps.qSampleBalance(spark, dir).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("LSH candidate pair count grows ~linearly with the corpus, never n²") {
     // the scaling claim behind the whole near-dup story, measured on
     // WORK (candidate pairs scored by the verify stage), not wall time:
