@@ -503,6 +503,50 @@ object LlmOps {
     out.orderBy("doc_id")
   }
 
+  /** Canonical selection — the decision dedup exists to make: for each
+    * verified near-dup cluster, KEEP exactly one member (longest text,
+    * ties to the smallest doc_id) and list the rest for dropping.
+    * Chains [[qDedupNearClusters]] with a per-cluster argmax — a
+    * cluster-keyed window over the (tiny) clustered subset, not the
+    * corpus; at 100 TB the window input is the dup set (∝ dup rate),
+    * so the sort is bounded by duplicates found, not data scanned.
+    *
+    * Oracled end-to-end: DuckDB re-derives the components via the
+    * recursive CTE, then applies the same argmax — so the gate covers
+    * candidate recall, clustering, AND the keep decision in one pass.
+    */
+  val qDedupCanonical: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val clustered = qDedupNearClusters(s, d).join(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clustered
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+           count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  // lazy: textually precedes qDedupNearClustersSql in the object body
+  lazy val qDedupCanonicalSql: String = {
+    val clusters = qDedupNearClustersSql
+      .replace("ORDER BY doc_id", "")
+    s"""WITH clusters AS (
+      |$clusters
+      |), scored AS (
+      |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+      |  FROM clusters c JOIN documents d USING (doc_id)
+      |)
+      |SELECT cluster_id,
+      |       MIN(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+      |       COUNT(*) AS n_members
+      |FROM scored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   /** Oracle for [[qDedupNearClusters]]: full exact-jaccard pair graph at
     * 0.5 (same CTEs as [[qDedupLshVerifySql]] — deliberately no LSH),
     * components via recursive transitive closure: reach(src,dst) is the
@@ -1539,6 +1583,7 @@ object LlmOps {
     "q_dedup_jaccard"    -> qDedupJaccard,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
     "q_dedup_near_clusters" -> qDedupNearClusters,
+    "q_dedup_canonical"  -> qDedupCanonical,
     "q_dedup_embed"      -> qDedupEmbed,
     "q_dedup_embed_stats" -> qDedupEmbedStats,
     "q_sim_topk"         -> qSimTopk,
@@ -1569,6 +1614,7 @@ object LlmOps {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,
+    "q_dedup_canonical"  -> qDedupCanonicalSql,
     "q_dedup_simhash_stats" -> qDedupSimhashStatsSql,
     "q_text_fingerprint_stats" -> qTextFingerprintStatsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,

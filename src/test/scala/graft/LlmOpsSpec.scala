@@ -164,6 +164,16 @@ class LlmOpsSpec extends AnyFunSuite {
            s"verified chain did not collapse to the root: $clusters")
   }
 
+  test("canonical selection keeps one member per verified cluster") {
+    val rows = LlmOps.qDedupCanonical(spark, plantedDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // docs 0,1,2 cluster; equal n_chars → tie broken by min doc_id
+    assert(r.getAs[Long]("cluster_id") == 0L)
+    assert(r.getAs[Long]("keep_id") == 0L)
+    assert(r.getAs[Long]("n_members") == 3L)
+  }
+
   test("corpus rebalance caps every language near the smallest stratum") {
     val dir = "/root/testdata/sf0.01"
     val before = spark.read.parquet(s"$dir/documents.parquet")
