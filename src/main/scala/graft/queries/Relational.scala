@@ -713,6 +713,64 @@ object Relational {
       |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
       |ORDER BY k""".stripMargin
 
+  // -------------------------------------------------------- merge/upsert
+
+  /** CDC-style MERGE (upsert) on immutable storage — latest-wins
+    * compaction, the copy-on-write pattern Delta/Hudi apply at file
+    * granularity, expressed in pure Spark: union the base snapshot with
+    * a versioned change feed (updates + inserts), then keep the highest
+    * version per key via one key-partitioned window. One shuffle on the
+    * merge key; at 100 TB the same plan runs per partition/bucket with
+    * file-level pruning deciding which base files even join the union —
+    * bucketing the base on the key (see [[qJoinBucketed]]) makes the
+    * compaction shuffle-free on the base side.
+    *
+    * The change feed is derived deterministically from the base so the
+    * oracle can rebuild it: keys ≡0 mod 37 get a priority rewrite and a
+    * +1.00 price bump; keys ≡0 mod 97 are re-inserted as new rows under
+    * key+600M. DuckDB replays the union + window argmax row-for-row.
+    */
+  val qMergeUpsert: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_totalprice"), lit(0).as("v"))
+    val updates = Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey"),
+              concat(lit("U-"), col("o_orderpriority")).as("o_orderpriority"),
+              (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+              lit(1).as("v"))
+    val inserts = Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select((col("o_orderkey") + lit(600000000L)).as("o_orderkey"),
+              lit("9-NEW").as("o_orderpriority"),
+              col("o_totalprice"), lit(1).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("v").desc)
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice, 0 AS v FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U-' || o_orderpriority, o_totalprice + 1.0, 1
+      |  FROM orders WHERE o_orderkey % 37 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 600000000, '9-NEW', o_totalprice, 1
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY v DESC) AS rk
+      |  FROM feed
+      |)
+      |SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM ranked WHERE rk = 1 ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
@@ -746,7 +804,8 @@ object Relational {
     "q_topk_global"      -> qTopkGlobal,
     "q_set_union"        -> qSetUnion,
     "q_set_intersect"    -> qSetIntersect,
-    "q_set_except"       -> qSetExcept
+    "q_set_except"       -> qSetExcept,
+    "q_merge_upsert"     -> qMergeUpsert
   )
 
   val oracles: Map[String, String] = Map(
@@ -780,6 +839,7 @@ object Relational {
     "q_topk_global"      -> qTopkGlobalSql,
     "q_set_union"        -> qSetUnionSql,
     "q_set_intersect"    -> qSetIntersectSql,
-    "q_set_except"       -> qSetExceptSql
+    "q_set_except"       -> qSetExceptSql,
+    "q_merge_upsert"     -> qMergeUpsertSql
   )
 }
