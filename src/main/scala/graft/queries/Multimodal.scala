@@ -181,30 +181,37 @@ object Multimodal {
   private[graft] def y4mBytes(docId: Long, w: Int, h: Int,
                               nFrames: Int): Array[Byte] = {
     require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dimensions")
-    val bos = new java.io.ByteArrayOutputStream()
-    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
-                .getBytes("US-ASCII"))
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
     val cw = w / 2
     val ch = h / 2
+    val frameSize = w * h + 2 * cw * ch
+    val out = new Array[Byte](header.length +
+                                nFrames * (marker.length + frameSize))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
     var f = 0
     while (f < nFrames) {
-      bos.write("FRAME\n".getBytes("US-ASCII"))
+      System.arraycopy(marker, 0, out, off, marker.length)
+      off += marker.length
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          bos.write(((x + y + f + 31 * docId) & 0xFF).toInt)
+          out(off) = ((x + y + f + 31 * docId) & 0xFF).toByte
+          off += 1
           x += 1
         }
         y += 1
       }
-      var i = 0
-      while (i < cw * ch) { bos.write(128); i += 1 }
-      i = 0
-      while (i < cw * ch) { bos.write((64 + f) & 0xFF); i += 1 }
+      java.util.Arrays.fill(out, off, off + cw * ch, 128.toByte)
+      off += cw * ch
+      java.util.Arrays.fill(out, off, off + cw * ch, ((64 + f) & 0xFF).toByte)
+      off += cw * ch
       f += 1
     }
-    bos.toByteArray
+    out
   }
 
   /** A parsed Y4M stream: geometry plus a LAZY frame iterator — each
@@ -326,7 +333,7 @@ object Multimodal {
   /** Deterministic synthetic media table built from `documents` — stands
     * in for a real blob column in the driver testdata. Image rows carry
     * genuine 64×64 grayscale PNGs, audio rows genuine 16-bit PCM WAVs,
-    * video rows genuine 32×32 YUV4MPEG2 streams of 31–120 frames (all
+    * video rows genuine 16×16 YUV4MPEG2 streams of 31–120 frames (all
     * seeded by doc_id).
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -343,9 +350,9 @@ object Multimodal {
                                       sampleRate = 16000),
                              width = 0, height = 0, sample_rate = 16000)
           case _ => MediaRow(r.getLong(0), "video",
-                             y4mBytes(r.getLong(0), w = 32, h = 32,
+                             y4mBytes(r.getLong(0), w = 16, h = 16,
                                       nFrames = 31 + (r.getLong(0) % 90).toInt),
-                             width = 32, height = 32, sample_rate = 0)
+                             width = 16, height = 16, sample_rate = 0)
         }
       }
   }

@@ -120,7 +120,7 @@ class MultimodalSpec extends AnyFunSuite {
           new java.io.ByteArrayInputStream(r.payload))
         assert(img.getWidth == 32 && img.getHeight == 32)
         assert(r.width == 32 && r.height == 32)
-      } else assert(r.payload.length > 0 && (r.width == 0 || r.width == 32))
+      } else assert(r.payload.length > 0 && (r.width == 0 || r.width == 16))
     }
     assert(resized.length == media.count())
   }
