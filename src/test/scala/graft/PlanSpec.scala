@@ -102,6 +102,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_balance: per-language counts broadcast, corpus never shuffles") {
+    val p = plan("q_sample_balance")
+    assert(p.contains("BroadcastHashJoin"),
+           s"the 5-row count table must broadcast:\n$p")
+    // the only acceptable exchanges: the counts aggregation (tiny) and
+    // the final presentation sort — never a hash repartition of docs
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+           s"corpus rows must not shuffle on doc_id for a filter:\n$p")
+  }
+
+  test("q_merge_upsert: one key shuffle feeds the latest-wins window") {
+    val p = plan("q_merge_upsert")
+    val n = "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size
+    assert(n <= 1,
+           s"union + window must shuffle the merge key at most once:\n$p")
+  }
+
   test("bucket count sizing: 128 MB target, power of two, floored and capped") {
     import graft.queries.Relational.bucketCountForBytes
     val mb = 1024L * 1024
