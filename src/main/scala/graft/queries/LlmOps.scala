@@ -474,18 +474,23 @@ object LlmOps {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("rep")).as("nrep"))
+      // carry the PREVIOUS round's label through both steps: convergence
+      // must compare against it, not against the same-round propagated
+      // value — a round whose propagation changed a label but whose
+      // pointer jump was a no-op is NOT converged (a path like 0–2–3–1
+      // needs the next round to reach doc 1)
       val propagated = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("prev"),
                 least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       val next = propagated.alias("x")
         .join(propagated.select(col("doc_id").as("rep"),
                                 col("rep").as("rep2")).alias("y"),
               Seq("rep"), "left")
-        .select(col("doc_id"), col("rep"),
+        .select(col("doc_id"), col("prev"),
                 least(coalesce(col("rep2"), col("rep")), col("rep")).as("new_rep"))
         .persist()
       changed = next
-        .agg(coalesce(sum(when(col("new_rep") =!= col("rep"), 1L)
+        .agg(coalesce(sum(when(col("new_rep") =!= col("prev"), 1L)
                             .otherwise(0L)), lit(0L)))
         .first().getLong(0)
       val prev = labels
@@ -529,12 +534,10 @@ object LlmOps {
       .orderBy("cluster_id")
   }
 
-  // lazy: textually precedes qDedupNearClustersSql in the object body
+  // lazy: textually precedes clustersCteBody in the object body
   lazy val qDedupCanonicalSql: String = {
-    val clusters = qDedupNearClustersSql
-      .replace("ORDER BY doc_id", "")
     s"""WITH clusters AS (
-      |$clusters
+      |$clustersCteBody
       |), scored AS (
       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
       |    row_number() OVER (PARTITION BY c.cluster_id
@@ -553,7 +556,11 @@ object LlmOps {
     * reflexive-transitive closure over symmetric edges, so min(dst) per
     * src is exactly the component's min doc_id.
     */
-  val qDedupNearClustersSql: String =
+  /** The clusters derivation WITHOUT a final ORDER BY, shared verbatim
+    * by the standalone oracle (which appends one) and the canonical
+    * oracle (which embeds it as a CTE).
+    */
+  private lazy val clustersCteBody: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
@@ -586,7 +593,10 @@ object LlmOps {
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
       |)
       |SELECT src AS doc_id, MIN(dst) AS cluster_id
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      |FROM reach GROUP BY src""".stripMargin
+
+  val qDedupNearClustersSql: String =
+    clustersCteBody + "\nORDER BY doc_id"
 
   /** Full corpus-wide exact jaccard at the same threshold — the oracle
     * deliberately does NOT know about LSH, so a hash-pass certifies the
@@ -1179,17 +1189,25 @@ object LlmOps {
     * of the per-language counts (5 rows), a filter — no per-group sort
     * or window over a 20 TB language partition (an exact-cap variant
     * would rank within language; the rate rule trades ±√cap count
-    * jitter for a shuffle-free plan). The integer cross-multiplied
-    * compare is exact while `n_lang · 2³¹ < 2⁶³` (n_lang < 4·10⁹ —
-    * beyond that, promote to 128-bit decimal).
+    * jitter for a shuffle-free plan). Exactness bounds for the 64-bit
+    * arithmetic, which both engines must respect identically: the hash
+    * product needs `doc_id < 2⁶³/2654435761 ≈ 3.4·10⁹` (Spark would
+    * wrap silently past it, DuckDB would raise — so the rule is only
+    * DEFINED inside the bound; re-key or promote to 128-bit decimal
+    * beyond) and the cross-multiplied compare needs
+    * `n_lang · 2³¹ < 2⁶³` (n_lang < 4·10⁹).
     *
     * Oracled row-for-row: DuckDB recomputes the same counts, cap, hash
     * and compare — pure integer arithmetic both engines agree on.
     */
   val qSampleBalance: Q = (s, d) => {
+    import s.implicits._
     val docs = Tables.documents(s, d)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val cap = counts.agg(min(col("n_lang"))).first().getLong(0)
+    // one aggregation, collected once (≈5 rows): cap scalar + broadcast side
+    val countRows = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cap = countRows.map(_._2).min
+    val counts = countRows.toSeq.toDF("lang", "n_lang")
     docs.join(broadcast(counts), "lang")
       .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1L << 31)))
       .where(col("hkey") * col("n_lang") < lit(cap) * lit(1L << 31))
@@ -1247,14 +1265,16 @@ object LlmOps {
       }
       .toDF("doc_id", "pos", "h")
       .write.mode("overwrite").parquet(FingerprintHashPath)
-    docs
-      .flatMap { case (id, text) =>
-        val hashes = tokenHashes(text)
-        if (hashes.isEmpty) None
-        else {
-          val sel = winnowSelect(hashes)
-          Some((id, sel.length.toLong, sel.reduce(_ ^ _), sel.min, sel.max))
-        }
+    // derive the stats FROM the materialized file — both engines then
+    // winnow the exact same bytes, and the corpus is hashed once
+    s.read.parquet(FingerprintHashPath)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val hashes = it.toArray.sortBy(_._2).map(_._3)
+        val sel = winnowSelect(hashes)
+        (id, sel.length.toLong, sel.reduce(_ ^ _), sel.min, sel.max)
       }
       .toDF("doc_id", "n_selected", "xor_sel", "min_sel", "max_sel")
       .orderBy("doc_id")

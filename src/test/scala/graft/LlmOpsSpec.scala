@@ -164,6 +164,38 @@ class LlmOpsSpec extends AnyFunSuite {
            s"verified chain did not collapse to the root: $clusters")
   }
 
+  test("clustering converges on a path whose ids zig-zag (0–2–3–1)") {
+    import spark.implicits._
+    // adversarial id order: the min label (0) must cross doc 2 and doc 3
+    // to reach doc 1, and on the way there is a round whose propagation
+    // changes a label while the pointer jump is a no-op — a convergence
+    // check that only watches the jump would stop early and mislabel 1
+    val texts = (0 until 4).map { i =>
+      (i * 6 until i * 6 + 24).map(j => f"tok$j%03d").mkString(" ")
+    }
+    val idOf = Seq(0L, 2L, 3L, 1L) // window i belongs to doc idOf(i)
+    val gramSets = texts.map(t => LlmOps.twoGrams(t).toSet)
+    val verifiedEdges = (for {
+      i <- 0 until 4; j <- i + 1 until 4
+      jac = (gramSets(i) & gramSets(j)).size.toDouble /
+            (gramSets(i) | gramSets(j)).size
+      if jac >= 0.5
+      a = math.min(idOf(i), idOf(j)); b = math.max(idOf(i), idOf(j))
+    } yield (a, b)).toSet
+    assert(verifiedEdges == Set((0L, 2L), (2L, 3L), (1L, 3L)),
+           s"fixture no longer forms the zig-zag path: $verifiedEdges")
+    val dir = Files.createTempDirectory("graft_zigzag_").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (idOf(i), t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = LlmOps.qDedupNearClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+           s"zig-zag path did not collapse to the root: $clusters")
+  }
+
   test("canonical selection keeps one member per verified cluster") {
     val rows = LlmOps.qDedupCanonical(spark, plantedDir).collect()
     assert(rows.length == 1)
