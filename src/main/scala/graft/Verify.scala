@@ -42,8 +42,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // bind per-data-dir scratch handoff paths into the dumped SQL: the
+    // static oracle strings carry a placeholder tag (see queries.Scratch)
+    // so the SQL DuckDB executes names exactly the file this run wrote
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.queries.Scratch.resolveSql(v, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

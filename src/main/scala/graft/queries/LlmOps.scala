@@ -230,12 +230,14 @@ object LlmOps {
     * join, distinct and hamming arithmetic, isolating trust to the
     * 64-bit kernel that [[qDedupSimhash]]'s planted-dup spec covers.
     *
-    * The parquet handoff lives at a FIXED path (`/tmp/...`) because the
-    * oracle SQL is a static string the driver replays verbatim — each
-    * invocation overwrites it for the sf dir under test, and the
-    * correctness gate always runs the compare right after the dump.
+    * The parquet handoff lives under [[Scratch]] — a per-user 0700 dir
+    * with a per-data-dir tag, so concurrent runs on different sf dirs
+    * (or another local user squatting on `/tmp`) can't poison the file
+    * between this run's dump and its DuckDB compare. Verify binds the
+    * tag into the oracle SQL at dump time.
     */
-  private[graft] val SimhashSigPath = "/tmp/graft_simhash_sigs.parquet"
+  private[graft] def simhashSigPath(d: String): String =
+    Scratch.path("simhash_sigs", d)
 
   val qDedupSimhashStats: Q = (s, d) => {
     import s.implicits._
@@ -243,10 +245,10 @@ object LlmOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("doc_id", "sh")
-      .write.mode("overwrite").parquet(SimhashSigPath)
+      .write.mode("overwrite").parquet(simhashSigPath(d))
     // recompute downstream from the materialized file, so both engines
     // read the exact same signature bytes
-    val sigs = s.read.parquet(SimhashSigPath)
+    val sigs = s.read.parquet(simhashSigPath(d))
     val chunks = sigs
       .select(col("doc_id"), col("sh"), explode(array((0 until 4).map(lit): _*)).as("chunk_id"))
       .select(col("doc_id"), col("sh"), col("chunk_id"),
@@ -273,7 +275,7 @@ object LlmOps {
     */
   val qDedupSimhashStatsSql: String =
     s"""WITH sigs AS (
-      |  SELECT doc_id, sh FROM '$SimhashSigPath/*.parquet'
+      |  SELECT doc_id, sh FROM '${Scratch.sqlPath("simhash_sigs")}/*.parquet'
       |), chunks AS (
       |  SELECT doc_id, sh, c.c AS chunk_id,
       |         (sh >> (c.c * 16)) & 65535 AS chunk_val
@@ -500,6 +502,11 @@ object LlmOps {
       next.unpersist()
       rounds += 1
     }
+    // propagate+jump halves chain length each round, so 16 rounds cover
+    // component diameters up to 2^16 — but if a pathological graph ever
+    // exceeds that, fail loudly rather than emit unconverged labels
+    require(changed == 0,
+      s"label propagation did not converge in $rounds rounds ($changed labels still moving)")
     val out = labels
       .select(col("doc_id"), col("rep").as("cluster_id"))
       .localCheckpoint(true)
@@ -1203,16 +1210,30 @@ object LlmOps {
   val qSampleBalance: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    // one aggregation, collected once (≈5 rows): cap scalar + broadcast side
-    val countRows = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val cap = countRows.map(_._2).min
-    val counts = countRows.toSeq.toDF("lang", "n_lang")
-    docs.join(broadcast(counts), "lang")
-      .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1L << 31)))
-      .where(col("hkey") * col("n_lang") < lit(cap) * lit(1L << 31))
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy("doc_id")
+    // one aggregation, collected once (≈5 rows): cap scalar + broadcast
+    // side; max(doc_id) rides along so the arithmetic precondition is
+    // ENFORCED, not just documented (Spark would wrap the hash product
+    // silently past the bound while DuckDB raises — fail loudly instead)
+    val countRows = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_lang"), max(col("doc_id")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (countRows.isEmpty) {
+      // empty corpus: the balanced sample is empty, not an exception
+      docs.select(col("doc_id"), col("lang"), col("source")).limit(0)
+    } else {
+      val maxId = countRows.map(_._3).max
+      require(maxId <= Long.MaxValue / 2654435761L,
+        s"doc_id $maxId exceeds 2^63/2654435761 — hash product would wrap; re-key or use Decimal")
+      require(countRows.map(_._2).max < (1L << 32),
+        "per-language count exceeds 2^32 — cross-multiplied compare would overflow")
+      val cap = countRows.map(_._2).min
+      val counts = countRows.map(t => (t._1, t._2)).toSeq.toDF("lang", "n_lang")
+      docs.join(broadcast(counts), "lang")
+        .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1L << 31)))
+        .where(col("hkey") * col("n_lang") < lit(cap) * lit(1L << 31))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }
   }
 
   val qSampleBalanceSql: String =
@@ -1252,8 +1273,8 @@ object LlmOps {
     * Spark-only (Spark's seeded hashLong chain — re-spelling it in SQL
     * would verify nothing).
     */
-  private[graft] val FingerprintHashPath =
-    "/tmp/graft_fingerprint_hashes.parquet"
+  private[graft] def fingerprintHashPath(d: String): String =
+    Scratch.path("fingerprint_hashes", d)
 
   val qTextFingerprintStats: Q = (s, d) => {
     import s.implicits._
@@ -1264,10 +1285,10 @@ object LlmOps {
         tokenHashes(text).zipWithIndex.map { case (h, p) => (id, p, h) }
       }
       .toDF("doc_id", "pos", "h")
-      .write.mode("overwrite").parquet(FingerprintHashPath)
+      .write.mode("overwrite").parquet(fingerprintHashPath(d))
     // derive the stats FROM the materialized file — both engines then
     // winnow the exact same bytes, and the corpus is hashed once
-    s.read.parquet(FingerprintHashPath)
+    s.read.parquet(fingerprintHashPath(d))
       .select(col("doc_id"), col("pos"), col("h"))
       .as[(Long, Int, Long)]
       .groupByKey(_._1)
@@ -1287,7 +1308,7 @@ object LlmOps {
     */
   val qTextFingerprintStatsSql: String =
     s"""WITH h AS (
-      |  SELECT doc_id, pos, h FROM '$FingerprintHashPath/*.parquet'
+      |  SELECT doc_id, pos, h FROM '${Scratch.sqlPath("fingerprint_hashes")}/*.parquet'
       |), n AS (
       |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id
       |), win AS (

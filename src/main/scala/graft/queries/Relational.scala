@@ -728,9 +728,17 @@ object Relational {
     * The change feed is derived deterministically from the base so the
     * oracle can rebuild it: keys ≡0 mod 37 get a priority rewrite and a
     * +1.00 price bump; keys ≡0 mod 97 are re-inserted as new rows under
-    * key+600M. DuckDB replays the union + window argmax row-for-row.
+    * key + (max(o_orderkey)+1) — the offset is derived from the data, so
+    * insert keys are disjoint from base keys at ANY scale factor (a fixed
+    * offset would collide once orderkeys pass it and silently turn
+    * inserts into updates). DuckDB re-derives the same offset via a
+    * scalar subquery and replays the union + window argmax row-for-row.
     */
   val qMergeUpsert: Q = (s, d) => {
+    // scalar max — one agg action on the driver, exact integer arithmetic
+    // (no float log tricks), same value DuckDB's scalar subquery computes
+    val offset = Tables.orders(s, d)
+      .agg(max(col("o_orderkey"))).first().getLong(0) + 1L
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"),
               col("o_totalprice"), lit(0).as("v"))
@@ -742,7 +750,7 @@ object Relational {
               lit(1).as("v"))
     val inserts = Tables.orders(s, d)
       .where(pmod(col("o_orderkey"), lit(97)) === 0)
-      .select((col("o_orderkey") + lit(600000000L)).as("o_orderkey"),
+      .select((col("o_orderkey") + lit(offset)).as("o_orderkey"),
               lit("9-NEW").as("o_orderpriority"),
               col("o_totalprice"), lit(1).as("v"))
     val w = org.apache.spark.sql.expressions.Window
@@ -761,7 +769,8 @@ object Relational {
       |  SELECT o_orderkey, 'U-' || o_orderpriority, o_totalprice + 1.0, 1
       |  FROM orders WHERE o_orderkey % 37 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 600000000, '9-NEW', o_totalprice, 1
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+      |         '9-NEW', o_totalprice, 1
       |  FROM orders WHERE o_orderkey % 97 = 0
       |), ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY o_orderkey

@@ -594,7 +594,10 @@ object StreamingQ {
           if (last != Long.MinValue && t - last > TtlMicros) { n = 0L; c = 0L }
           n += 1
           c += cents(e.value)
-          last = t
+          // max, not assignment: a late event arriving in a LATER batch
+          // (t < last) must not move last_ts backwards — that would
+          // shrink the eviction bound and mis-stamp the emitted week
+          last = math.max(last, t)
         }
         state.update((last, n, c))
         // eviction bound: wm > last + TTL ⇒ any future event of this key

@@ -230,6 +230,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("rebalance on an empty corpus yields an empty sample, not a throw") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_empty_").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.qSampleBalance(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "source"))
+    assert(out.count() == 0L)
+  }
+
+  test("rebalance enforces the doc_id hash-wrap precondition loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bigid_").toString
+    Seq((Long.MaxValue / 2654435761L + 1L, "text", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.qSampleBalance(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("2654435761"))
+  }
+
   test("LSH candidate pair count grows ~linearly with the corpus, never n²") {
     // the scaling claim behind the whole near-dup story, measured on
     // WORK (candidate pairs scored by the verify stage), not wall time:

@@ -18,7 +18,10 @@ class MergeUpsertSpec extends AnyFunSuite {
     val merged = Relational.qMergeUpsert(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
     val inserted = merged.keySet -- base.keySet
-    assert(inserted.nonEmpty && inserted.forall(_ >= 600000000L))
+    // insert namespace = key + max(o_orderkey)+1, disjoint at any SF
+    val offset = base.keySet.max + 1L
+    assert(inserted.nonEmpty && inserted.forall(_ > base.keySet.max))
+    assert(inserted == base.keySet.filter(_ % 97 == 0).map(_ + offset))
     assert(inserted.forall(k => merged(k)._1 == "9-NEW"))
     base.foreach { case (k, (prio, price)) =>
       if (k % 37 == 0) {
