@@ -32,6 +32,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
-      LlmOps.oracles ++ StreamingQ.oracles ++ Extensions.oracles ++
-      Headline.oracles ++ Skew.oracles
+      LlmOps.oracles ++ StreamingQ.oracles ++ Multimodal.oracles ++
+      Extensions.oracles ++ Headline.oracles ++ Skew.oracles
 }

@@ -458,8 +458,134 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Cross-engine decode gate: per media blob, the mean intensity and
+    * frame count that the REAL codecs (javax.imageio PNG decode,
+    * javax.sound WAV parse, the Y4M demuxer) extract from the real
+    * container bytes. The generators are closed-form in doc_id, so the
+    * DuckDB oracle re-derives every expected pixel / PCM sample / plane
+    * byte ANALYTICALLY — a hash-pass proves, on every driver run, that
+    * encode→container→decode is the identity for all three modalities.
+    * (The PNG path crosses deflate compression; the WAV path crosses
+    * the RIFF container; the Y4M path crosses the FRAME demux.)
+    */
+  val qMultimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    extractFeatures(syntheticMedia(s, d))
+      .toDF()
+      .select(col("media_id"), col("modality"),
+              round(col("mean_intensity"), 6).as("mean_intensity"),
+              col("n_frames").cast("long").as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  /** Analytic re-derivation. Image: the pixel LCG runs in HUGEINT with
+    * an explicit mod 2^64 (DuckDB raises on BIGINT overflow where the
+    * JVM wraps; `>>> 33` equals `// 2^33` on the mod-2^64 value). Video:
+    * per-frame luma sums via the 31-term diagonal-weight series of the
+    * (x+y+f+31·doc) mod 256 gradient (w(s)=s+1 below the 16-diagonal,
+    * 31−s above), plus the constant-plane chroma. Audio: a square wave's
+    * mean |amplitude| is exactly its amplitude.
+    */
+  val qMultimodalDecodeSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id % 3 AS m FROM documents
+      |), img AS (
+      |  SELECT doc_id,
+      |    SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+      |               CAST(g.i AS HUGEINT) * 1442695040888963407)
+      |              % 18446744073709551616)
+      |             // 8589934592 % 256 AS BIGINT)) AS px
+      |  FROM docs, generate_series(0, 4095) g(i)
+      |  WHERE m = 0 GROUP BY doc_id
+      |), aud AS (
+      |  SELECT doc_id, 1000 + (doc_id % 8) * 3000 AS amp,
+      |         2048 + (doc_id % 5) * 256 AS n
+      |  FROM docs WHERE m = 1
+      |), vf AS (
+      |  SELECT doc_id, f.f AS f, (f.f + 31 * doc_id) % 256 AS c,
+      |         31 + doc_id % 90 AS nf
+      |  FROM docs, generate_series(0, 119) f(f)
+      |  WHERE m = 2 AND f.f < 31 + doc_id % 90
+      |), vy AS (
+      |  SELECT doc_id,
+      |    SUM((CASE WHEN s.s <= 15 THEN s.s + 1 ELSE 31 - s.s END) *
+      |        ((c + s.s) % 256)) AS ysum
+      |  FROM vf, generate_series(0, 30) s(s) GROUP BY doc_id
+      |), vch AS (
+      |  SELECT doc_id, SUM(8192 + 64 * ((64 + f) % 256)) AS ch,
+      |         MAX(nf) AS nf
+      |  FROM vf GROUP BY doc_id
+      |)
+      |SELECT doc_id AS media_id, 'image' AS modality,
+      |       round(px / 255.0 / 4096, 6) AS mean_intensity,
+      |       CAST(1 AS BIGINT) AS n_frames
+      |FROM img
+      |UNION ALL
+      |SELECT doc_id, 'audio',
+      |       round(CAST(amp * n AS DOUBLE) / n / 32768, 6),
+      |       CAST(n AS BIGINT)
+      |FROM aud
+      |UNION ALL
+      |SELECT v.doc_id, 'video',
+      |       round(CAST(y.ysum + v.ch AS DOUBLE) / (v.nf * 384) / 255, 6),
+      |       CAST(v.nf AS BIGINT)
+      |FROM vch v JOIN vy y USING (doc_id)
+      |ORDER BY media_id""".stripMargin
+
+  /** Frame-sampling gate: every 30th frame's resized 16×16 luma plane,
+    * summarized as exact integer stats — oracles the stride arithmetic,
+    * the plane slicing, and the (identity at 16×16) resize against the
+    * same analytic gradient as [[qMultimodalDecode]].
+    */
+  val qMultimodalFramesLuma: Q = (s, d) => {
+    import s.implicits._
+    syntheticMedia(s, d).mapPartitions { rows =>
+      rows.filter(_.modality == "video").flatMap { r =>
+        val v = y4mOpen(r.payload)
+        v.frames.zipWithIndex.collect {
+          case (fr, idx) if idx % 30 == 0 =>
+            val luma = java.util.Arrays.copyOfRange(fr, 0, v.width * v.height)
+            val res = resizePlane(luma, v.width, v.height, 16, 16)
+            var sum = 0L; var mn = 255; var mx = 0
+            res.foreach { b =>
+              val u = b & 0xFF
+              sum += u; mn = math.min(mn, u); mx = math.max(mx, u)
+            }
+            (r.media_id, idx.toLong, sum, mn.toLong, mx.toLong)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "luma_sum", "luma_min", "luma_max")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val qMultimodalFramesLumaSql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, 31 + doc_id % 90 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2
+      |), frames AS (
+      |  SELECT doc_id, f.f AS frame_idx, (f.f + 31 * doc_id) % 256 AS c
+      |  FROM vids, generate_series(0, 119) f(f)
+      |  WHERE f.f < nf AND f.f % 30 = 0
+      |), terms AS (
+      |  SELECT doc_id, frame_idx,
+      |         (CASE WHEN s.s <= 15 THEN s.s + 1 ELSE 31 - s.s END) AS wgt,
+      |         (c + s.s) % 256 AS val
+      |  FROM frames, generate_series(0, 30) s(s)
+      |)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(SUM(wgt * val) AS BIGINT) AS luma_sum,
+      |       MIN(val) AS luma_min, MAX(val) AS luma_max
+      |FROM terms GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin
+
   val entries: Map[String, Q] = Map(
-    "q_multimodal_features" -> qMultimodalFeatures,
-    "q_multimodal_frames"   -> qMultimodalFrames
+    "q_multimodal_features"    -> qMultimodalFeatures,
+    "q_multimodal_frames"      -> qMultimodalFrames,
+    "q_multimodal_decode"      -> qMultimodalDecode,
+    "q_multimodal_frames_luma" -> qMultimodalFramesLuma
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_decode"      -> qMultimodalDecodeSql,
+    "q_multimodal_frames_luma" -> qMultimodalFramesLumaSql
   )
 }
