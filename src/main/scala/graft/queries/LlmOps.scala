@@ -983,6 +983,95 @@ object LlmOps {
        |FROM toks WHERE length(tok) > 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition quality signals (the filter family from
+    * the Gopher/MassiveText cleaning rules): per document, the mass of
+    * the most frequent unigram and bigram and the duplicate-bigram
+    * fraction, plus a keep/drop decision at the classic thresholds.
+    * Shape at 100 TB: explode → (doc, gram) partial-agg → per-doc agg —
+    * two map-side-combinable aggregations, no window over the corpus
+    * and no per-doc collect; bigram construction is array-local inside
+    * the row (`zip_with` over two slices), so the only shuffles are the
+    * two keyed aggs. The keep flag compares ROUNDED fractions so both
+    * engines decide boundary cases identically.
+    */
+  val qTextQualityGopher: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_uni"))
+    val bg = docs
+      .select(col("doc_id"),
+              explode(expr(
+                """CASE WHEN size(toks) < 2 THEN array()
+                   ELSE zip_with(slice(toks, 1, size(toks) - 1),
+                                 slice(toks, 2, size(toks) - 1),
+                                 (x, y) -> concat(x, ' ', y)) END"""))
+                .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bi"),
+           count(lit(1)).as("n_distinct_bi"))
+    uni.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              round(col("top_uni").cast("double") / col("n_tokens"), 6)
+                .as("top_unigram_frac"),
+              round(coalesce(col("top_bi").cast("double") / col("n_bigrams"),
+                             lit(0.0)), 6).as("top_bigram_frac"),
+              round(coalesce(lit(1.0) -
+                               col("n_distinct_bi").cast("double") / col("n_bigrams"),
+                             lit(0.0)), 6).as("dup_bigram_frac"))
+      .withColumn("keep",
+        when(col("n_tokens").between(10, 10000) &&
+               col("top_unigram_frac") <= 0.2 &&
+               col("dup_bigram_frac") <= 0.6, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay: same token filter (list_filter drops empties while
+    * preserving adjacency), bigrams via a fixed index series (DuckDB
+    * lacks lateral generate_series over a column; corpus max is ~100
+    * tokens, bound 512 with a WHERE).
+    */
+  val qTextQualityGopherSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |  GROUP BY doc_id, tok
+      |), u AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni
+      |  FROM uni GROUP BY doc_id
+      |), bgl AS (
+      |  SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS bg
+      |  FROM t, generate_series(1, 512) g(i)
+      |  WHERE g.i <= len(toks) - 1
+      |), bgc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY doc_id, bg
+      |), b AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bi,
+      |         COUNT(*) AS n_distinct_bi
+      |  FROM bgc GROUP BY doc_id
+      |), j AS (
+      |  SELECT u.doc_id, u.n_tokens,
+      |    ROUND(CAST(u.top_uni AS DOUBLE) / u.n_tokens, 6) AS top_unigram_frac,
+      |    ROUND(COALESCE(CAST(b.top_bi AS DOUBLE) / b.n_bigrams, 0), 6)
+      |      AS top_bigram_frac,
+      |    ROUND(COALESCE(1 - CAST(b.n_distinct_bi AS DOUBLE) / b.n_bigrams, 0), 6)
+      |      AS dup_bigram_frac
+      |  FROM u LEFT JOIN b USING (doc_id)
+      |)
+      |SELECT *,
+      |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000
+      |             AND top_unigram_frac <= 0.2
+      |             AND dup_bigram_frac <= 0.6
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM j ORDER BY doc_id""".stripMargin
+
   /** Regex token counting (BPE-ish segmentation: word pieces, numbers,
     * punctuation runs).
     */
@@ -1632,6 +1721,7 @@ object LlmOps {
     "q_sim_ann_ivf"      -> qSimAnnIvf,
     "q_text_stats"       -> qTextStats,
     "q_text_quality"     -> qTextQuality,
+    "q_text_quality_gopher" -> qTextQualityGopher,
     "q_text_tokens"      -> qTextTokens,
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
@@ -1649,6 +1739,7 @@ object LlmOps {
     "q_sim_pairs"     -> qSimPairsSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_text_quality"  -> qTextQualitySql,
+    "q_text_quality_gopher" -> qTextQualityGopherSql,
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,

@@ -409,6 +409,59 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Bloom-prefiltered join — the runtime-filter pattern that decides
+    * whether a 100 TB probe-side SHUFFLE happens at all: a selective
+    * build side (≈10% of orders) is sketched into a Bloom filter by a
+    * distributed [[BloomFilterAggregate]] (partial sketches OR-merge on
+    * executors like any aggregate; only the final ~1 MiB bitmap reaches
+    * the driver — O(bits), constant in row count), and the probe scan
+    * applies [[BloomFilterMightContain]] BEFORE its exchange, so rows
+    * that cannot join never enter the shuffle. False positives are
+    * harmless — the exact equi-join still runs after — which is why the
+    * result is oracle-identical to the plain join. This is precisely
+    * what Spark's InjectRuntimeFilter synthesizes when it fires; built
+    * explicitly here so the pruning is guaranteed, not heuristic.
+    * PlanSpec asserts might_contain sits below the probe Exchange and
+    * that it actually prunes.
+    */
+  val qJoinBloom: Q = (s, d) => {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftShim
+    val dec = DecimalType(18, 2)
+    val buildSide = Tables.orders(s, d)
+      .where(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(
+        GraftShim.expression(xxhash64(col("o_orderkey"))),
+        Literal(1000000L), Literal(8L * 1024 * 1024 * 8)
+      ).toAggregateExpression())
+    val bf = buildSide.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val might = GraftShim.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col("l_orderkey")))))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .where(might)
+      .join(buildSide, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice").cast(dec) *
+               (lit(1).cast(dec) - col("l_discount").cast(dec)))
+             .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinBloomSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_totalprice > 450000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- aggregates
 
   /** TPC-H-Q1-shaped multi-measure hash aggregate (the reference's
@@ -799,6 +852,7 @@ object Relational {
     "q_join_asof_native" -> qJoinAsofNative,
     "q_join_multiway"    -> qJoinMultiway,
     "q_join_bucketed"    -> qJoinBucketed,
+    "q_join_bloom"       -> qJoinBloom,
     "q_agg_group"        -> qAggGroup,
     "q_agg_distinct"     -> qAggDistinct,
     "q_agg_rollup"       -> qAggRollup,
@@ -834,6 +888,7 @@ object Relational {
     "q_join_asof_native" -> qJoinAsofSql,
     "q_join_multiway"    -> qJoinMultiwaySql,
     "q_join_bucketed"    -> qJoinBucketedSql,
+    "q_join_bloom"       -> qJoinBloomSql,
     "q_agg_group"        -> qAggGroupSql,
     "q_agg_distinct"     -> qAggDistinctSql,
     "q_agg_rollup"       -> qAggRollupSql,

