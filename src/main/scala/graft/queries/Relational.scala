@@ -432,10 +432,15 @@ object Relational {
     val buildSide = Tables.orders(s, d)
       .where(col("o_totalprice") > 450000)
       .select(col("o_orderkey"), col("o_orderpriority"))
+    // size the sketch from the build cardinality (~16 bits/key ≈ 0.05%
+    // fpp): EVERY partial aggregate carries a full bitmap, so an
+    // oversized bloom turns the cheap sketch merge into the bottleneck
+    // — at any scale, bits ∝ build keys, never a fixed "big enough"
+    val nKeys = math.max(4096L, buildSide.count())
     val bloomAgg = GraftShim.column(
       new BloomFilterAggregate(
         GraftShim.expression(xxhash64(col("o_orderkey"))),
-        Literal(1000000L), Literal(8L * 1024 * 1024 * 8)
+        Literal(nKeys), Literal(nKeys * 16)
       ).toAggregateExpression())
     val bf = buildSide.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val might = GraftShim.column(BloomFilterMightContain(
