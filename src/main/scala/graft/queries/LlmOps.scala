@@ -1072,6 +1072,39 @@ object LlmOps {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM j ORDER BY doc_id""".stripMargin
 
+  /** Corpus-wide top-k n-gram census — the vocabulary/statistics job
+    * every tokenizer build runs. Exact global top 50 bigrams with a
+    * deterministic (count desc, gram asc) tiebreak. Plan shape at
+    * 100 TB: explode → hash-agg with MAP-SIDE PARTIAL combine (the
+    * shuffle carries one row per distinct gram per partition, not one
+    * per token), then `TakeOrderedAndProject` — the global top-k never
+    * sorts the full gram table. Same array-local bigram construction
+    * as [[qTextQualityGopher]].
+    */
+  val qTextTopkNgrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE zip_with(slice(toks, 1, size(toks) - 1),
+                         slice(toks, 2, size(toks) - 1),
+                         (x, y) -> concat(x, ' ', y)) END""")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg").asc)
+      .limit(50)
+
+  val qTextTopkNgramsSql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT toks[g.i] || ' ' || toks[g.i + 1] AS bg
+      |  FROM t, generate_series(1, 512) g(i)
+      |  WHERE g.i <= len(toks) - 1
+      |)
+      |SELECT bg, COUNT(*) AS n FROM bg
+      |GROUP BY bg ORDER BY n DESC, bg LIMIT 50""".stripMargin
+
   /** Regex token counting (BPE-ish segmentation: word pieces, numbers,
     * punctuation runs).
     */
@@ -1722,6 +1755,7 @@ object LlmOps {
     "q_text_stats"       -> qTextStats,
     "q_text_quality"     -> qTextQuality,
     "q_text_quality_gopher" -> qTextQualityGopher,
+    "q_text_topk_ngrams" -> qTextTopkNgrams,
     "q_text_tokens"      -> qTextTokens,
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
@@ -1740,6 +1774,7 @@ object LlmOps {
     "q_text_stats"    -> qTextStatsSql,
     "q_text_quality"  -> qTextQualitySql,
     "q_text_quality_gopher" -> qTextQualityGopherSql,
+    "q_text_topk_ngrams" -> qTextTopkNgramsSql,
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,

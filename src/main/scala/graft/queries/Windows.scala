@@ -174,13 +174,71 @@ object Windows {
       |             ORDER BY o_totalprice ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Batch gap-sessionization — the canonical event-log shape for a
+    * training-data pipeline (the batch twin of the streaming session
+    * window + TTL operators): per user, a session breaks where the
+    * event-time gap exceeds 30 min; emit per-session stats under a
+    * dense 1-based session number. Plan: ONE shuffle on user_id feeds
+    * both window passes (lag → break flags → running sum) and the final
+    * per-(user, session) aggregation — Catalyst reuses the partitioning
+    * because every step keys on user_id. At 100 TB the partition key is
+    * the user (millions of them), so the windows parallelize per user
+    * and no state ever spans users. Gap arithmetic runs in exact
+    * microseconds (both engines truncate the nanos column to µs), and
+    * (ts, event_id) makes the per-user order total.
+    */
+  val qSessionize: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+             1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+           sum(col("value").cast(dec)).cast("double").as("total_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      |  FROM events
+      |), l AS (
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev_ts
+      |  FROM e
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM l
+      |), sn AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM f
+      |)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sn GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
     "q_win_running"     -> qWinRunning,
     "q_win_lag_lead"    -> qWinLagLead,
     "q_win_range_frame" -> qWinRangeFrame,
-    "q_win_topk_group"  -> qWinTopkGroup
+    "q_win_topk_group"  -> qWinTopkGroup,
+    "q_sessionize"      -> qSessionize
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +247,7 @@ object Windows {
     "q_win_running"     -> qWinRunningSql,
     "q_win_lag_lead"    -> qWinLagLeadSql,
     "q_win_range_frame" -> qWinRangeFrameSql,
-    "q_win_topk_group"  -> qWinTopkGroupSql
+    "q_win_topk_group"  -> qWinTopkGroupSql,
+    "q_sessionize"      -> qSessionizeSql
   )
 }

@@ -222,6 +222,26 @@ class PlanSpec extends AnyFunSuite {
            "bloom may only over-approximate, never drop a true match")
   }
 
+  test("q_sessionize: one user_id shuffle feeds windows and the session agg") {
+    val p = plan("q_sessionize")
+    // HashPartitioning(user_id) satisfies the (user_id, session_no)
+    // clustering requirement of the final aggregate, so lag, running
+    // sum AND the session agg ride one hash exchange; the only other is
+    // the range partitioning of the output ORDER BY. Count detail-
+    // section nodes — the formatted plan prints each node twice.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+           s"expected 1 window shuffle + 1 order-by exchange, plan has $exchanges")
+  }
+
+  test("q_text_topk_ngrams: global top-k is TakeOrdered over a partial agg") {
+    val p = plan("q_text_topk_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+           "top-k must never globally sort the gram table")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+           "gram counts must partial-aggregate map-side")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
