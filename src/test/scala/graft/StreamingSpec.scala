@@ -162,6 +162,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(c == Set((1L, 5.0), (1L, 7.0)), s"gap reset wrong: $c")
   }
 
+  test("TTL fold: a late cross-batch event cannot move last_ts backwards") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, "e", v)
+    // batch 2's event is 30 s OLDER than batch 1's (still above the
+    // 1-minute watermark, so it reaches the fold). last_ts must stay at
+    // the max — assignment instead of max would shrink the eviction
+    // bound and stamp the second emission with the earlier time.
+    val batches = Seq(
+      Seq(ev(1, "2024-01-05 10:00:00", 1, 1.0)),
+      Seq(ev(2, "2024-01-05 09:59:30", 1, 2.0)))
+    val out = StreamingQ.runStatefulTtlFixture(spark, batches).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("last_ts").toString,
+                 r.getAs[Long]("n"), r.getAs[Double]("total"))).toList
+    assert(out == List(
+      ("2024-01-05 10:00:00.0", 1L, 1.0),
+      ("2024-01-05 10:00:00.0", 2L, 3.0)), s"got $out")
+  }
+
   test("transformWithState matches flatMapGroupsWithState semantics") {
     val fmgws = StreamingQ.qStreamStatefulFixture(spark, "").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
