@@ -763,6 +763,64 @@ object LlmOps {
       |       CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_cos
       |FROM c""".stripMargin
 
+  /** Embedding cluster-quality profile: per label, the centroid norm
+    * and the mean cosine of members to their own centroid — the
+    * compactness numbers an embedding-space audit reports before
+    * training on clustered data. Plan: posexplode → (label, pos) avg
+    * (the centroid table, k·d rows — broadcast-sized at any corpus
+    * scale since k and d are model constants), join back, one shuffle
+    * keyed by vec to fold each vector's dot/norm, then a k-row final
+    * agg. No pairwise work anywhere — compactness via the centroid is
+    * O(n·d), not O(n²). Parity recipe matches [[qDedupEmbedStats]]:
+    * per-vec cosine rounded to 6, decimal-summed, one IEEE division.
+    */
+  val qEmbedCentroids: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+              col("col").cast("double").as("v"))
+    val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+    ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+           sum(col("v") * col("v")).as("vn2"),
+           sum(col("c") * col("c")).as("cn2"))
+      .select(col("label"),
+              round(col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))), 6)
+                .as("cos_sim"),
+              col("cn2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           (sum(col("cos_sim").cast(dec6)).cast("double") / count(lit(1)))
+             .as("avg_cos"),
+           round(sqrt(max(col("cn2"))), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  val qEmbedCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, i.i AS pos,
+      |         CAST(embedding[i.i] AS DOUBLE) AS v
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |), cent AS (
+      |  SELECT label, pos, AVG(v) AS c FROM ex GROUP BY label, pos
+      |), per AS (
+      |  SELECT e.vec_id, e.label,
+      |         SUM(e.v * c.c) AS dot, SUM(e.v * e.v) AS vn2,
+      |         SUM(c.c * c.c) AS cn2
+      |  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY e.vec_id, e.label
+      |), cs AS (
+      |  SELECT label, ROUND(dot / (sqrt(vn2) * sqrt(cn2)), 6) AS cos_sim, cn2
+      |  FROM per
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |         AS avg_cos,
+      |       ROUND(sqrt(MAX(cn2)), 6) AS centroid_norm
+      |FROM cs GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------- similarity
 
   /** HOF formulation of cosine: per-element double widening, index-order
@@ -1749,6 +1807,7 @@ object LlmOps {
     "q_dedup_canonical"  -> qDedupCanonical,
     "q_dedup_embed"      -> qDedupEmbed,
     "q_dedup_embed_stats" -> qDedupEmbedStats,
+    "q_embed_centroids"  -> qEmbedCentroids,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
@@ -1789,6 +1848,7 @@ object LlmOps {
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
     "q_sim_ann_ivf"   -> qSimAnnIvfSql,
-    "q_dedup_embed_stats" -> qDedupEmbedStatsSql
+    "q_dedup_embed_stats" -> qDedupEmbedStatsSql,
+    "q_embed_centroids" -> qEmbedCentroidsSql
   )
 }

@@ -113,6 +113,38 @@ object Relational {
     """SELECT COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
+  /** CSV source with an explicit schema — the interchange format every
+    * ingest pipeline still meets. Round-trip: write a projection as
+    * headered CSV, read it back through Spark's CSV parser with a
+    * declared schema (never inferSchema at scale — it double-scans),
+    * aggregate. The oracle aggregates the ORIGINAL parquet, so a pass
+    * proves the text round-trip loses nothing (doubles survive via
+    * toString/parse round-tripping). CSV files split by line at scale
+    * like any text source; the declared schema keeps the read
+    * single-pass.
+    */
+  val qScanCsv: Q = (s, d) => {
+    val tmp = scratchDir("csv", d)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val dec = DecimalType(18, 2)
+    s.read
+      .schema("l_orderkey LONG, l_linenumber LONG, l_quantity DOUBLE, l_returnflag STRING")
+      .option("header", "true").csv(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+           sum(col("l_orderkey")).as("sum_keys"))
+      .orderBy("l_returnflag")
+  }
+
+  val qScanCsvSql: String =
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------- projection / filter
 
   /** Arithmetic/bit expressions (reference F7 bitfield decode + F10 ×100
@@ -845,6 +877,7 @@ object Relational {
     "q_scan_pruned"      -> qScanPruned,
     "q_sink_partitioned" -> qSinkPartitioned,
     "q_scan_text_gz"     -> qScanTextGz,
+    "q_scan_csv"         -> qScanCsv,
     "q_project_expr"     -> qProjectExpr,
     "q_filter_pred"      -> qFilterPred,
     "q_join_inner"       -> qJoinInner,
@@ -881,6 +914,7 @@ object Relational {
     "q_scan_pruned"      -> qScanPrunedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,
     "q_scan_text_gz"     -> qScanTextGzSql,
+    "q_scan_csv"         -> qScanCsvSql,
     "q_project_expr"     -> qProjectExprSql,
     "q_filter_pred"      -> qFilterPredSql,
     "q_join_inner"       -> qJoinInnerSql,
