@@ -704,6 +704,46 @@ object Relational {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
+  /** UNPIVOT (melt): wide measures → long (measure, value) rows via the
+    * native unpivot operator, then a per-measure profile. The melt is a
+    * row-local 1→3 expansion (no shuffle of its own — the only exchange
+    * is the tiny final agg), which is what makes long-form conversion
+    * free at 100 TB. Values are decimal-exact per the [[util.dsum]]
+    * recipe.
+    */
+  val qUnpivot: Q = (s, d) => {
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+              col("l_quantity").cast(dec).as("quantity"),
+              col("l_extendedprice").cast(dec).as("extendedprice"),
+              col("l_discount").cast(dec).as("discount"))
+      .unpivot(Array(col("l_orderkey")),
+               Array(col("quantity"), col("extendedprice"), col("discount")),
+               "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+           sum(col("val")).cast("double").as("total"),
+           max(col("val")).cast("double").as("mx"))
+      .orderBy("measure")
+  }
+
+  val qUnpivotSql: String =
+    """WITH u AS (
+      |  SELECT l_orderkey, 'quantity' AS measure,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'extendedprice',
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'discount',
+      |         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |)
+      |SELECT measure, COUNT(*) AS n,
+      |       CAST(SUM(val) AS DOUBLE) AS total,
+      |       CAST(MAX(val) AS DOUBLE) AS mx
+      |FROM u GROUP BY measure ORDER BY measure""".stripMargin
+
   /** Null semantics: null-safe equality, IS DISTINCT FROM, null-aware
     * conditionals over the outer join's generated nulls.
     */
@@ -900,6 +940,7 @@ object Relational {
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
+    "q_unpivot"          -> qUnpivot,
     "q_null_semantics"   -> qNullSemantics,
     "q_sort_multi"       -> qSortMulti,
     "q_topk_global"      -> qTopkGlobal,
@@ -937,6 +978,7 @@ object Relational {
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,
+    "q_unpivot"          -> qUnpivotSql,
     "q_null_semantics"   -> qNullSemanticsSql,
     "q_sort_multi"       -> qSortMultiSql,
     "q_topk_global"      -> qTopkGlobalSql,
