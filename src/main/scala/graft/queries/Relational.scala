@@ -297,6 +297,34 @@ object Relational {
       | AND p2.p_size BETWEEN p1.p_size - 1 AND p1.p_size + 1
       |GROUP BY p1.p_brand ORDER BY brand""".stripMargin
 
+  /** BANDED range join — the scale path for [[qJoinThetaRange]]'s shape.
+    * The naive plan equi-joins on brand and filters the ±1 size band
+    * INSIDE each brand block, so work is quadratic per brand. Banding
+    * turns the range predicate itself into join keys: one side explodes
+    * each row into its 3 candidate bands {size−1, size, size+1}, the
+    * other keys by its actual size, and the equi-join on (brand, band)
+    * IS the between — exact, each qualifying pair produced exactly once
+    * (bands are distinct integers), no residual filter. Cost trades a
+    * 3× replication of one side for join blocks keyed by (brand, size)
+    * instead of brand — at 100 TB that's the difference between
+    * Σ_brand n² and Σ_(brand,size) n², orders of magnitude for wide
+    * bands of data. Oracle: the SAME SQL as the naive form — DuckDB
+    * replays the declarative between; a hash-pass proves the banding
+    * rewrite is semantics-preserving.
+    */
+  val qJoinRangeBanded: Q = (s, d) => {
+    val p1 = Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey").as("k1"), col("p_size").as("s1"))
+      .withColumn("band", explode(array(col("s1") - 1, col("s1"), col("s1") + 1)))
+    val p2 = Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey").as("k2"), col("p_size").as("band"))
+    p1.join(p2.hint("shuffle_hash"), Seq("p_brand", "band"))
+      .where(col("k1") < col("k2"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("brand")
+  }
+
   /** As-of join: for each event, the latest order (by date, orderkey
     * tiebreak) of the same user at-or-before the event time. Spark has no
     * ASOF JOIN; the idiomatic equivalent is condition-join + per-key
@@ -926,6 +954,7 @@ object Relational {
     "q_join_semi"        -> qJoinSemi,
     "q_join_anti"        -> qJoinAnti,
     "q_join_theta_range" -> qJoinThetaRange,
+    "q_join_range_banded" -> qJoinRangeBanded,
     "q_join_asof"        -> qJoinAsof,
     "q_join_asof_native" -> qJoinAsofNative,
     "q_join_multiway"    -> qJoinMultiway,
@@ -964,6 +993,7 @@ object Relational {
     "q_join_semi"        -> qJoinSemiSql,
     "q_join_anti"        -> qJoinAntiSql,
     "q_join_theta_range" -> qJoinThetaRangeSql,
+    "q_join_range_banded" -> qJoinThetaRangeSql,
     "q_join_asof"        -> qJoinAsofSql,
     "q_join_asof_native" -> qJoinAsofSql,
     "q_join_multiway"    -> qJoinMultiwaySql,

@@ -242,6 +242,16 @@ class PlanSpec extends AnyFunSuite {
            "gram counts must partial-aggregate map-side")
   }
 
+  test("q_join_range_banded: the range predicate IS the equi-join key") {
+    val p = plan("q_join_range_banded")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("BroadcastHashJoin"),
+           "banded form must plan a hash/merge equi-join")
+    // the between must NOT survive as a join residual — banding absorbed
+    // it into the keys; the only remaining non-key predicate is k1 < k2
+    assert(!p.contains(">= (s1"), "no residual range condition expected")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
