@@ -513,6 +513,38 @@ object StreamingQ {
       | AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
       |ORDER BY click_id, view_id NULLS FIRST""".stripMargin
 
+  /** Stream–static enrichment join — the third production join shape
+    * (after stream-stream inner and left-outer): a live event stream
+    * joined against a STATIC dimension. The dim broadcasts into every
+    * micro-batch (no state store at all — the join is stateless per
+    * row, which is exactly why it's the cheapest enrichment available
+    * at 100 TB/day: no watermarks, no eviction, just a map-side hash
+    * probe). Replayed through MemoryStream as real streaming execution;
+    * the per-row join is batching-invariant, so the batch join is an
+    * exact oracle. The aggregation happens AFTER the replay, on the
+    * result table — the operator under test is the streaming join.
+    */
+  val qStreamStaticJoin: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batches = eventWeekBatches(s, d)
+    val enriched = runReplayStream(s, "graft_stream_static", batches) { df =>
+      df.join(broadcast(dim), df("user_id") === dim("c_custkey"))
+        .select(col("user_id"), col("c_mktsegment"), col("value"))
+    }
+    enriched.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double")
+             .as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qStreamStaticJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   private def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(key)
@@ -714,7 +746,8 @@ object StreamingQ {
     "q_stream_dedup"     -> qStreamDedup,
     "q_stream_stateful"  -> qStreamStateful,
     "q_stream_join"      -> qStreamJoin,
-    "q_stream_join_outer" -> qStreamJoinOuter
+    "q_stream_join_outer" -> qStreamJoinOuter,
+    "q_stream_static_join" -> qStreamStaticJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,6 +760,7 @@ object StreamingQ {
     "q_stream_stateful_tws" -> qStreamStatefulSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_join_outer" -> qStreamJoinOuterSql,
+    "q_stream_static_join" -> qStreamStaticJoinSql,
     "q_stream_stateful_ttl" -> qStreamStatefulTtlSql
   )
 }
