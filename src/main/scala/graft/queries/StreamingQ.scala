@@ -527,7 +527,9 @@ object StreamingQ {
   val qStreamStaticJoin: Q = (s, d) => {
     val dim = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val batches = eventWeekBatches(s, d)
+    // stateless ⇒ batching-invariant: one micro-batch carries the whole
+    // replay, so the fixture pays one state-free commit instead of five
+    val batches = Seq(eventWeekBatches(s, d).flatten)
     val enriched = runReplayStream(s, "graft_stream_static", batches) { df =>
       df.join(broadcast(dim), df("user_id") === dim("c_custkey"))
         .select(col("user_id"), col("c_mktsegment"), col("value"))
