@@ -135,6 +135,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_vec_cosine"),
       (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteVectorSimilarity)
+    ext.injectOptimizerRule(_ => RewriteBandedRangeJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -153,6 +154,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorSimilarity))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorSimilarity
+    if (!spark.experimental.extraOptimizations.contains(RewriteBandedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteBandedRangeJoin
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -272,10 +272,16 @@ object Relational {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Non-equi range join. The equi key (p_brand) carries the shuffle so
-    * the planner uses sort-merge/hash on brand with the size band as a
-    * post-join filter — NOT a cartesian product. This is the 100 TB-safe
-    * shape for range joins: always pair the range with an equi key.
+  /** Non-equi range join, written DECLARATIVELY (equi key + size-band
+    * between). The injected [[graft.expressions.RewriteBandedRangeJoin]]
+    * optimizer rule recognizes the constant band and rewrites the plan
+    * to the banded equi-join automatically — so this query now PLANS
+    * like [[qJoinRangeBanded]] (Generate + hash join keyed on
+    * (brand, band)) while staying the natural spelling a user writes.
+    * The DuckDB oracle replays the raw between, so every driver run
+    * gates the rule's soundness. Without the rule the fallback shape is
+    * still safe (equi on brand, band as post-join filter — never a
+    * cartesian).
     */
   val qJoinThetaRange: Q = (s, d) => {
     val p1 = Tables.part(s, d).alias("p1")
