@@ -1163,6 +1163,43 @@ object LlmOps {
       |SELECT bg, COUNT(*) AS n FROM bg
       |GROUP BY bg ORDER BY n DESC, bg LIMIT 50""".stripMargin
 
+  /** Per-document character-level Shannon entropy — the cheapest
+    * gibberish/boilerplate detector in the quality family (encrypted or
+    * binary-ish text runs near 8 bits; natural language sits ~4).
+    * Computed in ONE aggregation pass via the identity
+    * H = log2(n) − Σ c·log2(c) / n over per-character counts — no
+    * window, no second scan; the (doc, char) partial agg combines
+    * map-side. Thresholding is left to the caller; the signal itself is
+    * exact arithmetic both engines replay (one log2 per distinct char).
+    */
+  val qTextEntropy: Q = (s, d) => {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+           count(lit(1)).as("n_distinct_chars"),
+           round(log2(sum(col("c"))) -
+                   sum(col("c") * log2(col("c"))) / sum(col("c")), 6)
+             .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  val qTextEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, g.i, 1) AS ch
+      |  FROM documents, generate_series(1, 1024) g(i)
+      |  WHERE g.i <= length(text)
+      |), cnt AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+      |       COUNT(*) AS n_distinct_chars,
+      |       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+      |         AS entropy_bits
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Regex token counting (BPE-ish segmentation: word pieces, numbers,
     * punctuation runs).
     */
@@ -1815,6 +1852,7 @@ object LlmOps {
     "q_text_quality"     -> qTextQuality,
     "q_text_quality_gopher" -> qTextQualityGopher,
     "q_text_topk_ngrams" -> qTextTopkNgrams,
+    "q_text_entropy"     -> qTextEntropy,
     "q_text_tokens"      -> qTextTokens,
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
@@ -1834,6 +1872,7 @@ object LlmOps {
     "q_text_quality"  -> qTextQualitySql,
     "q_text_quality_gopher" -> qTextQualityGopherSql,
     "q_text_topk_ngrams" -> qTextTopkNgramsSql,
+    "q_text_entropy"  -> qTextEntropySql,
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,
