@@ -1189,7 +1189,7 @@ object LlmOps {
   val qTextEntropySql: String =
     """WITH ch AS (
       |  SELECT doc_id, substr(text, g.i, 1) AS ch
-      |  FROM documents, generate_series(1, 1024) g(i)
+      |  FROM documents, generate_series(1, 8192) g(i)
       |  WHERE g.i <= length(text)
       |), cnt AS (
       |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
