@@ -1321,6 +1321,134 @@ object LlmOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Token 3-gram kernel for the contamination check — all consecutive
+    * word triples, distinct within doc; docs under 3 tokens contribute
+    * nothing (both engines agree on the skip).
+    */
+  private[graft] def threeGrams(text: String): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < 3) Array.empty
+    else toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** Benchmark-contamination check — the eval-set leakage scan every
+    * LLM training pipeline runs before a corpus ships: flag training
+    * docs sharing ≥ [[ContaminationMinOverlap]] distinct token 3-grams
+    * with any "benchmark" doc (here the held-out `doc_id % 50 = 0`
+    * slice stands in for an external eval suite).
+    *
+    * Scale shape (100 TB): the benchmark suite is MB-scale no matter
+    * how big the corpus is, so its gram set is BROADCAST — the corpus
+    * side streams map-side through a broadcast hash join with no
+    * corpus-wide shuffle; only the matching (doc, bench, gram) rows
+    * (a tiny fraction) reach the per-pair aggregate. Contrast with the
+    * near-dup problem where both sides are corpus-sized and need LSH.
+    */
+  val ContaminationMinOverlap = 3
+
+  val qTextContamination: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => threeGrams(t).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val bench = grams.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= ContaminationMinOverlap)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val qTextContaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+       |  FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+       |  WHERE len(ts) >= 3
+       |), bench AS (
+       |  SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 50 = 0
+       |)
+       |SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap
+       |FROM grams c JOIN bench b ON c.gram = b.gram
+       |WHERE c.doc_id % 50 <> 0
+       |GROUP BY c.doc_id, b.bench_id
+       |HAVING COUNT(*) >= $ContaminationMinOverlap
+       |ORDER BY c.doc_id, b.bench_id""".stripMargin
+
+  /** PII redaction — regex scrub of emails and phone numbers with
+    * per-doc redaction counts and a content hash of the scrubbed text,
+    * so the gate proves byte-identical redaction across engines, not
+    * just matching counts. The corpus text is synthetic word salad with
+    * no PII, so the fixture STEP plants deterministic PII derived from
+    * `doc_id` (an email for every doc, a cc address for every third,
+    * one phone each) — both engines build the identical augmented
+    * string from the same parquet, then scrub it independently.
+    *
+    * The patterns stay in the Java∩RE2 common dialect (char classes,
+    * bounded repeats — no backrefs or lookarounds) so Spark's
+    * `regexp_replace` (Java) and DuckDB's (RE2) provably agree.
+    *
+    * Scale shape: pure per-row map — narrow, whole-stage-codegen'd, no
+    * shuffle; at 100 TB this runs at scan speed.
+    */
+  val qTextPiiScrub: Q = (s, d) => {
+    val emailPat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    val aug = concat(
+      col("text"), lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@mail.example.com ph +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@corp.example.org"))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("clean"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("clean")).as("clean_hash"),
+        length(col("clean")).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qTextPiiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.com ph +1-555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || CASE WHEN doc_id % 3 = 0
+      |              THEN ' cc admin@corp.example.org' ELSE '' END AS aug
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+      |         AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}'))
+      |         AS BIGINT) AS n_phones,
+      |    regexp_replace(
+      |      regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |  FROM aug
+      |)
+      |SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_hash,
+      |       CAST(length(clean) AS BIGINT) AS clean_chars
+      |FROM scrub ORDER BY doc_id""".stripMargin
+
   /** Winnowing-style document fingerprint: xxhash64 per token, max hash
     * per sliding window of [[FingerprintWindow]], fingerprint = xxhash64
     * over the distinct selected hashes. Deterministic; rows-only + unit
@@ -1856,6 +1984,8 @@ object LlmOps {
     "q_text_tokens"      -> qTextTokens,
     "q_text_tfidf"       -> qTextTfidf,
     "q_text_langid"      -> qTextLangid,
+    "q_text_contamination" -> qTextContamination,
+    "q_text_pii_scrub"   -> qTextPiiScrub,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
@@ -1876,6 +2006,8 @@ object LlmOps {
     "q_text_tokens"   -> qTextTokensSql,
     "q_text_tfidf"    -> qTextTfidfSql,
     "q_text_langid"   -> qTextLangidSql,
+    "q_text_contamination" -> qTextContaminationSql,
+    "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,
