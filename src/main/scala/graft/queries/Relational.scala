@@ -145,6 +145,98 @@ object Relational {
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ORC source — the other columnar lake format Spark ships a native
+    * vectorized reader for. Round-trip a projection through ORC and
+    * aggregate; the oracle aggregates the ORIGINAL parquet, so a pass
+    * proves lossless interchange. ORC keeps the same scale properties
+    * as parquet (splittable stripes, predicate pushdown, column
+    * pruning), so at 100 TB this is a drop-in scan.
+    */
+  val qScanOrc: Q = (s, d) => {
+    val tmp = scratchDir("orc", d)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_orderkey")).as("sum_keys"))
+      .orderBy("l_returnflag")
+  }
+
+  val qScanOrcSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS cnt,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** JSON-lines source — the ingest format of every event firehose.
+    * Round-trip a projection through newline-delimited JSON and read it
+    * back with a DECLARED schema (schema inference at 100 TB means a
+    * full extra pass; never do it). JSON lines split by newline, so the
+    * scan parallelizes like any text source. The oracle aggregates the
+    * original parquet: a pass proves the text round-trip is lossless,
+    * doubles included (Spark writes shortest-round-trip decimals).
+    */
+  val qScanJson: Q = (s, d) => {
+    val tmp = scratchDir("json", d)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").json(tmp)
+    s.read
+      .schema("l_orderkey LONG, l_linenumber LONG, l_quantity DOUBLE, l_returnflag STRING")
+      .json(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_orderkey")).as("sum_keys"))
+      .orderBy("l_returnflag")
+  }
+
+  val qScanJsonSql: String = qScanOrcSql
+
+  // ------------------------------------------------------ recursive CTE
+
+  /** Calendar-dimension generation + time-series gap fill via Spark 4's
+    * recursive CTE (`WITH RECURSIVE`, SPARK-24497): generate every day
+    * of the events window, LEFT JOIN the fact, and emit zero rows for
+    * gap days (2024-01-31 has no events at any SF — the gap row is
+    * exercised, not hypothetical). The fixed horizon keeps recursion
+    * depth at 31, far under `spark.sql.cteRecursionLevelLimit` (100).
+    *
+    * Scale shape: the recursion materializes a 31-row dimension — the
+    * iterative UnionLoop runs on the driver-side plan but each step is
+    * constant work; the fact side joins via BROADCAST of the tiny
+    * calendar and aggregates map-side. At 100 TB the calendar is still
+    * tiny (days, not rows), so this shape is unchanged.
+    */
+  val qRecursiveCalendar: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_cal")
+    s.sql(
+      """WITH RECURSIVE cal AS (
+        |  SELECT DATE '2024-01-01' AS day
+        |  UNION ALL
+        |  SELECT date_add(day, 1) FROM cal WHERE day < DATE '2024-01-31'
+        |)
+        |SELECT CAST(c.day AS TIMESTAMP) AS day, count(e.event_id) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM cal c LEFT JOIN graft_events_cal e ON to_date(e.ts) = c.day
+        |GROUP BY c.day ORDER BY day""".stripMargin)
+  }
+
+  val qRecursiveCalendarSql: String =
+    """WITH RECURSIVE cal AS (
+      |  SELECT DATE '2024-01-01' AS day
+      |  UNION ALL
+      |  SELECT day + 1 FROM cal WHERE day < DATE '2024-01-31'
+      |)
+      |SELECT CAST(c.day AS TIMESTAMP) AS day, count(e.event_id) AS n_events,
+      |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM cal c LEFT JOIN events e
+      |  ON CAST(CAST(e.ts AS TIMESTAMP) AS DATE) = c.day
+      |GROUP BY c.day ORDER BY day""".stripMargin
+
   // ------------------------------------------------- projection / filter
 
   /** Arithmetic/bit expressions (reference F7 bitfield decode + F10 ×100
@@ -952,6 +1044,9 @@ object Relational {
     "q_sink_partitioned" -> qSinkPartitioned,
     "q_scan_text_gz"     -> qScanTextGz,
     "q_scan_csv"         -> qScanCsv,
+    "q_scan_orc"         -> qScanOrc,
+    "q_scan_json"        -> qScanJson,
+    "q_recursive_calendar" -> qRecursiveCalendar,
     "q_project_expr"     -> qProjectExpr,
     "q_filter_pred"      -> qFilterPred,
     "q_join_inner"       -> qJoinInner,
@@ -991,6 +1086,9 @@ object Relational {
     "q_sink_partitioned" -> qSinkPartitionedSql,
     "q_scan_text_gz"     -> qScanTextGzSql,
     "q_scan_csv"         -> qScanCsvSql,
+    "q_scan_orc"         -> qScanOrcSql,
+    "q_scan_json"        -> qScanJsonSql,
+    "q_recursive_calendar" -> qRecursiveCalendarSql,
     "q_project_expr"     -> qProjectExprSql,
     "q_filter_pred"      -> qFilterPredSql,
     "q_join_inner"       -> qJoinInnerSql,

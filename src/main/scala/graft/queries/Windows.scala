@@ -231,6 +231,43 @@ object Windows {
       |FROM sn GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Last-observation-carried-forward (LOCF) gap fill — the standard
+    * repair for sparse time series. The fixture treats `error` events'
+    * value as missing (both engines apply the same NULLIF), then fills
+    * each gap with the latest preceding non-null value in the user's
+    * timeline via `last(..., ignoreNulls)` over an unbounded-preceding
+    * frame (DuckDB: `last_value(... IGNORE NULLS)`). Leading gaps (no
+    * prior observation) stay NULL in both engines.
+    *
+    * Scale shape: one shuffle on the high-cardinality user_id, linear
+    * running state per partition — same cost class as any running sum.
+    */
+  val qWinLocf: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(
+        col("event_id"), col("user_id"),
+        col("v").isNull.as("was_gap"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWinLocfSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, v IS NULL AS was_gap,
+      |  ROUND(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+      |FROM base ORDER BY user_id, event_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
@@ -238,6 +275,7 @@ object Windows {
     "q_win_lag_lead"    -> qWinLagLead,
     "q_win_range_frame" -> qWinRangeFrame,
     "q_win_topk_group"  -> qWinTopkGroup,
+    "q_win_locf"        -> qWinLocf,
     "q_sessionize"      -> qSessionize
   )
 
@@ -248,6 +286,7 @@ object Windows {
     "q_win_lag_lead"    -> qWinLagLeadSql,
     "q_win_range_frame" -> qWinRangeFrameSql,
     "q_win_topk_group"  -> qWinTopkGroupSql,
+    "q_win_locf"        -> qWinLocfSql,
     "q_sessionize"      -> qSessionizeSql
   )
 }
