@@ -986,6 +986,245 @@ object LlmOps {
       |GROUP BY a.vec_id
       |ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10""".stripMargin
 
+  // -------------------------------------------- product quantization (PQ)
+
+  /** PQ geometry: 64-dim vectors → [[PqSubspaces]] subvectors of
+    * [[PqSubDim]] dims, each encoded as one of [[PqCodes]] codebook
+    * entries → 8 bytes per vector, a 32× compression of the float data.
+    */
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqCodes = 16
+  private[graft] val PqTrainTarget = 256L
+
+  /** Integer quantization floor(x·10⁴ + 0.5) — one exact double→long
+    * mapping both engines spell identically, so every distance downstream
+    * is integer arithmetic with zero float-order sensitivity.
+    */
+  private[graft] def pqQuantize(v: Seq[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * 10000d + 0.5d).toLong
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def pqSqDist(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var acc = 0L
+    while (i < a.length) { val dlt = a(i) - b(i); acc += dlt * dlt; i += 1 }
+    acc
+  }
+
+  /** Deterministic Lloyd k-means per subspace over a vec_id-sorted
+    * sample: init = first [[PqCodes]] distinct subvectors in vec_id
+    * order, 8 iterations, assignment ties break to the lowest code,
+    * centroid update = componentwise rounded integer mean, empty
+    * clusters keep their centroid. Pure integer driver-side math —
+    * bit-stable across runs and JVMs.
+    */
+  private[graft] def pqTrain(
+      sample: Array[(Long, Array[Long])]): Array[Array[Array[Long]]] = {
+    require(sample.nonEmpty, "PQ training requires a non-empty sample")
+    val sorted = sample.sortBy(_._1).map(_._2)
+    Array.tabulate(PqSubspaces) { sub =>
+      val svs = sorted.map(_.slice(sub * PqSubDim, (sub + 1) * PqSubDim))
+      val init = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      val seen = scala.collection.mutable.HashSet[Seq[Long]]()
+      for (v <- svs if init.length < PqCodes)
+        if (seen.add(v.toSeq)) init += v
+      var cents = Array.tabulate(PqCodes)(k => init(k % init.length))
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(PqCodes, PqSubDim)(0L)
+        val counts = Array.fill(PqCodes)(0L)
+        for (v <- svs) {
+          var best = 0; var bestD = Long.MaxValue
+          var k = 0
+          while (k < PqCodes) {
+            val dd = pqSqDist(v, cents(k))
+            if (dd < bestD) { bestD = dd; best = k }
+            k += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < PqSubDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(PqCodes) { k =>
+          if (counts(k) == 0L) cents(k)
+          else Array.tabulate(PqSubDim)(j =>
+            math.floor(sums(k)(j).toDouble / counts(k) + 0.5d).toLong)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Train the codebook on a bounded sample (vec_id % step = 0, step
+    * sized so the sample stays ~[[PqTrainTarget]] rows as the corpus
+    * grows — training cost is CONSTANT in corpus size, the faiss
+    * recipe), materialize it to scratch parquet for the DuckDB replay,
+    * and return it for the in-process kernels.
+    */
+  private def pqCodebook(s: SparkSession, d: String): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    val n = emb.count()
+    val step = math.max(1L, n / PqTrainTarget)
+    val sample = emb.filter(_._1 % step == 0)
+      .map { case (id, v) => (id, pqQuantize(v)) }
+      .collect()
+    val cb = pqTrain(sample)
+    val rows = for {
+      sub <- 0 until PqSubspaces
+      code <- 0 until PqCodes
+    } yield (sub, code, cb(sub)(code).toSeq)
+    rows.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Scratch.path("pq_codebook", d))
+    cb
+  }
+
+  /** PQ + asymmetric distance computation (ADC) top-k — the compressed
+    * scan half of the IVF+PQ pairing every billion-vector ANN index
+    * runs. Encoding is a typed per-row kernel against the BROADCAST
+    * codebook: map-side only, no shuffle anywhere before the final
+    * `TakeOrderedAndProject` — at 100 TB the float embeddings are read
+    * once, and every later scan touches 8-byte codes (32× less IO).
+    * ADC looks each code up in the query's per-subspace distance table
+    * and sums — all integer math, so the DuckDB oracle re-encodes the
+    * ENTIRE corpus from the materialized codebook and replays ADC
+    * bit-exactly: the hash-pass proves every vector's code assignment,
+    * not just the 10 output rows.
+    */
+  val qSimPqAdc: Q = (s, d) => {
+    import s.implicits._
+    val cb = pqCodebook(s, d)
+    val bc = s.sparkContext.broadcast(cb)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    val qv = pqQuantize(
+      emb.filter(_._1 == 0L).map(_._2).head())
+    // query's ADC table: dist from the query subvector to every centroid
+    val qtab = Array.tabulate(PqSubspaces, PqCodes) { (sub, k) =>
+      pqSqDist(qv.slice(sub * PqSubDim, (sub + 1) * PqSubDim), cb(sub)(k))
+    }
+    val btab = s.sparkContext.broadcast(qtab)
+    emb.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val x = pqQuantize(v)
+        val book = bc.value
+        var adist = 0L
+        var sub = 0
+        while (sub < PqSubspaces) {
+          val sv = x.slice(sub * PqSubDim, (sub + 1) * PqSubDim)
+          var best = 0; var bestD = Long.MaxValue
+          var k = 0
+          while (k < PqCodes) {
+            val dd = pqSqDist(sv, book(sub)(k))
+            if (dd < bestD) { bestD = dd; best = k }
+            k += 1
+          }
+          adist += btab.value(sub)(best)
+          sub += 1
+        }
+        (id, adist)
+      }
+      .toDF("vec_id", "adist")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val qSimPqAdcSql: String =
+    s"""WITH xq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), cb AS (
+       |  SELECT sub, code, centroid
+       |  FROM '${Scratch.sqlPath("pq_codebook")}/*.parquet'
+       |), dist AS (
+       |  SELECT x.vec_id, c.sub, c.code,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (x.v[c.sub * $PqSubDim + i] - c.centroid[i])
+       |         * (x.v[c.sub * $PqSubDim + i] - c.centroid[i]))) AS BIGINT) AS dd
+       |  FROM xq x CROSS JOIN cb c
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY dd ASC, code ASC) AS rn
+       |    FROM dist) WHERE rn = 1
+       |), qtab AS (
+       |  SELECT sub, code, dd FROM dist WHERE vec_id = 0
+       |)
+       |SELECT c.vec_id, CAST(SUM(t.dd) AS BIGINT) AS adist
+       |FROM codes c JOIN qtab t ON c.sub = t.sub AND c.code = t.code
+       |WHERE c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adist ASC, c.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Code-usage histogram over the WHOLE corpus — the codebook-balance
+    * diagnostic (dead codes / skewed cells make PQ recall collapse).
+    * Shares [[qSimPqAdc]]'s kernel; the oracle re-derives every
+    * assignment from the materialized codebook, so this key checks all
+    * n·M code assignments, complementing ADC's top-k view.
+    */
+  val qSimPqCodes: Q = (s, d) => {
+    import s.implicits._
+    val cb = pqCodebook(s, d)
+    val bc = s.sparkContext.broadcast(cb)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (_, v) =>
+        val x = pqQuantize(v)
+        val book = bc.value
+        (0 until PqSubspaces).map { sub =>
+          val sv = x.slice(sub * PqSubDim, (sub + 1) * PqSubDim)
+          var best = 0; var bestD = Long.MaxValue
+          var k = 0
+          while (k < PqCodes) {
+            val dd = pqSqDist(sv, book(sub)(k))
+            if (dd < bestD) { bestD = dd; best = k }
+            k += 1
+          }
+          (sub, best)
+        }
+      }
+      .toDF("sub", "code")
+      .groupBy("sub", "code").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("sub", "code")
+  }
+
+  val qSimPqCodesSql: String =
+    s"""WITH xq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), cb AS (
+       |  SELECT sub, code, centroid
+       |  FROM '${Scratch.sqlPath("pq_codebook")}/*.parquet'
+       |), dist AS (
+       |  SELECT x.vec_id, c.sub, c.code,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (x.v[c.sub * $PqSubDim + i] - c.centroid[i])
+       |         * (x.v[c.sub * $PqSubDim + i] - c.centroid[i]))) AS BIGINT) AS dd
+       |  FROM xq x CROSS JOIN cb c
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY dd ASC, code ASC) AS rn
+       |    FROM dist) WHERE rn = 1
+       |)
+       |SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       |       COUNT(*) AS n_vecs
+       |FROM codes GROUP BY sub, code ORDER BY sub, code""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** Token/word statistics per language. */
@@ -1976,6 +2215,8 @@ object LlmOps {
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
+    "q_sim_pq_adc"       -> qSimPqAdc,
+    "q_sim_pq_codes"     -> qSimPqCodes,
     "q_text_stats"       -> qTextStats,
     "q_text_quality"     -> qTextQuality,
     "q_text_quality_gopher" -> qTextQualityGopher,
@@ -2019,6 +2260,8 @@ object LlmOps {
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
     "q_sim_ann_ivf"   -> qSimAnnIvfSql,
+    "q_sim_pq_adc"    -> qSimPqAdcSql,
+    "q_sim_pq_codes"  -> qSimPqCodesSql,
     "q_dedup_embed_stats" -> qDedupEmbedStatsSql,
     "q_embed_centroids" -> qEmbedCentroidsSql
   )
