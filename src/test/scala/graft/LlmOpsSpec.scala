@@ -371,6 +371,77 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ kernel: quantization, tie-break, and training determinism") {
+    // floor(x·1e4 + 0.5): exact halves round up, negatives toward +inf
+    assert(LlmOps.pqQuantize(Seq(0.12345f, -0.5f, 0f)).toSeq ==
+      Seq(1235L, -5000L, 0L))
+    // sqdist is plain integer math
+    assert(LlmOps.pqSqDist(Array(3L, 0L), Array(0L, 4L)) == 25L)
+    // training is deterministic in the sample ORDER (it sorts internally)
+    val rng = new scala.util.Random(7)
+    val sample = Array.tabulate(40) { i =>
+      (i.toLong, Array.fill(64)(rng.nextInt(2000).toLong - 1000L))
+    }
+    val a = LlmOps.pqTrain(sample)
+    val b = LlmOps.pqTrain(sample.reverse)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    assert(a.length == LlmOps.PqSubspaces &&
+      a.head.length == LlmOps.PqCodes &&
+      a.head.head.length == LlmOps.PqSubDim)
+  }
+
+  test("PQ ADC + rerank recovers the exact-L2 top-10") {
+    val out = LlmOps.qSimPqAdc(spark, sf).collect()
+    val got = out.map(_.getAs[Long]("vec_id")).toSet
+    // exact L2 on the same integer quantization — ADC approximates L2
+    // (NOT cosine: unnormalized vectors order differently under each)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        LlmOps.pqQuantize(r.getSeq[Float](1))))
+    val q = vecs.find(_._1 == 0L).get._2
+    val exactTop = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (LlmOps.pqSqDist(v, q), id) }
+      .sorted.take(10)
+    assert(got == exactTop.map(_._2).toSet,
+      s"rerank $got != exact-L2 ${exactTop.map(_._2).toSet}")
+    // and the emitted dist column IS the exact integer L2
+    val distById = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("dist")).toMap
+    exactTop.foreach { case (dd, id) => assert(distById(id) == dd) }
+  }
+
+  test("contamination flags a planted benchmark overlap only") {
+    import spark.implicits._
+    // doc 0 and 50 share a long run (>=3 distinct 3-grams); 50 is in the
+    // benchmark slice (id % 50 == 0); 77 shares nothing
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (50L, shared + " india juliett", "en", "src0", 100L),
+      (77L, "unrelated tokens entirely disjoint from everything here",
+        "en", "src0", 60L),
+      (120L, shared + " kilo lima", "en", "src1", 100L))
+    val dir = Files.createTempDirectory("graft_contam_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmOps.qTextContamination(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == 120L)
+    assert(rows.head.getAs[Long]("bench_id") == 50L)
+    assert(rows.head.getAs[Long]("overlap") == 6L) // 8-token shared run
+  }
+
+  test("PII scrub redacts every planted email and phone") {
+    val rows = LlmOps.qTextPiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expectedEmails = if (id % 3 == 0) 2L else 1L
+      assert(r.getAs[Long]("n_emails") == expectedEmails, s"doc $id")
+      assert(r.getAs[Long]("n_phones") == 1L, s"doc $id")
+    }
+  }
+
   test("approx_count_distinct within rsd tolerance of exact") {
     val df = graft.Tables.documents(spark, sf)
     val exact = df.select(countDistinct(col("text"))).first.getLong(0)
