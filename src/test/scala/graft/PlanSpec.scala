@@ -252,6 +252,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(">= (s1"), "no residual range condition expected")
   }
 
+  test("q_text_contamination: benchmark gram set broadcasts, corpus side never shuffles") {
+    val p = plan("q_text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+           s"the MB-scale benchmark grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+           s"the corpus gram stream must probe the broadcast, not sort-merge:\n$p")
+  }
+
+  test("q_sim_pq_adc: ADC scan is shuffle-free, rerank join broadcasts, top-k operator") {
+    val p = plan("q_sim_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+           s"both top-k stages must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+           s"the 50-row candidate set must broadcast into the rerank join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+           s"nothing in ADC+rerank may shuffle corpus data:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
