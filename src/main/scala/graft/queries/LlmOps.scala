@@ -472,6 +472,11 @@ object LlmOps {
       .persist()
     var changed = 1L
     var rounds = 0
+    // the persisted DF currently backing `labels` (labels itself is a
+    // lazy projection of it) — one cached table per round, not two, and
+    // the round's `changed` aggregation doubles as its materializer, so
+    // each round costs exactly one action
+    var backing = labels
     while (changed > 0 && rounds < 16) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -495,11 +500,9 @@ object LlmOps {
         .agg(coalesce(sum(when(col("new_rep") =!= col("prev"), 1L)
                             .otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      val prev = labels
-      labels = next.select(col("doc_id"), col("new_rep").as("rep")).persist()
-      labels.count()
-      prev.unpersist()
-      next.unpersist()
+      backing.unpersist()
+      backing = next
+      labels = next.select(col("doc_id"), col("new_rep").as("rep"))
       rounds += 1
     }
     // propagate+jump halves chain length each round, so 16 rounds cover
@@ -510,7 +513,7 @@ object LlmOps {
     val out = labels
       .select(col("doc_id"), col("rep").as("cluster_id"))
       .localCheckpoint(true)
-    labels.unpersist()
+    backing.unpersist()
     edges.unpersist()
     out.orderBy("doc_id")
   }
