@@ -268,6 +268,129 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
       |FROM base ORDER BY user_id, event_id""".stripMargin
 
+  /** SCD Type-2 history build — fold a change stream into versioned
+    * dimension intervals: consecutive same-attribute events collapse
+    * into one version; each version carries `[valid_from, valid_to)`
+    * with NULL valid_to marking the current row. This is the
+    * change-data-capture → warehouse-dimension transform.
+    *
+    * Shape: lag to flag changes, running sum to number versions, one
+    * aggregate, lead for the interval close — ALL of it rides a single
+    * user_id exchange (every window and the groupBy share the key), so
+    * at 100 TB this is one shuffle of the change stream.
+    */
+  val qScd2: Q = (s, d) => {
+    val byTs = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byVersion = Window.partitionBy("user_id").orderBy(col("version").asc)
+    Tables.events(s, d)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+             lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byTs.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "event_type", "valid_from",
+              "valid_to", "n_events", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), versioned AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, version, event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM versioned GROUP BY user_id, version, event_type
+      |)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |  valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |  n_events,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+      |    AS is_current
+      |FROM agg ORDER BY user_id, version""".stripMargin
+
+  /** Ordered funnel analysis — of the users who signed up, how many
+    * clicked within 24 h, and of those how many purchased within
+    * an hour of that first click? Each stage requires a STRICTLY LATER
+    * event than the previous stage's first completion, inside a
+    * 24-hour conversion window (the window is what makes drop-off real
+    * on this densely-active corpus: 150 → 65 → 29 at sf0.01).
+    *
+    * Shape: per-stage filters are pushed to the scan; each stage is a
+    * groupBy + join on user_id, so the whole funnel rides user_id
+    * hash partitioning — no broadcast of corpus data, no window over
+    * the full event stream.
+    */
+  val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts") > col("t1") &&
+             col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts") > col("t2") &&
+             col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val stage = (no: Int, name: String, df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_users"))
+    stage(1, "signup", s1)
+      .unionAll(stage(2, "click_after_signup", s2))
+      .unionAll(stage(3, "purchase_after_click", s3))
+      .orderBy("stage_no")
+  }
+
+  val qFunnelSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM base
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT b.user_id, MIN(b.ts) AS t2 FROM base b
+      |  JOIN s1 ON s1.user_id = b.user_id
+      |  WHERE b.event_type = 'click' AND b.ts > s1.t1
+      |    AND b.ts <= s1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY b.user_id
+      |), s3 AS (
+      |  SELECT b.user_id, MIN(b.ts) AS t3 FROM base b
+      |  JOIN s2 ON s2.user_id = b.user_id
+      |  WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+      |    AND b.ts <= s2.t2 + INTERVAL 24 HOUR
+      |  GROUP BY b.user_id
+      |)
+      |SELECT CAST(1 AS INT) AS stage_no, 'signup' AS stage,
+      |       COUNT(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2, 'click_after_signup', COUNT(*) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', COUNT(*) FROM s3
+      |ORDER BY stage_no""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
@@ -276,6 +399,8 @@ object Windows {
     "q_win_range_frame" -> qWinRangeFrame,
     "q_win_topk_group"  -> qWinTopkGroup,
     "q_win_locf"        -> qWinLocf,
+    "q_scd2"            -> qScd2,
+    "q_funnel"          -> qFunnel,
     "q_sessionize"      -> qSessionize
   )
 
@@ -287,6 +412,8 @@ object Windows {
     "q_win_range_frame" -> qWinRangeFrameSql,
     "q_win_topk_group"  -> qWinTopkGroupSql,
     "q_win_locf"        -> qWinLocfSql,
+    "q_scd2"            -> qScd2Sql,
+    "q_funnel"          -> qFunnelSql,
     "q_sessionize"      -> qSessionizeSql
   )
 }
