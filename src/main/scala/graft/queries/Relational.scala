@@ -196,6 +196,73 @@ object Relational {
 
   val qScanJsonSql: String = qScanOrcSql
 
+  // ------------------------------------------------------ data profiling
+
+  /** One-pass column profiler — the data-quality census every ingest
+    * runs before a table ships: per column, row count, non-null count,
+    * EXACT distinct count, min and max. All columns' stats are computed
+    * in a SINGLE aggregate over one scan (the profiler shape that
+    * matters at 100 TB — four separate profiling passes would read the
+    * table four times), then unpivoted row-per-column with `stack`.
+    */
+  val qProfileColumns: Q = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c"))
+      }
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_non_null, n_distinct, min_val, max_val)"))
+      .select("column_name", "n_rows", "n_non_null", "n_distinct",
+              "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
+  val qProfileColumnsSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT($c) AS n_non_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN($c) AS min_val, MAX($c) AS max_val FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** Fixed-width value histogram of order totals — the profiling
+    * companion for numeric distributions. Value bucketing (not
+    * equi-depth): bucket = floor(x / 50k), one hash shuffle on the
+    * bucket id, fully parallel at any scale. Equi-depth deciles would
+    * need a global sort or approximate quantiles (the approx path is
+    * covered by q_agg_approx); the fixed-width form is the one that
+    * stays exact AND distributed.
+    */
+  val qProfileHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / 50000).cast("long") * 50000)
+                .as("bucket_lo"),
+              col("o_totalprice"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n"),
+           round(min(col("o_totalprice")), 2).as("min_price"),
+           round(max(col("o_totalprice")), 2).as("max_price"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket_lo")
+
+  val qProfileHistogramSql: String =
+    s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+       |  COUNT(*) AS n,
+       |  ROUND(MIN(o_totalprice), 2) AS min_price,
+       |  ROUND(MAX(o_totalprice), 2) AS max_price,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+
   // ------------------------------------------------------ recursive CTE
 
   /** Calendar-dimension generation + time-series gap fill via Spark 4's
@@ -1047,6 +1114,8 @@ object Relational {
     "q_scan_orc"         -> qScanOrc,
     "q_scan_json"        -> qScanJson,
     "q_recursive_calendar" -> qRecursiveCalendar,
+    "q_profile_columns"  -> qProfileColumns,
+    "q_profile_histogram" -> qProfileHistogram,
     "q_project_expr"     -> qProjectExpr,
     "q_filter_pred"      -> qFilterPred,
     "q_join_inner"       -> qJoinInner,
@@ -1089,6 +1158,8 @@ object Relational {
     "q_scan_orc"         -> qScanOrcSql,
     "q_scan_json"        -> qScanJsonSql,
     "q_recursive_calendar" -> qRecursiveCalendarSql,
+    "q_profile_columns"  -> qProfileColumnsSql,
+    "q_profile_histogram" -> qProfileHistogramSql,
     "q_project_expr"     -> qProjectExprSql,
     "q_filter_pred"      -> qFilterPredSql,
     "q_join_inner"       -> qJoinInnerSql,
