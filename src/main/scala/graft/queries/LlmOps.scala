@@ -1545,6 +1545,68 @@ object LlmOps {
       |SELECT source, tok, tf, r_tfidf, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  /** Perplexity-style quality score (the CCNet filtering signal): each
+    * document's cross-entropy under a bigram language model trained on
+    * the corpus itself, add-one smoothed —
+    * xent(doc) = −avg over bigram instances of
+    * log2((c(w1,w2)+1) / (c(w1)+V)). High xent = improbable word
+    * sequences = gibberish/outlier docs; the standard LLM-pipeline
+    * move is to drop the high-perplexity tail.
+    *
+    * Determinism: each term is log2 of integer-valued doubles (counts),
+    * bit-identical in both engines; the per-doc mean rounds to 6 dp —
+    * the same tolerance-by-rounding contract as q_text_entropy.
+    *
+    * Scale shape: model "training" IS the corpus bigram/unigram count
+    * (map-side partial agg); scoring joins doc bigram instances to the
+    * count tables on the gram key — hash joins all the way, no
+    * broadcast of corpus-sized data, V and the vocab via a 1-row
+    * broadcast. At 100 TB this is the shape CCNet actually runs.
+    */
+  val qTextPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // bigram INSTANCES (not distinct): every consecutive pair, array-local
+    val bi = toks.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) < 2 THEN array()
+         ELSE zip_with(slice(toks, 1, size(toks) - 1),
+                       slice(toks, 2, size(toks) - 1),
+                       (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))
+         END""")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.bg").as("bg"))
+    val bgCount = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+    val uniCount = uni.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(countDistinct(col("w1")).as("v"))
+    bi.join(bgCount, "bg").join(uniCount, "w1").crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+              (log2(col("cbg") + 1) - log2(col("cw") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(-sum(col("lp")) / count(lit(1)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val qTextPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+      |  WHERE len(ts) >= 2
+      |), bgc AS (SELECT bg, COUNT(*) AS cbg FROM bi GROUP BY bg),
+      |uni AS (
+      |  SELECT unnest(ts) AS w1 FROM toks
+      |), unic AS (SELECT w1, COUNT(*) AS cw FROM uni GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT w1) AS v FROM uni)
+      |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(-SUM(log2(cbg + 1) - log2(cw + v.v)) / COUNT(*), 6) AS xent
+      |FROM bi JOIN bgc ON bi.bg = bgc.bg
+      |JOIN unic ON bi.w1 = unic.w1 CROSS JOIN v
+      |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+
   /** Heuristic language ID: score each document against small per-language
     * marker-token profiles, pick the best; ties go to the first language
     * in sorted order. Hash-checked against a DuckDB oracle generated from
@@ -2274,6 +2336,7 @@ object LlmOps {
     "q_text_langid"      -> qTextLangid,
     "q_text_contamination" -> qTextContamination,
     "q_text_pii_scrub"   -> qTextPiiScrub,
+    "q_text_perplexity"  -> qTextPerplexity,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
@@ -2296,6 +2359,7 @@ object LlmOps {
     "q_text_langid"   -> qTextLangidSql,
     "q_text_contamination" -> qTextContaminationSql,
     "q_text_pii_scrub" -> qTextPiiScrubSql,
+    "q_text_perplexity" -> qTextPerplexitySql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,
