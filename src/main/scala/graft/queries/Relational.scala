@@ -196,6 +196,94 @@ object Relational {
 
   val qScanJsonSql: String = qScanOrcSql
 
+  /** FULL OUTER join — per-(user, day) click activity vs purchase
+    * activity, where each side has keys the other lacks (days a user
+    * clicked but bought nothing and vice versa), so BOTH null-extension
+    * directions are exercised, not just declared. Plans as a sort-merge
+    * full join on the composite key — one shuffle per side at any
+    * scale.
+    */
+  val qJoinFull: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("event_type"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_clicks"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purch, Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+              col("n_clicks"), col("n_purchases"))
+      .orderBy("user_id", "day")
+  }
+
+  val qJoinFullSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, day, COUNT(*) AS n_clicks FROM ev
+      |  WHERE event_type = 'click' GROUP BY user_id, day
+      |), p AS (
+      |  SELECT user_id, day, COUNT(*) AS n_purchases FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY user_id, day
+      |)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  CAST(COALESCE(c.day, p.day) AS TIMESTAMP) AS day,
+      |  c.n_clicks, p.n_purchases
+      |FROM c FULL JOIN p ON c.user_id = p.user_id AND c.day = p.day
+      |ORDER BY user_id, day""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
+    * semi/anti joins (visible in the plan), so the subquery spelling
+    * costs the same as the explicit joins at any scale.
+    */
+  val qSubqueryExists: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_ex")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_ex")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_orders_ex
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem_ex
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem_ex
+        |                  WHERE l_orderkey = o_orderkey AND l_tax > 0.07)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qSubqueryExistsSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_tax > 0.07)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-key spelling SQL users reach for; the planner turns the
+    * correlation into a join + per-group limit rather than a per-row
+    * re-execution, which is what makes it usable at scale (the window
+    * formulation of the same thing is q_win_topk_group).
+    */
+  val qJoinLateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_customer_lat c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders_lat
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  val qJoinLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   // ------------------------------------------------------ data profiling
 
   /** One-pass column profiler — the data-quality census every ingest
@@ -1130,6 +1218,9 @@ object Relational {
     "q_join_multiway"    -> qJoinMultiway,
     "q_join_bucketed"    -> qJoinBucketed,
     "q_join_bloom"       -> qJoinBloom,
+    "q_join_full"        -> qJoinFull,
+    "q_join_lateral"     -> qJoinLateral,
+    "q_subquery_exists"  -> qSubqueryExists,
     "q_agg_group"        -> qAggGroup,
     "q_agg_distinct"     -> qAggDistinct,
     "q_agg_rollup"       -> qAggRollup,
@@ -1174,6 +1265,9 @@ object Relational {
     "q_join_multiway"    -> qJoinMultiwaySql,
     "q_join_bucketed"    -> qJoinBucketedSql,
     "q_join_bloom"       -> qJoinBloomSql,
+    "q_join_full"        -> qJoinFullSql,
+    "q_join_lateral"     -> qJoinLateralSql,
+    "q_subquery_exists"  -> qSubqueryExistsSql,
     "q_agg_group"        -> qAggGroupSql,
     "q_agg_distinct"     -> qAggDistinctSql,
     "q_agg_rollup"       -> qAggRollupSql,
