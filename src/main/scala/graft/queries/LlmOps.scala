@@ -2307,6 +2307,150 @@ object LlmOps {
       |SELECT qid, vec_id, cos_sim, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Sliding-window token chunking — the sequence-prep step that turns
+    * variable-length documents into model-sized training windows
+    * (chunk = 64 tokens, stride = 48, i.e. 16-token overlap). Chunk i of
+    * a doc covers tokens [i·48+1, i·48+64]; the last chunk is short.
+    *
+    * Scale shape: entirely row-local — tokenize once, explode a
+    * chunk-index sequence, slice the carried token array per index. No
+    * shuffle, no window, no join; output order rides the scan order and
+    * the final sort is the only exchange. At 100 TB this is a pure map
+    * stage. The chunk text itself is reduced to md5 so the gate compares
+    * content without materializing the (overlapping, ~1.3×-inflated)
+    * chunk bytes.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  val qTextChunk: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+    val nChunks = (greatest(col("n") - ChunkSize, lit(0)) + (ChunkStride - 1))
+      .divide(ChunkStride).cast("long") + 1
+    toked
+      .select(col("doc_id"), col("toks"), col("n"),
+              explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        least(col("n") - col("chunk_idx") * ChunkStride, lit(ChunkSize.toLong))
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+                lit(ChunkSize)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val qTextChunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, ts, len(ts) AS n,
+       |    (greatest(len(ts) - $ChunkSize, 0) + ${ChunkStride - 1})
+       |      // $ChunkStride + 1 AS n_chunks
+       |  FROM toks WHERE len(ts) > 0
+       |)
+       |SELECT doc_id, i AS chunk_idx,
+       |  least(n - i * $ChunkStride, $ChunkSize) AS n_chunk_toks,
+       |  md5(array_to_string(
+       |    ts[(i * $ChunkStride + 1):least(i * $ChunkStride + $ChunkSize, n)],
+       |    ' ')) AS chunk_md5
+       |FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Concatenate-and-pack sequence packing (the GPT-style batch prep):
+    * within each source, documents are laid end-to-end in doc_id order
+    * into a single token stream that is cut into fixed 256-token packs;
+    * each doc reports the pack its first token lands in, its offset
+    * inside that pack, and how many packs it spans.
+    *
+    * Scale shape: one running-sum window PARTITIONED BY source — the
+    * stream order is per-source, so the window parallelizes across
+    * sources instead of serializing the corpus through one partition
+    * (the global-concat variant is the classic anti-pattern). Everything
+    * after the window is arithmetic. One exchange on source, total.
+    */
+  val PackBudget = 256L
+
+  val qTextPack: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(tokens(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_toks"),
+        (col("start_off") / PackBudget).cast("long").as("pack_id"),
+        pmod(col("start_off"), lit(PackBudget)).as("pack_off"),
+        when(col("n_toks") === 0, 0L)
+          .otherwise(((col("start_off") + col("n_toks") - 1) / PackBudget)
+            .cast("long") - (col("start_off") / PackBudget).cast("long") + 1)
+          .as("n_packs_spanned"))
+      .orderBy("source", "doc_id")
+  }
+
+  val qTextPackSql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |                         t -> length(t) > 0)) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), offs AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(COALESCE(SUM(n_toks) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM sized
+       |)
+       |SELECT doc_id, source, n_toks,
+       |  start_off // $PackBudget AS pack_id,
+       |  start_off % $PackBudget AS pack_off,
+       |  CASE WHEN n_toks = 0 THEN 0
+       |       ELSE (start_off + n_toks - 1) // $PackBudget
+       |            - start_off // $PackBudget + 1 END AS n_packs_spanned
+       |FROM offs ORDER BY source, doc_id""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10) — the reproducible
+    * alternative to rand(): each doc's fate is a pure function of its
+    * id, so the split is stable across runs, engines, and re-partitions,
+    * and any node can recompute membership without coordination.
+    *
+    * The multiplicative hash runs in DECIMAL so it is exact for EVERY
+    * doc_id (no 2⁶³ wrap precondition — the [[qSampleBalance]] bound
+    * does not apply here); both engines do the same wide-integer
+    * multiply + mod. Thresholds are fixed integers: hkey < ⌊0.8·2³¹⌋ →
+    * train, < ⌊0.9·2³¹⌋ → val, else test. Row-for-row oracled.
+    */
+  val qSplitTrain: Q = (s, d) => {
+    val hkey = pmod(col("doc_id").cast(DecimalType(38, 0)) * lit(2654435761L),
+                    lit(2147483648L)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hkey.as("hkey"))
+      .select(col("doc_id"), col("lang"),
+        when(col("hkey") < 1717986918L, "train")
+          .when(col("hkey") < 1932735283L, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val qSplitTrainSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN hkey < 1717986918 THEN 'train'
+      |       WHEN hkey < 1932735283 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    (CAST(doc_id AS HUGEINT) * 2654435761) % 2147483648 AS hkey
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
@@ -2337,6 +2481,9 @@ object LlmOps {
     "q_text_contamination" -> qTextContamination,
     "q_text_pii_scrub"   -> qTextPiiScrub,
     "q_text_perplexity"  -> qTextPerplexity,
+    "q_text_chunk"       -> qTextChunk,
+    "q_text_pack"        -> qTextPack,
+    "q_split_train"      -> qSplitTrain,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
@@ -2360,6 +2507,9 @@ object LlmOps {
     "q_text_contamination" -> qTextContaminationSql,
     "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_text_perplexity" -> qTextPerplexitySql,
+    "q_text_chunk"      -> qTextChunkSql,
+    "q_text_pack"       -> qTextPackSql,
+    "q_split_train"     -> qSplitTrainSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_lsh_verify" -> qDedupLshVerifySql,
     "q_dedup_near_clusters" -> qDedupNearClustersSql,

@@ -449,4 +449,72 @@ class LlmOpsSpec extends AnyFunSuite {
       .first.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
+
+  /** Docs with exactly known token counts for the chunk/pack specs. */
+  private def sizedDocsDir(specs: Seq[(Long, Int, String)]): String = {
+    import spark.implicits._
+    val docs = specs.map { case (id, n, src) =>
+      (id, (1 to n).map(i => s"t$i").mkString(" "), "en", src, n.toLong)
+    }
+    val dir = Files.createTempDirectory("graft_sized_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chunking: stride/size arithmetic and overlap reconstruction") {
+    // 150 tokens → chunks at offsets 0,48,96: sizes 64,64,54;
+    // 64 tokens → one full chunk; 10 tokens → one short chunk
+    val dir = sizedDocsDir(Seq((1L, 150, "a"), (2L, 64, "a"), (3L, 10, "a")))
+    val rows = LlmOps.qTextChunk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Long]("n_chunk_toks")).toMap
+    assert(rows == Map(
+      (1L, 0L) -> 64L, (1L, 1L) -> 64L, (1L, 2L) -> 54L,
+      (2L, 0L) -> 64L, (3L, 0L) -> 10L))
+    // every token position is covered: last chunk ends at n
+    assert(2L * LlmOps.ChunkStride + 54 == 150)
+  }
+
+  test("chunking skips empty documents instead of emitting a zero chunk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sized_").toString
+    Seq((1L, "", "en", "a", 0L), (2L, "one two", "en", "a", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmOps.qTextChunk(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
+  test("packing: pack ids, offsets and span counts follow the token stream") {
+    // source a stream: starts 0,100,300,356 under budget 256
+    val dir = sizedDocsDir(Seq(
+      (1L, 100, "a"), (2L, 200, "a"), (3L, 56, "a"), (4L, 300, "a"),
+      (5L, 300, "b"))) // second source restarts its own stream at 0
+    val rows = LlmOps.qTextPack(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("pack_off"),
+          r.getAs[Long]("n_packs_spanned")))).toMap
+    assert(rows(1L) == ((0L, 0L, 1L)))   // [0,99]
+    assert(rows(2L) == ((0L, 100L, 2L))) // [100,299] crosses 256
+    assert(rows(3L) == ((1L, 44L, 1L)))  // [300,355]
+    assert(rows(4L) == ((1L, 100L, 2L))) // [356,655]
+    assert(rows(5L) == ((0L, 0L, 2L)))   // new source: [0,299]
+  }
+
+  test("train/val/test split matches the exact hash rule and is stable") {
+    val rows = LlmOps.qSplitTrain(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = rows.keys.map { id =>
+      val hkey = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(1L << 31))
+        .toLong
+      id -> (if (hkey < 1717986918L) "train"
+             else if (hkey < 1932735283L) "val" else "test")
+    }.toMap
+    assert(rows == expected)
+    // deterministic: a second evaluation is identical
+    val again = LlmOps.qSplitTrain(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(again == rows)
+  }
 }
