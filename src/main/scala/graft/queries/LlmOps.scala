@@ -2417,6 +2417,46 @@ object LlmOps {
        |            - start_off // $PackBudget + 1 END AS n_packs_spanned
        |FROM offs ORDER BY source, doc_id""".stripMargin
 
+  /** Consecutive-duplicate-run removal — the repetition-cleanup pass
+    * (decoder babble, scraped boilerplate stutter: "the the the" → "the").
+    * A token survives iff it differs from its immediate predecessor;
+    * both engines express this as an indexed array-filter lambda, so the
+    * pass is entirely row-local: tokenize, filter, re-join, hash. The
+    * cleaned text is compared as md5 and the removed-token count rides
+    * along, so the gate checks content and magnitude.
+    *
+    * Scale shape: pure map stage, no shuffle but the final sort — the
+    * same 100 TB shape as [[qTextChunk]].
+    */
+  val qTextDedupRuns: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Spark filter lambdas index from 0; the current element is
+    // element_at(toks, i+1), so its predecessor is element_at(toks, i)
+    val deduped = filter(col("toks"),
+      (t, i) => i === 0 || t =!= element_at(col("toks"), i))
+    toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+              deduped.as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+              (col("n_toks") - size(col("kept"))).as("n_removed"),
+              md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qTextDedupRunsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+      |  CAST(len(ts) - len(list_filter(ts, (t, i) -> i = 1 OR t != ts[i-1]))
+      |       AS BIGINT) AS n_removed,
+      |  md5(array_to_string(
+      |    list_filter(ts, (t, i) -> i = 1 OR t != ts[i-1]), ' ')) AS clean_md5
+      |FROM toks ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split (80/10/10) — the reproducible
     * alternative to rand(): each doc's fate is a pure function of its
     * id, so the split is stable across runs, engines, and re-partitions,
@@ -2482,6 +2522,7 @@ object LlmOps {
     "q_text_pii_scrub"   -> qTextPiiScrub,
     "q_text_perplexity"  -> qTextPerplexity,
     "q_text_chunk"       -> qTextChunk,
+    "q_text_dedup_runs"  -> qTextDedupRuns,
     "q_text_pack"        -> qTextPack,
     "q_split_train"      -> qSplitTrain,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -2508,6 +2549,7 @@ object LlmOps {
     "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_text_perplexity" -> qTextPerplexitySql,
     "q_text_chunk"      -> qTextChunkSql,
+    "q_text_dedup_runs" -> qTextDedupRunsSql,
     "q_text_pack"       -> qTextPackSql,
     "q_split_train"     -> qSplitTrainSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -914,6 +914,72 @@ object Relational {
        |  ${davgSql("l_quantity")} AS avg_qty
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bivariate aggregates — correlation and least-squares regression of
+    * extendedprice on quantity, per return flag. Rather than the
+    * engines' corr()/regr_*() accumulators (whose co-moment merge order
+    * differs run to run), both sides derive the SAME closed forms from
+    * exact decimal sums: x and x·y are 2/4-dp decimals, so
+    * Sx, Sy, Sxx, Syy, Sxy are exact integers-in-decimal; slope, corr
+    * and r² are then a fixed IEEE expression tree over identical
+    * operands — bit-identical across engines AND across partitionings.
+    *
+    * Scale shape: one map-side-partial hash aggregate (five decimal
+    * sums + a count), identical cost to any q_agg_* entry.
+    */
+  val qAggCorr: Q = (s, d) => {
+    def m(c: Column) = sum(c.cast(DecimalType(28, 4))).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+           m(col("l_quantity")).as("sx"),
+           m(col("l_extendedprice")).as("sy"),
+           m(col("l_quantity") * col("l_quantity")).as("sxx"),
+           m(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+           m(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("regr_slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+                           (col("n") * col("sxx") - col("sx") * col("sx")) *
+                           col("sx")) / col("n"), 6).as("regr_intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+               (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("regr_r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val qAggCorrSql: String = {
+    def m(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(28,4))) AS DOUBLE)"
+    s"""WITH mom AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${m("l_quantity")} AS sx,
+       |    ${m("l_extendedprice")} AS sy,
+       |    ${m("l_quantity * l_quantity")} AS sxx,
+       |    ${m("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${m("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag,
+       |  ROUND((n * sxy - sx * sy) /
+       |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       |    AS corr_qty_price,
+       |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope,
+       |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       |    AS regr_intercept,
+       |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+       |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS regr_r2
+       |FROM mom ORDER BY l_returnflag""".stripMargin
+  }
+
   // ----------------------------------------------------------- subqueries
 
   /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
@@ -1227,6 +1293,7 @@ object Relational {
     "q_agg_cube"         -> qAggCube,
     "q_agg_gsets"        -> qAggGsets,
     "q_agg_stats"        -> qAggStats,
+    "q_agg_corr"         -> qAggCorr,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1274,6 +1341,7 @@ object Relational {
     "q_agg_cube"         -> qAggCubeSql,
     "q_agg_gsets"        -> qAggGsetsSql,
     "q_agg_stats"        -> qAggStatsSql,
+    "q_agg_corr"         -> qAggCorrSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,

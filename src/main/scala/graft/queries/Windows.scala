@@ -268,6 +268,76 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
       |FROM base ORDER BY user_id, event_id""".stripMargin
 
+  /** Linear interpolation gap fill — the two-sided upgrade of [[qWinLocf]]:
+    * a missing observation is reconstructed from its nearest non-null
+    * neighbors on BOTH sides, weighted by event-time distance:
+    * `v = pv + (nv − pv) · (t − pt)/(nt − pt)`. Same missing-value
+    * fixture as LOCF (`error` events). Leading/trailing gaps (only one
+    * neighbor exists) stay NULL — carry-forward is LOCF's contract, not
+    * interpolation's.
+    *
+    * Determinism: timestamps enter the formula as exact integer
+    * microseconds; both engines evaluate the identical IEEE expression
+    * tree on identical operands, and the result rounds to 6 dp.
+    *
+    * Scale shape: four IGNORE-NULLS windows, all on the same
+    * (user_id, ts) partitioning — one exchange, linear per-partition
+    * state, same cost class as LOCF.
+    */
+  val qWinInterpolate: Q = (s, d) => {
+    val back = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val df = Tables.events(s, d)
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("obs_t", when(col("v").isNotNull, col("t")))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(col("obs_t"), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(col("obs_t"), ignoreNulls = true).over(fwd))
+    df.select(
+        col("event_id"), col("user_id"),
+        col("v").isNull.as("was_gap"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("t") - col("pt")).cast("double") /
+               (col("nt") - col("pt")).cast("double"))), 6).as("v_interp"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWinInterpolateSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events
+      |), nbr AS (
+      |  SELECT event_id, user_id, t, v,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER wb AS pt,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER wf AS nt
+      |  FROM base
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, v IS NULL AS was_gap,
+      |  ROUND(CASE WHEN v IS NOT NULL THEN v
+      |             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+      |                                    / CAST(nt - pt AS DOUBLE)) END,
+      |        6) AS v_interp
+      |FROM nbr ORDER BY user_id, event_id""".stripMargin
+
   /** SCD Type-2 history build — fold a change stream into versioned
     * dimension intervals: consecutive same-attribute events collapse
     * into one version; each version carries `[valid_from, valid_to)`
@@ -399,6 +469,7 @@ object Windows {
     "q_win_range_frame" -> qWinRangeFrame,
     "q_win_topk_group"  -> qWinTopkGroup,
     "q_win_locf"        -> qWinLocf,
+    "q_win_interpolate" -> qWinInterpolate,
     "q_scd2"            -> qScd2,
     "q_funnel"          -> qFunnel,
     "q_sessionize"      -> qSessionize
@@ -412,6 +483,7 @@ object Windows {
     "q_win_range_frame" -> qWinRangeFrameSql,
     "q_win_topk_group"  -> qWinTopkGroupSql,
     "q_win_locf"        -> qWinLocfSql,
+    "q_win_interpolate" -> qWinInterpolateSql,
     "q_scd2"            -> qScd2Sql,
     "q_funnel"          -> qFunnelSql,
     "q_sessionize"      -> qSessionizeSql

@@ -266,9 +266,37 @@ class PlanSpec extends AnyFunSuite {
            s"both top-k stages must be TakeOrderedAndProject:\n$p")
     assert(p.contains("BroadcastHashJoin"),
            s"the 50-row candidate set must broadcast into the rerank join:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(hashExchanges(p) == 0,
            s"nothing in ADC+rerank may shuffle corpus data:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  // formatted mode prints the Exchange node and its partitioning argument
+  // on separate lines — count the argument spelling, which distinguishes
+  // hash (joins/windows/aggs) from range (the final ORDER BY)
+  private def hashExchanges(p: String): Int =
+    "hashpartitioning\\(".r.findAllIn(p).size
+
+  test("chunking and run-dedup are pure map stages: no shuffle before the final sort") {
+    for (name <- Seq("q_text_chunk", "q_text_dedup_runs")) {
+      val p = plan(name)
+      assert(hashExchanges(p) == 0,
+             s"$name must not hash-shuffle — it is row-local by design:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+             s"$name must not join:\n$p")
+    }
+  }
+
+  test("sequence packing rides exactly one source exchange") {
+    val p = plan("q_text_pack")
+    assert(hashExchanges(p) == 1,
+           s"the running-sum window must be the only hash exchange:\n$p")
+  }
+
+  test("interpolation windows share one user_id exchange") {
+    val p = plan("q_win_interpolate")
+    assert(hashExchanges(p) == 1,
+           s"all four IGNORE-NULLS windows must share one exchange:\n$p")
   }
 
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
