@@ -1941,6 +1941,73 @@ object LlmOps {
       |      < cap.cap * 2147483648
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-based mixture resampling (the mT5/UniMax data-mixing
+    * rule, T = 2): language l is sampled with probability
+    * p_l ∝ (n_l/N)^(1/T), which up-weights low-resource languages
+    * relative to proportional sampling while the equal-share cap is
+    * [[qSampleBalance]]'s rule. The sampled budget is N/2 tokens of
+    * docs; each language keeps rate r_l = min(1, (N/2)·p_l / n_l) via
+    * the same deterministic multiplicative-hash rule as the other
+    * sampling ops (hash in decimal — exact for every doc_id).
+    *
+    * Determinism across engines: T = 2 makes the power an IEEE sqrt
+    * (correctly rounded, unlike pow); the weight sum folds in sorted
+    * lang order in BOTH engines (Scala sorted fold / DuckDB
+    * `SUM(... ORDER BY lang)`), and every other step is IEEE
+    * mul/div/floor of identical operands in the identical tree, so the
+    * integer thresholds agree exactly — membership is row-for-row
+    * oracled with no tolerance.
+    *
+    * Scale shape: one count aggregate (5 rows collected), a broadcast
+    * threshold join, one scan. Same cost class as q_sample_balance.
+    */
+  val qSampleTemperature: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) {
+      docs.select(col("doc_id"), col("lang")).limit(0)
+    } else {
+      val nd = counts.map(_._2).sum.toDouble
+      val w = counts.map { case (l, n) => (l, n, math.sqrt(n.toDouble / nd)) }
+      val sumw = w.foldLeft(0.0)(_ + _._3)
+      val thresholds = w.map { case (l, n, wl) =>
+        val r = math.min(1.0, (nd / 2.0) * (wl / sumw) / n.toDouble)
+        (l, math.floor(r * 2147483648.0).toLong)
+      }
+      val th = thresholds.toSeq.toDF("lang", "t")
+      docs.join(broadcast(th), "lang")
+        .withColumn("hkey",
+          pmod(col("doc_id").cast(DecimalType(38, 0)) * lit(2654435761L),
+               lit(2147483648L)).cast("long"))
+        .where(col("hkey") < col("t"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val qSampleTemperatureSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+      |), tot AS (
+      |  SELECT CAST(SUM(n) AS DOUBLE) AS nd FROM c
+      |), w AS (
+      |  SELECT lang, n, sqrt(CAST(n AS DOUBLE) / nd) AS wl FROM c, tot
+      |), sw AS (
+      |  SELECT SUM(wl ORDER BY lang) AS sumw FROM w
+      |), th AS (
+      |  SELECT lang,
+      |    CAST(floor(least(1.0, (nd / 2.0) * (wl / sumw) / CAST(n AS DOUBLE))
+      |               * 2147483648.0) AS BIGINT) AS t
+      |  FROM w, tot, sw
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN th USING (lang)
+      |WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 2147483648 < th.t
+      |ORDER BY doc_id""".stripMargin
+
   val qTextFingerprint: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -2177,6 +2244,54 @@ object LlmOps {
   }
 
   val qSimKnnJoin: Q = (s, d) => knnJoinWith(knnBlocks(s))(s, d)
+
+  /** Hard-negative mining — contrastive-training prep: for every probe,
+    * the top-5 most-similar candidates whose label DIFFERS from the
+    * probe's (high-similarity wrong-class examples are the informative
+    * negatives). Identical block-partitioned shape to [[qSimKnnJoin]];
+    * the label-inequality is a pre-top-k filter on the scored stream,
+    * so the partial top-k still reduces map-side and at 100 TB this
+    * costs the same as the plain kNN join.
+    */
+  val qSimHardNegatives: Q = (s, d) => {
+    val blocks = knnBlocks(s)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("label").as("qlabel"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    val cands = emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val scored = cands.join(probes, "blk")
+      .where(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+              round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+    topkExplode(scored, 5)
+  }
+
+  val qSimHardNegativesSql: String =
+    """WITH probes AS (
+      |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT p.qid, e.vec_id,
+      |    ROUND(
+      |      SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)) /
+      |      (sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) *
+      |       sqrt(SUM(CAST(p.qv[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)))), 6)
+      |      AS cos_sim
+      |  FROM embeddings e CROSS JOIN probes p,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id % 50 <> 0 AND e.label <> p.qlabel
+      |  GROUP BY p.qid, e.vec_id
+      |), ranked AS (
+      |  SELECT qid, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT qid, vec_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   val qSimKnnJoinSql: String =
     """WITH probes AS (
@@ -2529,6 +2644,8 @@ object LlmOps {
     "q_text_fingerprint_stats" -> qTextFingerprintStats,
     "q_pipeline_clean"   -> qPipelineClean,
     "q_sample_balance"   -> qSampleBalance,
+    "q_sample_temperature" -> qSampleTemperature,
+    "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_sim_knn_join"     -> qSimKnnJoin,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvf
   )
@@ -2560,6 +2677,8 @@ object LlmOps {
     "q_text_fingerprint_stats" -> qTextFingerprintStatsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_sample_balance" -> qSampleBalanceSql,
+    "q_sample_temperature" -> qSampleTemperatureSql,
+    "q_sim_hard_negatives" -> qSimHardNegativesSql,
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
     "q_sim_ann_ivf"   -> qSimAnnIvfSql,

@@ -502,6 +502,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(5L) == ((0L, 0L, 2L)))   // new source: [0,299]
   }
 
+  test("temperature sampling up-weights low-resource languages") {
+    import org.apache.spark.sql.functions.countDistinct
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = LlmOps.qSampleTemperature(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // kept rate per language: smaller strata keep a HIGHER fraction
+    val rates = base.map { case (l, n) =>
+      l -> (kept.getOrElse(l, 0L).toDouble / n) }
+    val bySize = base.toSeq.sortBy(_._2).map(_._1)
+    val (smallest, largest) = (bySize.head, bySize.last)
+    assert(base(smallest) < base(largest), "fixture needs skewed strata")
+    assert(rates(smallest) > rates(largest),
+      s"T=2 must favor the small stratum: $rates vs sizes $base")
+    // total stays near the N/2 budget (hash-rate jitter is ±√n-ish)
+    val total = kept.values.sum.toDouble / base.values.sum
+    assert(total > 0.3 && total < 0.7, s"sampled share $total not near 1/2")
+  }
+
+  test("hard negatives never share the probe's label and stay block-invariant") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = LlmOps.qSimHardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, vid) = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      assert(emb(vid) != emb(qid),
+        s"negative $vid shares label ${emb(qid)} with probe $qid")
+    }
+  }
+
   test("train/val/test split matches the exact hash rule and is stable") {
     val rows = LlmOps.qSplitTrain(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
