@@ -980,6 +980,47 @@ object Relational {
        |FROM mom ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Ordered string aggregation (LISTAGG / string_agg): per nation, the
+    * '|'-joined names of its top-5 account balances, ordered by balance
+    * desc then name. Spark has no ordered string_agg primitive, so the
+    * deterministic spelling is collect_list of (sort-key, value)
+    * structs → array_sort → transform → concat_ws — order is imposed by
+    * an explicit total sort key, NOT by arrival order (collect_list
+    * alone is partitioning-dependent, the classic wrong answer).
+    *
+    * Scale shape: window top-5 prune first (map-side rank per nation),
+    * so the aggregated arrays are ≤5 elements regardless of corpus
+    * size; one exchange shared by window + groupBy.
+    */
+  val qAggListagg: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_name").asc)
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_top"),
+           concat_ws("|",
+             transform(
+               array_sort(collect_list(struct(negate(col("c_acctbal")),
+                                              col("c_name")))),
+               e => e.getField("c_name"))).as("top_names"))
+      .orderBy("c_nationkey")
+  }
+
+  val qAggListaggSql: String =
+    """WITH ranked AS (
+      |  SELECT c_nationkey, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_name ASC) AS rk
+      |  FROM customer
+      |)
+      |SELECT c_nationkey, COUNT(*) AS n_top,
+      |  string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name ASC)
+      |    AS top_names
+      |FROM ranked WHERE rk <= 5
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ----------------------------------------------------------- subqueries
 
   /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
@@ -1294,6 +1335,7 @@ object Relational {
     "q_agg_gsets"        -> qAggGsets,
     "q_agg_stats"        -> qAggStats,
     "q_agg_corr"         -> qAggCorr,
+    "q_agg_listagg"      -> qAggListagg,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1342,6 +1384,7 @@ object Relational {
     "q_agg_gsets"        -> qAggGsetsSql,
     "q_agg_stats"        -> qAggStatsSql,
     "q_agg_corr"         -> qAggCorrSql,
+    "q_agg_listagg"      -> qAggListaggSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,

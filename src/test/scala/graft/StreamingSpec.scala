@@ -200,4 +200,68 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 2L, 3.0), (1L, 3L, 7.0), (1L, 4L, 106.0),
       (2L, 1L, 3.0), (2L, 2L, 8.0), (2L, 3L, 14.0)))
   }
+
+  /** Failure recovery: stop a stateful query, start a NEW query instance
+    * on the SAME checkpoint, and prove (a) keyed state is restored from
+    * the state store, (b) already-committed offsets are not reprocessed.
+    * This is the operational contract a 100 TB/day stream runs on —
+    * every executor loss or deploy is exactly this restart.
+    */
+  test("stateful aggregation state survives a checkpointed restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, sum}
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.queries.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, u: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf("2024-01-01 10:0" + id + ":00"),
+         u, "click", v)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_restart_")
+    try {
+      val ms = MemoryStream[Ev]
+      // the memory sink is not fault-tolerant (Spark refuses to recover
+      // it from a checkpoint); foreachBatch IS the recovery-capable sink,
+      // and a fresh buffer per phase shows exactly what each incarnation
+      // of the query emitted
+      def start(sink: collection.mutable.Buffer[(Long, Long, Double)]) =
+        ms.toDF()
+          .groupBy("user_id")
+          .agg(count("*").as("n"), sum("value").as("total"))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.collect().map(r => (r.getAs[Long]("user_id"),
+              r.getAs[Long]("n"), r.getAs[Double]("total")))
+            sink.synchronized { sink ++= rows }; ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Update).start()
+
+      val p1 = collection.mutable.Buffer[(Long, Long, Double)]()
+      val q1 = start(p1)
+      ms.addData(Seq(ev(1, 1L, 2.0), ev(2, 1L, 3.0), ev(3, 2L, 10.0)))
+      q1.processAllAvailable(); q1.stop()
+      assert(p1.toSet == Set((1L, 2L, 5.0), (2L, 1L, 10.0)))
+
+      // restart: new query instance, same checkpoint, one more event
+      val p2 = collection.mutable.Buffer[(Long, Long, Double)]()
+      val q2 = start(p2)
+      ms.addData(Seq(ev(4, 1L, 5.0)))
+      q2.processAllAvailable(); q2.stop()
+      // user 1 continues from restored state (not from 1/5.0); user 2 has
+      // no new data, so nothing is re-emitted — offsets were not replayed
+      assert(p2.toSet == Set((1L, 3L, 10.0)),
+        s"restart must restore state and skip committed offsets, got $p2")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => }
+    }
+  }
 }
