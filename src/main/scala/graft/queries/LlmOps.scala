@@ -1607,6 +1607,78 @@ object LlmOps {
       |JOIN unic ON bi.w1 = unic.w1 CROSS JOIN v
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
 
+  /** Top-k PMI collocations — pointwise mutual information of adjacent
+    * token pairs vs their unigram frequencies:
+    * `pmi = log2((c12/B) / ((c1/U)·(c2/U)))`, the classic collocation /
+    * phrase-mining statistic. Pairs seen < 5 times are dropped (rare
+    * pairs have unstable PMI), the global top-20 by rounded score is
+    * kept with a lexicographic tiebreak.
+    *
+    * Shape: the same bigram-instance stream as [[qTextPerplexity]],
+    * aggregated to pair and unigram count tables, re-joined on the gram
+    * key (hash joins), with the two corpus totals as a 1-row broadcast.
+    * The ratio is evaluated in an identical IEEE tree in both engines
+    * and rounded to 6 dp.
+    */
+  val qTextPmi: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val bi = toks.select(explode(expr(
+      """CASE WHEN size(toks) < 2 THEN array()
+         ELSE zip_with(slice(toks, 1, size(toks) - 1),
+                       slice(toks, 2, size(toks) - 1),
+                       (x, y) -> struct(x AS w1, y AS w2))
+         END""")).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val pairc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val unic = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = bi.agg(count(lit(1)).cast("double").as("b"))
+      .crossJoin(uni.agg(count(lit(1)).cast("double").as("u")))
+    val scored = pairc
+      .join(unic.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+      .join(unic.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+      .crossJoin(broadcast(totals))
+      .where(col("cbg") >= 5)
+      .select(col("w1"), col("w2"), col("cbg"),
+        round(log2((col("cbg").cast("double") / col("b")) /
+                   ((col("cw1").cast("double") / col("u")) *
+                    (col("cw2").cast("double") / col("u")))), 6).as("pmi"))
+    // global top-20 via orderBy+limit → TakeOrderedAndProject (map-side
+    // partial top-k), NOT a single-partition row_number window
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(20)
+  }
+
+  val qTextPmiSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), bi AS (
+      |  SELECT ts[i] AS w1, ts[i+1] AS w2
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+      |  WHERE len(ts) >= 2
+      |), uni AS (
+      |  SELECT unnest(ts) AS w FROM toks
+      |), pairc AS (SELECT w1, w2, COUNT(*) AS cbg FROM bi GROUP BY w1, w2),
+      |unic AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+      |tot AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM bi) AS b,
+      |         (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS u
+      |), scored AS (
+      |  SELECT p.w1, p.w2, p.cbg,
+      |    ROUND(log2((CAST(p.cbg AS DOUBLE) / b) /
+      |               ((CAST(u1.cw AS DOUBLE) / u) *
+      |                (CAST(u2.cw AS DOUBLE) / u))), 6) AS pmi
+      |  FROM pairc p
+      |  JOIN unic u1 ON u1.w = p.w1
+      |  JOIN unic u2 ON u2.w = p.w2
+      |  CROSS JOIN tot
+      |  WHERE p.cbg >= 5
+      |)
+      |SELECT w1, w2, cbg, pmi FROM scored
+      |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
   /** Heuristic language ID: score each document against small per-language
     * marker-token profiles, pick the best; ties go to the first language
     * in sorted order. Hash-checked against a DuckDB oracle generated from
@@ -2638,6 +2710,7 @@ object LlmOps {
     "q_text_perplexity"  -> qTextPerplexity,
     "q_text_chunk"       -> qTextChunk,
     "q_text_dedup_runs"  -> qTextDedupRuns,
+    "q_text_pmi"         -> qTextPmi,
     "q_text_pack"        -> qTextPack,
     "q_split_train"      -> qSplitTrain,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -2667,6 +2740,7 @@ object LlmOps {
     "q_text_perplexity" -> qTextPerplexitySql,
     "q_text_chunk"      -> qTextChunkSql,
     "q_text_dedup_runs" -> qTextDedupRunsSql,
+    "q_text_pmi"        -> qTextPmiSql,
     "q_text_pack"       -> qTextPackSql,
     "q_split_train"     -> qSplitTrainSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
