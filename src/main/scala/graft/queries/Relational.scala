@@ -1021,6 +1021,54 @@ object Relational {
       |FROM ranked WHERE rk <= 5
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Z-order (Morton) clustering key — the multi-dimensional data-layout
+    * technique: interleaving the bits of (customer, order-day) gives a
+    * 1-D sort key under which rows close in EITHER dimension land in the
+    * same file, so parquet min-max row-group stats prune 2-D predicates
+    * (`cust BETWEEN … AND day BETWEEN …`) that a single-column sort can
+    * only prune on one axis. At 100 TB this is how you lay the table
+    * out at rest (`sort by zval` at write time — the write path is
+    * [[qSinkPartitioned]]'s); the operator computes the key and the
+    * derived file assignment.
+    *
+    * The interleave is 16 static shift/mask/or terms per dimension —
+    * pure codegen'd integer ops, identically spelled in DuckDB, so every
+    * z-value is row-for-row oracled.
+    */
+  val qZorder: Q = (s, d) => {
+    def interleave(x: Column, y: Column): Column =
+      (0 until 16).map { i =>
+        (shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ + _)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+              pmod(col("o_custkey"), lit(65536L)).as("xd"),
+              pmod(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+                   lit(65536L)).as("yd"))
+      .select(col("o_orderkey"),
+              interleave(col("xd"), col("yd")).as("zval"))
+      .withColumn("zfile", shiftright(col("zval"), 22))
+      .orderBy("o_orderkey")
+  }
+
+  val qZorderSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((xd >> $i) & 1) << ${2 * i}) + (((yd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT o_orderkey,
+       |    o_custkey % 65536 AS xd,
+       |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+       |      % 65536 AS yd
+       |  FROM orders
+       |), z AS (
+       |  SELECT o_orderkey, $terms AS zval FROM dims
+       |)
+       |SELECT o_orderkey, zval, zval >> 22 AS zfile
+       |FROM z ORDER BY o_orderkey""".stripMargin
+  }
+
   // ----------------------------------------------------------- subqueries
 
   /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
@@ -1336,6 +1384,7 @@ object Relational {
     "q_agg_stats"        -> qAggStats,
     "q_agg_corr"         -> qAggCorr,
     "q_agg_listagg"      -> qAggListagg,
+    "q_zorder"           -> qZorder,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1385,6 +1434,7 @@ object Relational {
     "q_agg_stats"        -> qAggStatsSql,
     "q_agg_corr"         -> qAggCorrSql,
     "q_agg_listagg"      -> qAggListaggSql,
+    "q_zorder"           -> qZorderSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,
