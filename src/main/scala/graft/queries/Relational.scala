@@ -722,6 +722,59 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Dynamic partition pruning — the third leg of the runtime-pruning
+    * story next to [[qJoinBloom]] (row-level) and static pushdown
+    * ([[qScanPruned]]): the fact table is partitioned AT REST on the
+    * join key (`l_shipmode=` Hive layout), the dimension filter is on a
+    * NON-key attribute (`speed = 'fast'`), so no static rule can prune
+    * the fact scan — only the runtime result of the dim filter can.
+    * Spark's DPP inserts a dynamicpruning subquery into the fact scan's
+    * partition filters: the dim side is evaluated first and the fact
+    * scan then reads ONLY the matching partitions. At 100 TB this is
+    * the difference between scanning 2/7 of the table and all of it —
+    * per query, with zero layout work beyond the partitioned write.
+    * PlanSpec asserts the dynamicpruning filter is ON the scan.
+    *
+    * The oracle reads the ORIGINAL parquet (same rows, no partition
+    * layout) — a hash-pass proves the pruned plan loses nothing.
+    */
+  val qJoinDpp: Q = (s, d) => {
+    import s.implicits._
+    val base = scratchDir("dpp", d)
+    val tbl = "graft_dpp_orders_" + Integer.toHexString(d.hashCode)
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("o_orderpriority")
+      .option("path", s"$base/orders")
+      .saveAsTable(tbl)
+    // the dim must be a STORED table (as in production): an in-memory
+    // LocalRelation dim gets its filter constant-folded away, and DPP
+    // only fires when the build side still carries a selective predicate
+    Seq(
+      ("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
+      ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("prio", "tier")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = s.read.parquet(s"$base/dim")
+    s.table(tbl)
+      .join(broadcast(dim), col("o_orderpriority") === col("prio"))
+      .where(col("tier") === "high")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinDppSql: String =
+    s"""WITH dim(prio, tier) AS (VALUES
+       |  ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'low'),
+       |  ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'))
+       |SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN dim ON o_orderpriority = dim.prio
+       |WHERE dim.tier = 'high'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Bloom-prefiltered join — the runtime-filter pattern that decides
     * whether a 100 TB probe-side SHUFFLE happens at all: a selective
     * build side (≈10% of orders) is sketched into a Bloom filter by a
@@ -1385,6 +1438,7 @@ object Relational {
     "q_agg_corr"         -> qAggCorr,
     "q_agg_listagg"      -> qAggListagg,
     "q_zorder"           -> qZorder,
+    "q_join_dpp"         -> qJoinDpp,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1435,6 +1489,7 @@ object Relational {
     "q_agg_corr"         -> qAggCorrSql,
     "q_agg_listagg"      -> qAggListaggSql,
     "q_zorder"           -> qZorderSql,
+    "q_join_dpp"         -> qJoinDppSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,

@@ -277,6 +277,14 @@ class PlanSpec extends AnyFunSuite {
   private def hashExchanges(p: String): Int =
     "hashpartitioning\\(".r.findAllIn(p).size
 
+  test("q_join_dpp: dynamic-pruning subquery lands in the fact scan's partition filters") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+           s"the dim filter must prune the partitioned fact scan at runtime:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+           s"the 5-row dim must broadcast:\n$p")
+  }
+
   test("chunking and run-dedup are pure map stages: no shuffle before the final sort") {
     for (name <- Seq("q_text_chunk", "q_text_dedup_runs")) {
       val p = plan(name)
