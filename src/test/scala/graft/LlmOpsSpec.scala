@@ -502,6 +502,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(5L) == ((0L, 0L, 2L)))   // new source: [0,299]
   }
 
+  test("chunk/pack arithmetic invariants hold across randomized doc lengths") {
+    // deterministic pseudo-random lengths 0..200 over 3 sources
+    val rnd = new scala.util.Random(42)
+    val specs = (1L to 60L).map(i =>
+      (i, rnd.nextInt(201), s"s${i % 3}"))
+    val dir = sizedDocsDir(specs)
+    val (c, s_) = (LlmOps.ChunkSize, LlmOps.ChunkStride)
+
+    val chunks = LlmOps.qTextChunk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    specs.foreach { case (id, n, _) =>
+      if (n == 0) assert(!chunks.contains(id))
+      else {
+        val ch = chunks(id).sortBy(_.getAs[Long]("chunk_idx"))
+        val expected = (math.max(n - c, 0) + s_ - 1) / s_ + 1
+        assert(ch.length == expected, s"doc $id len $n")
+        ch.init.foreach(r => assert(r.getAs[Long]("n_chunk_toks") == c))
+        assert(ch.last.getAs[Long]("n_chunk_toks") ==
+          n - (expected - 1) * s_, s"doc $id len $n last chunk")
+      }
+    }
+
+    val packs = LlmOps.qTextPack(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+                 r.getAs[Long]("n_toks"), r.getAs[Long]("pack_id"),
+                 r.getAs[Long]("pack_off"), r.getAs[Long]("n_packs_spanned")))
+    val b = LlmOps.PackBudget
+    packs.groupBy(_._2).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, pid, off, spans) =>
+        assert(pid == start / b && off == start % b, s"doc $id offset")
+        val expSpans = if (n == 0) 0L else (start + n - 1) / b - start / b + 1
+        assert(spans == expSpans, s"doc $id spans")
+        start += n
+      }
+    }
+  }
+
   test("temperature sampling up-weights low-resource languages") {
     import org.apache.spark.sql.functions.countDistinct
     val docs = graft.Tables.documents(spark, sf)
