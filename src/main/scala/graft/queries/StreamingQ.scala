@@ -547,6 +547,97 @@ object StreamingQ {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Incremental materialized-view maintenance — the streaming pattern
+    * that keeps a queryable at-rest table continuously equal to a batch
+    * aggregate over all data so far: an Update-mode keyed aggregate
+    * emits each batch's CHANGED keys (carrying their complete new
+    * running values, since the agg state holds the total), and a
+    * foreachBatch sink merges them into a versioned parquet snapshot
+    * via a keyed full-outer join — the MERGE shape every lakehouse
+    * format executes under the hood.
+    *
+    * Exactly-once without sink transactions: snapshot `v(k+1)` is a
+    * pure function of immutable `v(k)` + batch k's updates, so a
+    * post-failure replay of batch k rewrites the same `v(k+1)`
+    * (idempotent), and readers only ever see complete versions. At
+    * 100 TB the merge is a keyed join against the MV — bucket the MV
+    * on the key and the per-batch cost is one co-partitioned join of
+    * (changed keys) × (their MV rows), never a full rewrite of
+    * unrelated keys' data files in formats with real MERGE.
+    *
+    * Exactness: cents-long totals in state and snapshots (associative,
+    * order-independent); one decimal→double conversion at read time.
+    * Oracle: the final MV must equal DuckDB's plain GROUP BY over all
+    * events — the definition of a materialized view, hash-compared.
+    */
+  val qStreamMv: Q = (s, d) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batches = eventWeekBatches(s, d)
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch",
+      "mv_" + Integer.toHexString(d.hashCode))
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    rmTree(base) // stale versions from a previous suite shape
+    java.nio.file.Files.createDirectories(base)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    @volatile var lastV = 0L
+    try {
+      val ms = MemoryStream[Ev]
+      val ckptBase =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_mv_")
+      val q = ms.toDF()
+        .select(col("user_id"),
+                (col("value").cast(DecimalType(18, 2)) * 100)
+                  .cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("c"))
+        .writeStream
+        .foreachBatch { (updates: DataFrame, batchId: Long) =>
+          val ss = updates.sparkSession
+          val merged =
+            if (batchId == 0) updates
+            else ss.read.parquet(base.resolve(s"v$batchId").toString)
+              .select(col("user_id").as("p_user"),
+                      col("n_events").as("p_n"), col("c").as("p_c"))
+              .join(updates, col("p_user") === col("user_id"), "full_outer")
+              .select(
+                coalesce(col("user_id"), col("p_user")).as("user_id"),
+                coalesce(col("n_events"), col("p_n")).as("n_events"),
+                coalesce(col("c"), col("p_c")).as("c"))
+          merged.write.mode("overwrite")
+            .parquet(base.resolve(s"v${batchId + 1}").toString)
+          lastV = batchId + 1
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally { q.stop(); rmTree(ckpt) }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(base.resolve(s"v$lastV").toString)
+      .select(col("user_id"), col("n_events"),
+              (col("c").cast("double") / lit(100.0)).as("total"))
+      .orderBy("user_id")
+  }
+
+  val qStreamMvSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(key)
@@ -749,7 +840,8 @@ object StreamingQ {
     "q_stream_stateful"  -> qStreamStateful,
     "q_stream_join"      -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
-    "q_stream_static_join" -> qStreamStaticJoin
+    "q_stream_static_join" -> qStreamStaticJoin,
+    "q_stream_mv"        -> qStreamMv
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,6 +855,7 @@ object StreamingQ {
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_join_outer" -> qStreamJoinOuterSql,
     "q_stream_static_join" -> qStreamStaticJoinSql,
-    "q_stream_stateful_ttl" -> qStreamStatefulTtlSql
+    "q_stream_stateful_ttl" -> qStreamStatefulTtlSql,
+    "q_stream_mv" -> qStreamMvSql
   )
 }
