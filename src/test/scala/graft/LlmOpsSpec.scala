@@ -450,6 +450,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("percentile_approx within its accuracy bound of the exact percentile") {
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    // accuracy a ⇒ rank error ≤ n/a; with a = 10000 over 60k rows the
+    // admitted rank slack is ~6 rows — compare through the value at the
+    // slacked ranks rather than assuming value-space closeness
+    val Seq(exact, approx) = df
+      .select(expr("percentile(l_extendedprice, 0.9)"),
+              expr("percentile_approx(l_extendedprice, 0.9, 10000)"))
+      .first.toSeq.map(_.toString.toDouble).toSeq
+    val n = df.count()
+    val slack = (n / 10000 + 1).toInt
+    val lo = df.selectExpr(
+      s"percentile(l_extendedprice, ${0.9 - slack.toDouble / n})")
+      .first.getDouble(0)
+    val hi = df.selectExpr(
+      s"percentile(l_extendedprice, ${math.min(1.0, 0.9 + slack.toDouble / n)})")
+      .first.getDouble(0)
+    assert(approx >= lo && approx <= hi,
+      s"approx $approx outside rank-slack band [$lo, $hi] around exact $exact")
+  }
+
   /** Docs with exactly known token counts for the chunk/pack specs. */
   private def sizedDocsDir(specs: Seq[(Long, Int, String)]): String = {
     import spark.implicits._
