@@ -25,6 +25,62 @@ class SkewSpec extends AnyFunSuite {
            plain.orderBy("user_id").collect().toSeq)
   }
 
+  /** The automatic path: AQE's OptimizeSkewedJoin splits oversized
+    * partitions of a sort-merge join at runtime. The fixture encodes the
+    * rule's REAL preconditions, each discovered by watching it decline:
+    *
+    *  - both join inputs must be bare Sort-over-shuffle (a post-shuffle
+    *    aggregate between them breaks the rule's pattern match — which
+    *    is exactly why [[Skew.saltedJoin]] exists for agg-below-join
+    *    shapes);
+    *  - the split unit is a MAP-OUTPUT CHUNK, so the skewed input needs
+    *    map-side parallelism (a single small file = one chunk =
+    *    unsplittable) — hence the repartition(8) upstream;
+    *  - detection is on COMPRESSED bytes, so the planted hot rows are
+    *    made distinct (identical replicas compress away the skew).
+    *
+    * The assertion reads the FINAL adaptive plan post-execution, where
+    * AQE has re-planned with actual partition sizes.
+    */
+  test("AQE splits the skewed sort-merge join partitions at runtime") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // dominant key: user 1's rows replicated 100×, each replica made
+      // distinct so the hot partition's bytes are real
+      val base = Tables.events(spark, "/root/testdata/sf0.01")
+        .select("event_id", "user_id", "event_type", "value")
+      val events = base.where(col("user_id") === 1)
+        .withColumn("rep", explode(sequence(lit(1), lit(100))))
+        .withColumn("event_id", col("event_id") * 1000 + col("rep"))
+        .withColumn("value", col("value") + col("rep") * 0.01)
+        .drop("rep")
+        .unionByName(base.where(col("user_id") =!= 1))
+        .repartition(8)
+      val users = Tables.customer(spark, "/root/testdata/sf0.01")
+        .select(col("c_custkey").as("uid"), col("c_name").as("user_name"))
+      val joined = events.join(users, col("user_id") === col("uid"))
+        .select("event_id", "user_id", "event_type", "value", "user_name")
+      val rows = joined.collect()
+      assert(rows.length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"broadcast off must leave an SMJ:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE must mark the hot partitions skewed in the final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy(col("l_returnflag"))
