@@ -1122,6 +1122,49 @@ object Relational {
        |FROM z ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Sweep-line interval concurrency — how many orders are "open" on
+    * each date, treating every order as active for 7 days from
+    * o_orderdate. The classic telemetry/concurrency question (max
+    * concurrent sessions, active leases) answered without an interval
+    * self-join: each order contributes a +1 at its start and a −1 at
+    * its end; a running sum over the date axis is the concurrency.
+    *
+    * Scale shape: the ±1 events AGGREGATE to per-date deltas first
+    * (map-side partial, one narrow shuffle on date), so the ordered
+    * running-sum window runs over the DATE DIMENSION — ~2.4k rows for
+    * TPC-H regardless of SF — never over the fact table. The
+    * single-partition window is over a provably bounded input; the
+    * interval-join alternative would be O(orders × avg_span).
+    */
+  val qIntervalSweep: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val deltas = o.select(to_date(col("o_orderdate")).as("dt"), lit(1L).as("delta"))
+      .unionByName(
+        o.select(date_add(to_date(col("o_orderdate")), 7).as("dt"),
+                 lit(-1L).as("delta")))
+      .groupBy("dt").agg(sum(col("delta")).as("net"))
+    val w = Window.orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .select(col("dt").cast("timestamp").as("dt"),
+              sum(col("net")).over(w).as("n_active"))
+      .orderBy("dt")
+  }
+
+  val qIntervalSweepSql: String =
+    """WITH deltas AS (
+      |  SELECT dt, CAST(SUM(delta) AS BIGINT) AS net FROM (
+      |    SELECT CAST(o_orderdate AS DATE) AS dt, 1 AS delta FROM orders
+      |    UNION ALL
+      |    SELECT CAST(o_orderdate AS DATE) + 7 AS dt, -1 AS delta FROM orders
+      |  ) GROUP BY dt
+      |)
+      |SELECT CAST(dt AS TIMESTAMP) AS dt,
+      |  CAST(SUM(net) OVER (ORDER BY dt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_active
+      |FROM deltas ORDER BY dt""".stripMargin
+
   // ----------------------------------------------------------- subqueries
 
   /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
@@ -1439,6 +1482,7 @@ object Relational {
     "q_agg_listagg"      -> qAggListagg,
     "q_zorder"           -> qZorder,
     "q_join_dpp"         -> qJoinDpp,
+    "q_interval_sweep"   -> qIntervalSweep,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1490,6 +1534,7 @@ object Relational {
     "q_agg_listagg"      -> qAggListaggSql,
     "q_zorder"           -> qZorderSql,
     "q_join_dpp"         -> qJoinDppSql,
+    "q_interval_sweep"   -> qIntervalSweepSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,
