@@ -338,6 +338,93 @@ object Windows {
       |        6) AS v_interp
       |FROM nbr ORDER BY user_id, event_id""".stripMargin
 
+  /** Cohort retention — the standard growth analytics matrix: users are
+    * grouped by their first-active week (the cohort), and each cell
+    * (cohort, k) counts how many of them were active k weeks later.
+    * Weeks are Monday-truncated in both engines; the offset is exact
+    * integer day arithmetic / 7.
+    *
+    * Scale shape: first-seen is one min-aggregate on user_id; the
+    * activity set is one distinct on (user, week); the join back is on
+    * user_id (broadcastable — the first-seen table has one row per
+    * user, small relative to events). Two keyed exchanges total, no
+    * self-join of the fact table.
+    */
+  val qCohortRetention: Q = (s, d) => {
+    val weekly = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    weekly.join(cohorts, "user_id")
+      .select(col("cohort_wk"),
+              (datediff(col("wk"), col("cohort_wk")) / 7)
+                .cast("long").as("week_offset"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val qCohortRetentionSql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      |  FROM events
+      |), cohorts AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM weekly GROUP BY user_id
+      |)
+      |SELECT c.cohort_wk,
+      |  CAST(datediff('day', c.cohort_wk, w.wk) // 7 AS BIGINT)
+      |    AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM weekly w JOIN cohorts c USING (user_id)
+      |GROUP BY c.cohort_wk, week_offset
+      |ORDER BY c.cohort_wk, week_offset""".stripMargin
+
+  /** Sequence-pattern matching (the MATCH_RECOGNIZE shape): each user's
+    * time-ordered event types collapse to a character string (c/e/p/s/v
+    * — first letters are distinct in this domain) and a regex counts
+    * non-overlapping occurrences of click → any views → purchase
+    * (`cv*p`). Regex stays in the Java∩RE2 common dialect (no
+    * backrefs/lookarounds), so both engines count identically — the
+    * same dialect contract as q_text_pii_scrub.
+    *
+    * Scale shape: the per-user string builds from ONE ordered
+    * aggregation (sort-key structs, as in q_agg_listagg — never
+    * arrival-order collect_list); per-user event counts are bounded by
+    * session activity, not corpus size, and everything after the
+    * groupBy is row-local.
+    */
+  val qSeqPattern: Q = (s, d) => {
+    val seq = Tables.events(s, d)
+      .select(col("user_id"),
+              struct(col("ts"), col("event_id"),
+                     substring(col("event_type"), 1, 1).as("ch")).as("ev"))
+      .groupBy("user_id")
+      .agg(concat_ws("",
+             transform(array_sort(collect_list(col("ev"))),
+                       e => e.getField("ch"))).as("seq"))
+    seq.select(
+        col("user_id"),
+        length(col("seq")).as("n_events"),
+        size(expr("regexp_extract_all(seq, 'cv*p', 0)")).cast("long")
+          .as("n_conversions"),
+        md5(col("seq")).as("seq_md5"))
+      .orderBy("user_id")
+  }
+
+  val qSeqPatternSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), ''
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT)
+      |    AS n_conversions,
+      |  md5(seq) AS seq_md5
+      |FROM seqs ORDER BY user_id""".stripMargin
+
   /** SCD Type-2 history build — fold a change stream into versioned
     * dimension intervals: consecutive same-attribute events collapse
     * into one version; each version carries `[valid_from, valid_to)`
@@ -472,6 +559,8 @@ object Windows {
     "q_win_interpolate" -> qWinInterpolate,
     "q_scd2"            -> qScd2,
     "q_funnel"          -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
+    "q_seq_pattern"     -> qSeqPattern,
     "q_sessionize"      -> qSessionize
   )
 
@@ -486,6 +575,8 @@ object Windows {
     "q_win_interpolate" -> qWinInterpolateSql,
     "q_scd2"            -> qScd2Sql,
     "q_funnel"          -> qFunnelSql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_seq_pattern"     -> qSeqPatternSql,
     "q_sessionize"      -> qSessionizeSql
   )
 }
