@@ -570,6 +570,56 @@ object StreamingQ {
     * Oracle: the final MV must equal DuckDB's plain GROUP BY over all
     * events — the definition of a materialized view, hash-compared.
     */
+  /** Running (count, cents) aggregate keyed by user — the MV's stream
+    * side; Update-mode emission makes each batch carry the changed
+    * keys' COMPLETE new values.
+    */
+  private[graft] def mvAggregate(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+              (col("value").cast(DecimalType(18, 2)) * 100)
+                .cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("c"))
+
+  /** Merge one batch of changed keys into the versioned MV: snapshot
+    * v(batchId+1) = v(batchId) FULL OUTER JOIN updates, taking the
+    * update when present. Pure function of immutable inputs → a
+    * replayed batch rewrites the same snapshot (idempotent), which is
+    * the spec-tested exactly-once argument.
+    */
+  private[graft] def mvMergeBatch(base: java.nio.file.Path)
+                                 (updates: DataFrame, batchId: Long): Unit = {
+    val ss = updates.sparkSession
+    val merged =
+      if (batchId == 0) updates
+      else ss.read.parquet(base.resolve(s"v$batchId").toString)
+        .select(col("user_id").as("p_user"),
+                col("n_events").as("p_n"), col("c").as("p_c"))
+        .join(updates, col("p_user") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("p_user")).as("user_id"),
+          coalesce(col("n_events"), col("p_n")).as("n_events"),
+          coalesce(col("c"), col("p_c")).as("c"))
+    merged.write.mode("overwrite")
+      .parquet(base.resolve(s"v${batchId + 1}").toString)
+  }
+
+  /** Read MV snapshot `v` in its query-facing shape. */
+  private[graft] def mvRead(s: SparkSession, base: java.nio.file.Path,
+                            v: Long): DataFrame =
+    s.read.parquet(base.resolve(s"v$v").toString)
+      .select(col("user_id"), col("n_events"),
+              (col("c").cast("double") / lit(100.0)).as("total"))
+      .orderBy("user_id")
+
+  private[graft] def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   val qStreamMv: Q = (s, d) => {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
@@ -578,13 +628,6 @@ object StreamingQ {
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch",
       "mv_" + Integer.toHexString(d.hashCode))
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
     rmTree(base) // stale versions from a previous suite shape
     java.nio.file.Files.createDirectories(base)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -597,27 +640,10 @@ object StreamingQ {
           java.nio.file.Paths.get("/dev/shm")
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_mv_")
-      val q = ms.toDF()
-        .select(col("user_id"),
-                (col("value").cast(DecimalType(18, 2)) * 100)
-                  .cast("long").as("c"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("c"))
+      val q = mvAggregate(ms.toDF())
         .writeStream
         .foreachBatch { (updates: DataFrame, batchId: Long) =>
-          val ss = updates.sparkSession
-          val merged =
-            if (batchId == 0) updates
-            else ss.read.parquet(base.resolve(s"v$batchId").toString)
-              .select(col("user_id").as("p_user"),
-                      col("n_events").as("p_n"), col("c").as("p_c"))
-              .join(updates, col("p_user") === col("user_id"), "full_outer")
-              .select(
-                coalesce(col("user_id"), col("p_user")).as("user_id"),
-                coalesce(col("n_events"), col("p_n")).as("n_events"),
-                coalesce(col("c"), col("p_c")).as("c"))
-          merged.write.mode("overwrite")
-            .parquet(base.resolve(s"v${batchId + 1}").toString)
+          mvMergeBatch(base)(updates, batchId)
           lastV = batchId + 1
           ()
         }
@@ -627,10 +653,7 @@ object StreamingQ {
         batches.foreach { b => ms.addData(b); q.processAllAvailable() }
       } finally { q.stop(); rmTree(ckpt) }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.read.parquet(base.resolve(s"v$lastV").toString)
-      .select(col("user_id"), col("n_events"),
-              (col("c").cast("double") / lit(100.0)).as("total"))
-      .orderBy("user_id")
+    mvRead(s, base, lastV)
   }
 
   val qStreamMvSql: String =

@@ -201,6 +201,69 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L, 3.0), (2L, 2L, 8.0), (2L, 3L, 14.0)))
   }
 
+  /** MV maintenance under restart + batch replay: the two failure modes
+    * a production incremental MV must survive. (a) a NEW query
+    * incarnation on the same checkpoint continues the snapshot chain
+    * from restored aggregate state; (b) re-running a batch's merge
+    * (what a post-failure replay does) rewrites an IDENTICAL snapshot —
+    * exactly-once by idempotent re-derivation, not sink transactions.
+    */
+  test("incremental MV survives restart and batch replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.queries.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, u: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf("2024-01-01 10:0" + id + ":00"),
+         u, "click", v)
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_spec_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val ms = MemoryStream[Ev]
+      @volatile var lastV = 0L
+      def start() = StreamingQ.mvAggregate(ms.toDF())
+        .writeStream
+        .foreachBatch { (u: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingQ.mvMergeBatch(base)(u, id); lastV = id + 1; ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update).start()
+
+      val q1 = start()
+      ms.addData(Seq(ev(1, 1L, 2.00), ev(2, 1L, 3.00), ev(3, 2L, 10.00)))
+      q1.processAllAvailable(); q1.stop()
+
+      val q2 = start() // restart on the same checkpoint
+      ms.addData(Seq(ev(4, 1L, 5.00), ev(5, 3L, 1.00)))
+      q2.processAllAvailable(); q2.stop()
+
+      val mv = StreamingQ.mvRead(spark, base, lastV).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+                   r.getAs[Double]("total")))
+      // user 1 spans the restart: 3 events / 10.00 only if the agg state
+      // was restored AND the merge chained across incarnations
+      assert(mv.toSeq == Seq((1L, 3L, 10.0), (2L, 1L, 10.0), (3L, 1L, 1.0)))
+
+      // replay idempotence: re-derive the last snapshot from the same
+      // immutable predecessor + the same updates — byte-identical rows
+      val updates = Seq((1L, 3L, 1000L), (3L, 1L, 100L))
+        .toDF("user_id", "n_events", "c")
+      StreamingQ.mvMergeBatch(base)(updates, lastV - 1)
+      val once = StreamingQ.mvRead(spark, base, lastV).collect().toSeq
+      StreamingQ.mvMergeBatch(base)(updates, lastV - 1)
+      val twice = StreamingQ.mvRead(spark, base, lastV).collect().toSeq
+      assert(once == twice)
+      assert(once.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        == Seq((1L, 3L, 10.0), (2L, 1L, 10.0), (3L, 1L, 1.0)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      StreamingQ.rmTree(base); StreamingQ.rmTree(ckpt)
+    }
+  }
+
   /** Failure recovery: stop a stateful query, start a NEW query instance
     * on the SAME checkpoint, and prove (a) keyed state is restored from
     * the state store, (b) already-committed offsets are not reprocessed.
