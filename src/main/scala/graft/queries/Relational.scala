@@ -1165,6 +1165,76 @@ object Relational {
       |    AS n_active
       |FROM deltas ORDER BY dt""".stripMargin
 
+  /** Data-quality constraint suite (the Deequ/dbt-tests shape): declared
+    * expectations over the lake evaluated in bulk, each reporting its
+    * violation count — primary-key uniqueness, referential integrity,
+    * null fraction, value range, set membership. One row per check, so
+    * the result is a quality REPORT, not a filtered table; a scheduler
+    * gates downstream jobs on `n_violations = 0`.
+    *
+    * Scale shape: each check is an aggregate the optimizer already
+    * handles (count-distinct for uniqueness, anti-join for FK, predicate
+    * counts for the rest); checks over the same table could share one
+    * scan via a single multi-aggregate pass — kept separate here so each
+    * check's shape stays independently readable, at one scan per check.
+    */
+  val qDqChecks: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val customer = Tables.customer(s, d)
+    val pkDup = orders.groupBy("o_orderkey").count()
+      .where(col("count") > 1).count()
+    val fkOrphan = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"),
+                                 "left_anti").count()
+    val fkOrphanCust = orders.join(customer,
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val nullPrice = orders.where(col("o_totalprice").isNull).count()
+    val rangeQty = lineitem.where(col("l_quantity") < 1 ||
+                                  col("l_quantity") > 50).count()
+    val domainStatus = orders.where(!col("o_orderstatus").isin("F", "O", "P"))
+      .count()
+    Seq(
+      ("fk_lineitem_orders", fkOrphan),
+      ("fk_orders_customer", fkOrphanCust),
+      ("not_null_o_totalprice", nullPrice),
+      ("pk_unique_o_orderkey", pkDup),
+      ("range_l_quantity_1_50", rangeQty),
+      ("set_o_orderstatus", domainStatus))
+      .toDF("check_name", "n_violations")
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  val qDqChecksSql: String =
+    """WITH checks(check_name, n_violations) AS (
+      |  SELECT 'pk_unique_o_orderkey',
+      |    (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders',
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer',
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'not_null_o_totalprice',
+      |    (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+      |  UNION ALL
+      |  SELECT 'range_l_quantity_1_50',
+      |    (SELECT COUNT(*) FROM lineitem
+      |     WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'set_o_orderstatus',
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+      |)
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   // ----------------------------------------------------------- subqueries
 
   /** Scalar subquery — Catalyst plans the aggregate once and broadcasts
@@ -1483,6 +1553,7 @@ object Relational {
     "q_zorder"           -> qZorder,
     "q_join_dpp"         -> qJoinDpp,
     "q_interval_sweep"   -> qIntervalSweep,
+    "q_dq_checks"        -> qDqChecks,
     "q_subquery_scalar"  -> qSubqueryScalar,
     "q_subquery_in"      -> qSubqueryIn,
     "q_pivot"            -> qPivot,
@@ -1535,6 +1606,7 @@ object Relational {
     "q_zorder"           -> qZorderSql,
     "q_join_dpp"         -> qJoinDppSql,
     "q_interval_sweep"   -> qIntervalSweepSql,
+    "q_dq_checks"        -> qDqChecksSql,
     "q_subquery_scalar"  -> qSubqueryScalarSql,
     "q_subquery_in"      -> qSubqueryInSql,
     "q_pivot"            -> qPivotSql,
