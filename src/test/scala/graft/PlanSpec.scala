@@ -307,6 +307,25 @@ class PlanSpec extends AnyFunSuite {
            s"all four IGNORE-NULLS windows must share one exchange:\n$p")
   }
 
+  test("sequence matching rides one user exchange; the regex work is post-agg row-local") {
+    val p = plan("q_seq_pattern")
+    assert(hashExchanges(p) == 1,
+           s"the ordered string build must be the only hash exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+           s"no join belongs in this plan:\n$p")
+  }
+
+  test("interval sweep aggregates deltas before the date-axis window") {
+    val p = plan("q_interval_sweep")
+    // one exchange for the per-date aggregate; the running-sum window
+    // runs over the bounded date dimension (single partition by design,
+    // documented in the scaladoc) — ensure no join crept in
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+           s"the sweep must not join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+           s"running sum missing:\n$p")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
