@@ -1553,9 +1553,12 @@ object LlmOps {
     * sequences = gibberish/outlier docs; the standard LLM-pipeline
     * move is to drop the high-perplexity tail.
     *
-    * Determinism: each term is log2 of integer-valued doubles (counts),
-    * bit-identical in both engines; the per-doc mean rounds to 6 dp —
-    * the same tolerance-by-rounding contract as q_text_entropy.
+    * Determinism: each term is log2 of integer-valued doubles (counts).
+    * Spark's Log2 is StrictMath.log(x)/log(2) while DuckDB's log2 may
+    * be a fused std::log2 — ULP-level divergence is possible, and the
+    * per-doc mean rounding to 6 dp is what absorbs it: the same
+    * tolerance-by-rounding contract as q_text_entropy, not a
+    * bit-identity claim.
     *
     * Scale shape: model "training" IS the corpus bigram/unigram count
     * (map-side partial agg); scoring joins doc bigram instances to the
@@ -1602,7 +1605,9 @@ object LlmOps {
       |), unic AS (SELECT w1, COUNT(*) AS cw FROM uni GROUP BY w1),
       |v AS (SELECT COUNT(DISTINCT w1) AS v FROM uni)
       |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(-SUM(log2(cbg + 1) - log2(cw + v.v)) / COUNT(*), 6) AS xent
+      |  -- ln(x)/ln(2) term-by-term mirrors Spark's Log2 expression tree
+      |  -- (StrictMath.log(x)/log(2)) instead of a possibly-fused log2()
+      |  ROUND(-SUM(ln(cbg + 1) / ln(2) - ln(cw + v.v) / ln(2)) / COUNT(*), 6) AS xent
       |FROM bi JOIN bgc ON bi.bg = bgc.bg
       |JOIN unic ON bi.w1 = unic.w1 CROSS JOIN v
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
@@ -1617,8 +1622,10 @@ object LlmOps {
     * Shape: the same bigram-instance stream as [[qTextPerplexity]],
     * aggregated to pair and unigram count tables, re-joined on the gram
     * key (hash joins), with the two corpus totals as a 1-row broadcast.
-    * The ratio is evaluated in an identical IEEE tree in both engines
-    * and rounded to 6 dp.
+    * The oracle computes log2 as ln(x)/ln(2) to mirror Spark's Log2
+    * expression tree (not a possibly-fused std::log2), and the score
+    * rounds to 6 dp before the top-20 cut — tolerance by rounding plus
+    * tree alignment, not a bit-identity claim.
     */
   val qTextPmi: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -1667,9 +1674,9 @@ object LlmOps {
       |         (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS u
       |), scored AS (
       |  SELECT p.w1, p.w2, p.cbg,
-      |    ROUND(log2((CAST(p.cbg AS DOUBLE) / b) /
-      |               ((CAST(u1.cw AS DOUBLE) / u) *
-      |                (CAST(u2.cw AS DOUBLE) / u))), 6) AS pmi
+      |    ROUND(ln((CAST(p.cbg AS DOUBLE) / b) /
+      |             ((CAST(u1.cw AS DOUBLE) / u) *
+      |              (CAST(u2.cw AS DOUBLE) / u))) / ln(2), 6) AS pmi
       |  FROM pairc p
       |  JOIN unic u1 ON u1.w = p.w1
       |  JOIN unic u2 ON u2.w = p.w2

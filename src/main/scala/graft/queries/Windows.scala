@@ -488,7 +488,7 @@ object Windows {
 
   /** Ordered funnel analysis — of the users who signed up, how many
     * clicked within 24 h, and of those how many purchased within
-    * an hour of that first click? Each stage requires a STRICTLY LATER
+    * 24 h of that first click? Each stage requires a STRICTLY LATER
     * event than the previous stage's first completion, inside a
     * 24-hour conversion window (the window is what makes drop-off real
     * on this densely-active corpus: 150 → 65 → 29 at sf0.01).

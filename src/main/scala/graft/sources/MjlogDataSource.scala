@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -65,6 +65,41 @@ object MjlogTable {
     FileRe.findFirstMatchIn(path).map { m =>
       (LocalDate.parse(m.group(1), DirDate), m.group(2))
     }
+
+  /** Filter-literal → epoch day, whichever date representation Spark
+    * hands down (java.sql.Date by default, LocalDate under the java8
+    * datetime API).
+    */
+  def literalEpochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay)
+    case d: LocalDate          => Some(d.toEpochDay)
+    case _                     => None
+  }
+
+  /** A source filter this scan can evaluate from the path alone: a
+    * comparison on the `dt` column against date literals. (Top-level
+    * AND is already split by Spark before pushFilters.)
+    */
+  def isDtPrunable(f: Filter): Boolean = f match {
+    case EqualTo("dt", v)            => literalEpochDay(v).isDefined
+    case GreaterThan("dt", v)        => literalEpochDay(v).isDefined
+    case GreaterThanOrEqual("dt", v) => literalEpochDay(v).isDefined
+    case LessThan("dt", v)           => literalEpochDay(v).isDefined
+    case LessThanOrEqual("dt", v)    => literalEpochDay(v).isDefined
+    case In("dt", vs)                => vs.nonEmpty && vs.forall(v => literalEpochDay(v).isDefined)
+    case _                           => false
+  }
+
+  /** Evaluate a prunable filter against one file's path-derived dt. */
+  def dtSatisfies(epochDay: Long, f: Filter): Boolean = f match {
+    case EqualTo("dt", v)            => literalEpochDay(v).contains(epochDay)
+    case GreaterThan("dt", v)        => literalEpochDay(v).exists(epochDay > _)
+    case GreaterThanOrEqual("dt", v) => literalEpochDay(v).exists(epochDay >= _)
+    case LessThan("dt", v)           => literalEpochDay(v).exists(epochDay < _)
+    case LessThanOrEqual("dt", v)    => literalEpochDay(v).exists(epochDay <= _)
+    case In("dt", vs)                => vs.exists(v => literalEpochDay(v).contains(epochDay))
+    case _                           => true
+  }
 }
 
 class MjlogTable(path: String) extends Table with SupportsRead {
@@ -77,8 +112,10 @@ class MjlogTable(path: String) extends Table with SupportsRead {
 }
 
 class MjlogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = MjlogTable.Schema
+  private var dtFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // honor pruning at the TOP level only: Spark may hand back nested
     // structs with fields removed (schema pruning), but the parser
@@ -87,13 +124,26 @@ class MjlogScanBuilder(path: String)
     // the scan — best-effort pruning is the documented contract
     required = StructType(
       requiredSchema.fieldNames.map(n => MjlogTable.Schema(n)))
-  override def build(): Scan = new MjlogScan(path, required)
+  // dt is path-derived (reference E4: date-prefix filter at LISTING
+  // time, extractor.py:33-40), so dt comparisons prune InputPartitions
+  // before they are created — a `.where($"dt" === d)` over a year of
+  // logs lists one day, not 365. All filters are returned as residual:
+  // pruning is a partition-elimination optimization, Spark re-checks
+  // rows above the scan (free at one game per file).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    dtFilters = filters.filter(MjlogTable.isDtPrunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = dtFilters
+  override def build(): Scan = new MjlogScan(path, required, dtFilters)
 }
 
 case class MjlogFilePartition(file: String, dtEpochDay: Long, gameId: String)
     extends InputPartition
 
-class MjlogScan(path: String, required: StructType) extends Scan with Batch {
+class MjlogScan(path: String, required: StructType,
+                dtFilters: Array[Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -108,7 +158,9 @@ class MjlogScan(path: String, required: StructType) extends Scan with Batch {
       val f = it.next()
       val p = f.getPath.toString
       if (p.endsWith(".xml")) MjlogTable.parseName(p).foreach { case (dt, id) =>
-        out += MjlogFilePartition(p, dt.toEpochDay, id)
+        val ed = dt.toEpochDay
+        if (dtFilters.forall(MjlogTable.dtSatisfies(ed, _)))
+          out += MjlogFilePartition(p, ed, id)
       }
     }
     out.result()
@@ -142,8 +194,15 @@ class MjlogReaderFactory(
         try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
         finally in.close()
         val xml = out.toString(java.nio.charset.StandardCharsets.UTF_8)
-        val game: ParsedGame = MjlogParser.parse(
-          xml, p.gameId, LocalDate.ofEpochDay(p.dtEpochDay))
+        // same per-file leniency as Pipeline.parseRaw: one corrupt log
+        // skips (zero rows for this partition), it must not kill the job
+        val game: ParsedGame =
+          try MjlogParser.parse(xml, p.gameId, LocalDate.ofEpochDay(p.dtEpochDay))
+          catch {
+            case e: Exception =>
+              System.err.println(s"[graft-mjlog] skipping unparseable ${p.file}: $e")
+              return false
+          }
         val full = ExpressionEncoder[ParsedGame]().createSerializer()(game)
         // prune to the pushed-down columns: bind each required field to
         // its ordinal in the full row and project once

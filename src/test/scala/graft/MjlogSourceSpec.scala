@@ -37,6 +37,40 @@ class MjlogSourceSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 4)
   }
 
+  test("dt filter prunes InputPartitions at file-listing time (E4)") {
+    val df = spark.read.format("mjlog").load(logDir)
+    // one partition per xml file: 4 fixtures across 3 dates
+    assert(df.rdd.getNumPartitions == 4)
+    val eq = df.where(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(eq.rdd.getNumPartitions == 2,
+      "equality on path-derived dt must list only that day's files")
+    assert(eq.count() == 2)
+    val gt = df.where(col("dt") > lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(gt.rdd.getNumPartitions == 2 && gt.count() == 2)
+    // the filter shows up as pushed in the scan (explain visibility)
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || eq.count() == 2)
+    // row parity with the typed path under the same predicate
+    val typed = Pipeline.parseLogs(spark, logDir).toDF()
+      .where(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(eq.orderBy("game_id").toJSON.collect().toSeq ==
+           typed.orderBy("game_id").toJSON.collect().toSeq)
+  }
+
+  test("one corrupt xml is skipped, not fatal (parity with Pipeline.parseRaw)") {
+    val dir = java.nio.file.Files.createTempDirectory("mjlog-corrupt")
+    val day = dir.resolve("20240101")
+    java.nio.file.Files.createDirectories(day)
+    val good = java.nio.file.Paths.get(logDir, "20240101", "2024010100gm-0001.xml")
+    java.nio.file.Files.copy(good, day.resolve("2024010100gm-0001.xml"))
+    java.nio.file.Files.write(day.resolve("2024010199gm-bad.xml"),
+      "<mjloggm ver=\"2.3\"><UNCLOSED".getBytes("UTF-8"))
+    val rows = spark.read.format("mjlog").load(dir.toString)
+      .select("game_id").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("2024010100gm-0001"),
+      "the corrupt file must contribute zero rows; the good one must survive")
+  }
+
   test("nested children survive the source boundary (kyokus → actions)") {
     val n = spark.read.format("mjlog").load(logDir)
       .select(explode(col("kyokus")).as("k"))
