@@ -53,6 +53,9 @@ object Pipeline {
 
   def parseRaw(spark: SparkSession, raw: DataFrame): Dataset[ParsedGame] = {
     import spark.implicits._
+    // registered driver-side here, bumped in executors: skipped-file
+    // counts surface in the UI instead of only in executor stderr
+    val skipped = ParseMetrics.skippedFiles(spark)
     raw
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -66,7 +69,8 @@ object Pipeline {
                                      mm.group(2), dt))
           catch {
             case e: Exception =>
-              System.err.println(s"[graft-etl] skipping unparseable $path: $e")
+              skipped.add(1L)
+              LenientParse.warnSkip("graft-etl", path, e)
               None
           }
         }

@@ -147,6 +147,12 @@ class MjlogScan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // surface the listing-time pruning in `.explain()`: BatchScan prints
+  // the scan's description, so the pushed dt filters are visible in the
+  // plan the same way FileSourceScanExec prints PushedFilters
+  override def description(): String =
+    s"mjlog $path, PushedFilters: ${dtFilters.mkString("[", ", ", "]")}"
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -167,15 +173,20 @@ class MjlogScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val session = org.apache.spark.sql.SparkSession.active
     val conf = new org.apache.spark.util.SerializableConfiguration(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new MjlogReaderFactory(required, conf)
+      session.sparkContext.hadoopConfiguration)
+    // same skip counter as the typed path (graft.etl.ParseMetrics):
+    // registered driver-side, bumped in executors, visible in the UI
+    new MjlogReaderFactory(required, conf,
+      graft.etl.ParseMetrics.skippedFiles(session))
   }
 }
 
 class MjlogReaderFactory(
     required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    skipped: org.apache.spark.util.LongAccumulator)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -200,7 +211,8 @@ class MjlogReaderFactory(
           try MjlogParser.parse(xml, p.gameId, LocalDate.ofEpochDay(p.dtEpochDay))
           catch {
             case e: Exception =>
-              System.err.println(s"[graft-mjlog] skipping unparseable ${p.file}: $e")
+              skipped.add(1L)
+              graft.etl.LenientParse.warnSkip("graft-mjlog", p.file, e)
               return false
           }
         val full = ExpressionEncoder[ParsedGame]().createSerializer()(game)

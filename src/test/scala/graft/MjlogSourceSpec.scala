@@ -47,9 +47,13 @@ class MjlogSourceSpec extends AnyFunSuite {
     assert(eq.count() == 2)
     val gt = df.where(col("dt") > lit(java.sql.Date.valueOf("2024-01-01")))
     assert(gt.rdd.getNumPartitions == 2 && gt.count() == 2)
-    // the filter shows up as pushed in the scan (explain visibility)
+    // the filter shows up as pushed in the scan (explain visibility):
+    // MjlogScan.description() prints the pushed dt filters and BatchScan
+    // includes it in the plan string, so this fails if pushFilters stops
+    // retaining the dt predicate
     val plan = eq.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") || eq.count() == 2)
+    assert(plan.contains("PushedFilters: [EqualTo(dt,"),
+      s"pushed dt filter must be visible in the executed plan, got:\n$plan")
     // row parity with the typed path under the same predicate
     val typed = Pipeline.parseLogs(spark, logDir).toDF()
       .where(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")))
@@ -65,10 +69,14 @@ class MjlogSourceSpec extends AnyFunSuite {
     java.nio.file.Files.copy(good, day.resolve("2024010100gm-0001.xml"))
     java.nio.file.Files.write(day.resolve("2024010199gm-bad.xml"),
       "<mjloggm ver=\"2.3\"><UNCLOSED".getBytes("UTF-8"))
+    val skipped = graft.etl.ParseMetrics.skippedFiles(spark)
+    val before = skipped.value
     val rows = spark.read.format("mjlog").load(dir.toString)
       .select("game_id").collect().map(_.getString(0)).toSeq
     assert(rows == Seq("2024010100gm-0001"),
       "the corrupt file must contribute zero rows; the good one must survive")
+    assert(skipped.value - before == 1,
+      "the skip must be counted in the graft.mjlog.skippedFiles accumulator")
   }
 
   test("nested children survive the source boundary (kyokus → actions)") {
