@@ -81,8 +81,11 @@ class RunningCumulProcessor
 /** Structured Streaming surface (SURVEY.md §2.3). The reference's analog
   * is the daily incremental append (E13): each date directory is a
   * micro-batch. Window aggregations are verified two ways:
-  *  - tumbling/sliding/session run as *batch* queries over `events` with
-  *    a DuckDB oracle (windowing semantics are identical in batch);
+  *  - tumbling/sliding (and the batch `session_window` form) run as
+  *    *batch* queries over `events` with a DuckDB oracle (windowing
+  *    semantics are identical in batch); session windows ALSO run as a
+  *    true RocksDB-backed stream ([[qStreamSession]]) against the same
+  *    oracle;
   *  - watermark/late-data/dedup/stateful semantics run on a real
   *    MemoryStream with hand-placed late rows (deterministic, no oracle).
   *
@@ -132,11 +135,12 @@ object StreamingQ {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM slid GROUP BY wstart ORDER BY wstart""".stripMargin
 
-  /** Session windows (30-minute gap) per user — batch session_window with
-    * a lag/running-sum sessionization oracle (identical semantics: a new
+  /** Session windows (30-minute gap) per user as a batch query — same
+    * `session_window` operator without streaming state, with a
+    * lag/running-sum sessionization oracle (identical semantics: a new
     * session starts when the gap exceeds 30 minutes).
     */
-  val qStreamSession: Q = (s, d) =>
+  val qSessionWindowBatch: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("cnt"),
@@ -144,6 +148,35 @@ object StreamingQ {
       .select(col("user_id"), col("w.start").as("session_start"), col("cnt"),
               col("sum_value"))
       .orderBy("user_id", "session_start")
+
+  /** TRUE streaming session windows under the RocksDB state store — at
+    * 100 TB session state is the largest keyed state in this suite, so
+    * the gate entry exercises the production store, not just batch
+    * semantics. The week-batched replay of `events` feeds a watermarked
+    * session aggregate in Append mode; a far-future sentinel row (user
+    * −1, filtered from the result) advances the final watermark so every
+    * real session is finalized and emitted. The week batches arrive in
+    * time order, so no real row is ever below the watermark (same
+    * boundary argument as [[qStreamStateful]]) and the emitted sessions
+    * hash-match the batch sessionization oracle exactly.
+    */
+  val qStreamSession: Q = (s, d) => withRocksDb(s) {
+    val batches = eventWeekBatches(s, d)
+    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
+    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
+                      -1L, "wm_flush", 0.0)
+    runReplayStream(s, "graft_stream_session", batches :+ Seq(sentinel)) { df =>
+      df.withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"),
+                 session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double")
+               .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+                col("cnt"), col("sum_value"))
+    }.where(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
 
   val qStreamSessionSql: String =
     """WITH e AS (
@@ -559,11 +592,13 @@ object StreamingQ {
     * Exactly-once without sink transactions: snapshot `v(k+1)` is a
     * pure function of immutable `v(k)` + batch k's updates, so a
     * post-failure replay of batch k rewrites the same `v(k+1)`
-    * (idempotent), and readers only ever see complete versions. At
-    * 100 TB the merge is a keyed join against the MV — bucket the MV
-    * on the key and the per-batch cost is one co-partitioned join of
-    * (changed keys) × (their MV rows), never a full rewrite of
-    * unrelated keys' data files in formats with real MERGE.
+    * (idempotent), and readers only ever see complete versions. The
+    * snapshot is hash-bucketed on the key ([[MvBuckets]] `bucket=`
+    * dirs): each batch joins its updates against only the touched
+    * buckets of `v(k)` (partition-pruned), rewrites only those bucket
+    * dirs, and hard-links the rest — per-batch cost ∝ changed keys'
+    * buckets, never a full rewrite of unrelated keys' data files
+    * (see [[mvMergeBatch]]).
     *
     * Exactness: cents-long totals in state and snapshots (associative,
     * order-independent); one decimal→double conversion at read time.
@@ -581,27 +616,94 @@ object StreamingQ {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(col("c")).as("c"))
 
+  /** Number of hash buckets the MV snapshot is laid out in
+    * (`bucket=pmod(hash(user_id), MvBuckets)` partition dirs), constant
+    * across versions so every key lives in the same bucket forever. 16
+    * keeps test dirs small; at 100 TB this is thousands — the per-batch
+    * cost below scales with the number of TOUCHED buckets, not with it.
+    */
+  private[graft] val MvBuckets = 16
+
+  private[graft] def mvBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(c), lit(MvBuckets))
+
+  /** The previous snapshot restricted to the buckets the batch touches:
+    * `bucket` is a partition directory column, so Catalyst prunes the
+    * untouched buckets at listing time — their files are never opened.
+    * (PlanSpec asserts `inputFiles` stays inside the changed buckets.)
+    */
+  private[graft] def mvPrevChanged(ss: SparkSession, prevDir: String,
+                                   changed: Seq[Int]): DataFrame =
+    ss.read.parquet(prevDir).where(col("bucket").isin(changed: _*))
+
   /** Merge one batch of changed keys into the versioned MV: snapshot
-    * v(batchId+1) = v(batchId) FULL OUTER JOIN updates, taking the
-    * update when present. Pure function of immutable inputs → a
-    * replayed batch rewrites the same snapshot (idempotent), which is
+    * v(batchId+1) = v(batchId) keyed-merged with the batch's updates,
+    * taking the update when present. Pure function of immutable inputs →
+    * a replayed batch rewrites the same snapshot (idempotent), which is
     * the spec-tested exactly-once argument.
+    *
+    * Scale shape (the lakehouse-MERGE cost model, on plain parquet):
+    * the MV is hash-bucketed into `bucket=` partition dirs; a batch
+    *  (1) computes its touched buckets (bounded by [[MvBuckets]] — a
+    *      constant-size collect),
+    *  (2) full-outer-joins the updates against ONLY those buckets of
+    *      v(k) (partition pruning; the exchange moves touched-bucket
+    *      rows, never the full MV),
+    *  (3) writes ONLY those bucket dirs into v(k+1), and
+    *  (4) hard-links every untouched bucket's files from v(k) — the
+    *      plain-parquet equivalent of a manifest re-referencing
+    *      unchanged data files: metadata-only, no data read or written.
+    * Per-batch cost is therefore ∝ changed keys' buckets, not MV size.
     */
   private[graft] def mvMergeBatch(base: java.nio.file.Path)
-                                 (updates: DataFrame, batchId: Long): Unit = {
-    val ss = updates.sparkSession
-    val merged =
-      if (batchId == 0) updates
-      else ss.read.parquet(base.resolve(s"v$batchId").toString)
-        .select(col("user_id").as("p_user"),
-                col("n_events").as("p_n"), col("c").as("p_c"))
-        .join(updates, col("p_user") === col("user_id"), "full_outer")
-        .select(
-          coalesce(col("user_id"), col("p_user")).as("user_id"),
-          coalesce(col("n_events"), col("p_n")).as("n_events"),
-          coalesce(col("c"), col("p_c")).as("c"))
-    merged.write.mode("overwrite")
-      .parquet(base.resolve(s"v${batchId + 1}").toString)
+                                 (updates0: DataFrame, batchId: Long): Unit = {
+    val ss = updates0.sparkSession
+    val dst = base.resolve(s"v${batchId + 1}")
+    rmTree(dst) // a crashed attempt's partial output must not survive
+    val updates = updates0.withColumn("bucket", mvBucket(col("user_id"))).persist()
+    try {
+      if (batchId == 0) {
+        updates.write.partitionBy("bucket").mode("overwrite")
+          .parquet(dst.toString)
+      } else {
+        val changed = updates.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet // bounded by MvBuckets
+        val prevDir = base.resolve(s"v$batchId")
+        val merged = mvPrevChanged(ss, prevDir.toString, changed.toSeq.sorted)
+          .select(col("user_id").as("p_user"),
+                  col("n_events").as("p_n"), col("c").as("p_c"))
+          .join(updates.drop("bucket"), col("p_user") === col("user_id"),
+                "full_outer")
+          .select(
+            coalesce(col("user_id"), col("p_user")).as("user_id"),
+            coalesce(col("n_events"), col("p_n")).as("n_events"),
+            coalesce(col("c"), col("p_c")).as("c"))
+          .withColumn("bucket", mvBucket(col("user_id")))
+        merged.write.partitionBy("bucket").mode("overwrite")
+          .parquet(dst.toString)
+        // copy-on-write for untouched buckets: hard-link v(k)'s files
+        // (fall back to copy on filesystems without link support)
+        import scala.jdk.CollectionConverters._
+        val dirs = java.nio.file.Files.list(prevDir).iterator().asScala.toSeq
+        dirs.foreach { d =>
+          val n = d.getFileName.toString
+          if (n.startsWith("bucket=") &&
+              !changed.contains(n.stripPrefix("bucket=").toInt)) {
+            val tgt = dst.resolve(n)
+            java.nio.file.Files.createDirectories(tgt)
+            java.nio.file.Files.list(d).iterator().asScala.foreach { f =>
+              val t = tgt.resolve(f.getFileName.toString)
+              try java.nio.file.Files.createLink(t, f)
+              catch { case _: UnsupportedOperationException |
+                           _: java.nio.file.FileSystemException =>
+                java.nio.file.Files.copy(f, t,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            }
+          }
+        }
+      }
+    } finally { updates.unpersist(); () }
   }
 
   /** Read MV snapshot `v` in its query-facing shape. */
@@ -858,6 +960,7 @@ object StreamingQ {
     "q_stream_tumbling"  -> qStreamTumbling,
     "q_stream_sliding"   -> qStreamSliding,
     "q_stream_session"   -> qStreamSession,
+    "q_session_window"   -> qSessionWindowBatch,
     "q_stream_watermark" -> qStreamWatermark,
     "q_stream_dedup"     -> qStreamDedup,
     "q_stream_stateful"  -> qStreamStateful,
@@ -871,6 +974,9 @@ object StreamingQ {
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding"  -> qStreamSlidingSql,
     "q_stream_session"  -> qStreamSessionSql,
+    // batch session_window form — identical sessionization semantics,
+    // held to the identical oracle
+    "q_session_window"  -> qStreamSessionSql,
     "q_stream_stateful" -> qStreamStatefulSql,
     // same replay, same cumulative-window equivalent — the successor
     // API is held to the identical oracle

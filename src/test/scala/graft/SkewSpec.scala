@@ -81,6 +81,47 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  /** Companion to the skew-split test: AQE's other runtime join
+    * re-plan. The static planner keeps a sort-merge join because static
+    * broadcast is off and the filtered build side's size ESTIMATE is the
+    * whole table (no CBO column stats); at runtime the filter leaves a
+    * few hundred rows, the map stage reports a few KB, and AQE's
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold` demotes the SMJ to
+    * a broadcast-hash join — the re-plan that saves the 100 TB case
+    * where a runtime-filtered dimension turns out tiny.
+    */
+  test("AQE demotes a planned sort-merge join to broadcast at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      // static planning: never broadcast …
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // … runtime re-planning: broadcast when actual size allows
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val tiny = Tables.orders(spark, "/root/testdata/sf0.01")
+        .where(col("o_orderkey") % 97 === 0)
+      val j = Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .join(tiny, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_quantity")
+      val initial = j.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"static plan must be a sort-merge join (broadcast off):\n$initial")
+      // execute THIS DataFrame's QueryExecution (count() would build a
+      // new one, leaving j's adaptive plan unexecuted)
+      assert(j.collect().length > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE must demote the SMJ to broadcast once the build side's " +
+          s"runtime size is known:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy(col("l_returnflag"))

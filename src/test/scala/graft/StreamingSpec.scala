@@ -264,6 +264,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Scale shape of the MV merge: a batch touching one key must (a) read
+    * only that key's bucket from the previous snapshot (partition
+    * pruning), and (b) carry every untouched bucket into the new version
+    * as a hard link to the previous version's file — no data rewritten.
+    */
+  test("MV merge prunes to touched buckets and hard-links the rest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_cow_")
+    try {
+      // v1: 64 keys spread across (nearly all of) the 16 buckets
+      val v0 = (1L to 64L).map(u => (u, 1L, u * 100L))
+        .toDF("user_id", "n_events", "c")
+      StreamingQ.mvMergeBatch(base)(v0, 0L)
+      // batch 1 touches a single key → a single bucket
+      val upd = Seq((7L, 2L, 1400L)).toDF("user_id", "n_events", "c")
+      val touched = upd.select(StreamingQ.mvBucket(
+          org.apache.spark.sql.functions.col("user_id")))
+        .first().getInt(0)
+      // (a) the pruned prev-snapshot scan opens only the touched bucket
+      // (input_file_name() reflects the files actually read post-pruning,
+      // unlike DataFrame.inputFiles which lists the whole relation)
+      val readFiles = StreamingQ.mvPrevChanged(
+          spark, base.resolve("v1").toString, Seq(touched))
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(readFiles.nonEmpty &&
+             readFiles.forall(_.contains(s"bucket=$touched")),
+        s"prev scan must read only bucket=$touched, got " +
+          readFiles.mkString(", "))
+      StreamingQ.mvMergeBatch(base)(upd, 1L)
+      // result is still the full correct MV
+      val mv = StreamingQ.mvRead(spark, base, 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(mv.size == 64 && mv.contains((7L, 2L, 14.0)) &&
+             mv.contains((8L, 1L, 8.0)))
+      // (b) untouched buckets' files are the SAME files (hard links),
+      // not rewrites; the touched bucket's file is new
+      import scala.jdk.CollectionConverters._
+      def files(v: String) = java.nio.file.Files.walk(base.resolve(v))
+        .iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.resolve(v).relativize(p).toString -> p).toMap
+      val f1 = files("v1"); val f2 = files("v2")
+      val untouched2 = f2.filterNot(_._1.contains(s"bucket=$touched"))
+      assert(untouched2.nonEmpty)
+      untouched2.foreach { case (rel, p2) =>
+        assert(f1.contains(rel) && java.nio.file.Files.isSameFile(f1(rel), p2),
+          s"untouched $rel must be a hard link to v1's file")
+      }
+      assert(f2.keys.exists(_.contains(s"bucket=$touched")) &&
+        f2.filter(_._1.contains(s"bucket=$touched")).forall { case (rel, p2) =>
+          !f1.get(rel).exists(java.nio.file.Files.isSameFile(_, p2))
+        }, "the touched bucket must be freshly written")
+    } finally StreamingQ.rmTree(base)
+  }
+
   /** Failure recovery: stop a stateful query, start a NEW query instance
     * on the SAME checkpoint, and prove (a) keyed state is restored from
     * the state store, (b) already-committed offsets are not reprocessed.
