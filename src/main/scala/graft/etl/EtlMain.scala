@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * (reference random_pailist.py) for the first date found.
   */
 object EtlMain {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EtlMain <logDir> <outDir> [nWalls]")
+  def main(rawArgs: Array[String]): Unit = {
+    // --v2 sources the pipeline through spark.read.format("mjlog")
+    // (Pipeline.runV2) instead of the typed binaryFile+flatMap path
+    val useV2 = rawArgs.contains("--v2")
+    val args = rawArgs.filterNot(_.startsWith("--"))
+    require(args.length >= 2, "usage: EtlMain [--v2] <logDir> <outDir> [nWalls]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +36,8 @@ object EtlMain {
         .write.mode("overwrite").partitionBy("dt").parquet(warm.toString)
       spark.read.parquet(warm.toString).count()
       val t0 = System.nanoTime()
-      Pipeline.run(spark, args(0), args(1))
+      if (useV2) Pipeline.runV2(spark, args(0), args(1))
+      else Pipeline.run(spark, args(0), args(1))
       println(f"[etl] pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       Pipeline.TableNames.foreach { t =>
         val n = spark.read.parquet(s"${args(1)}/$t").count()

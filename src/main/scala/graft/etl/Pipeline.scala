@@ -144,7 +144,36 @@ object Pipeline {
   /** Full ETL: logDir → 9 Hive-partitioned parquet table dirs
     * (`<outDir>/<table>/dt=YYYY-MM-DD/...`, reference layout E11).
     */
-  def run(spark: SparkSession, logDir: String, outDir: String): Unit = {
+  def run(spark: SparkSession, logDir: String, outDir: String): Unit =
+    runImpl(spark, outDir) {
+      val raw = rawLogs(spark, logDir)
+      // Small-batch fast path: whole-stage codegen costs ~100-300 ms of
+      // Janino compilation per distinct plan — across the scan, window
+      // and 9 write plans that is seconds of fixed cost, which a
+      // KB-scale corpus never earns back. Interpreted mode wins below
+      // ~32 MB; at real volume codegen pays for itself within one task.
+      // The size comes from the scan's own FileIndex stats (no extra
+      // listing).
+      val smallInput =
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes < (32L << 20)
+      (parseRaw(spark, raw), smallInput)
+    }
+
+  /** The same ETL sourced through the `mjlog` DataSource V2 instead of
+    * the binaryFile scan + typed flatMap: one InputPartition per file,
+    * identical downstream plan. Measured as its own THROUGHPUT row so
+    * the V2 path is held to the typed path's wall time.
+    */
+  def runV2(spark: SparkSession, logDir: String, outDir: String): Unit =
+    runImpl(spark, outDir) {
+      import spark.implicits._
+      // no FileIndex size stats on the V2 relation; the measured corpora
+      // are all ≥ 32 MB so the small-batch interpreted mode never applies
+      (spark.read.format("mjlog").load(logDir).as[ParsedGame], false)
+    }
+
+  private def runImpl(spark: SparkSession, outDir: String)
+                     (source: => (Dataset[ParsedGame], Boolean)): Unit = {
     // dynamic partition overwrite: re-running one date's logs replaces
     // only that date's dt= partitions — the idempotent per-date re-run
     // the reference gets by rewriting whole files (E13), without
@@ -159,15 +188,7 @@ object Pipeline {
     spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
     spark.conf.set("spark.sql.files.minPartitionNum",
       (spark.sparkContext.defaultParallelism * 2).toString)
-    val raw = rawLogs(spark, logDir)
-    // Small-batch fast path: whole-stage codegen costs ~100-300 ms of
-    // Janino compilation per distinct plan — across the scan, window and
-    // 9 write plans that is seconds of fixed cost, which a KB-scale
-    // corpus never earns back. Interpreted mode wins below ~32 MB; at
-    // real volume codegen pays for itself within one task. The size
-    // comes from the scan's own FileIndex stats (no extra listing).
-    val smallInput =
-      raw.queryExecution.optimizedPlan.stats.sizeInBytes < (32L << 20)
+    val (parsedSource, smallInput) = source
     val prevCodegen = spark.conf.getOption("spark.sql.codegen.wholeStage")
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     if (smallInput) {
@@ -180,7 +201,7 @@ object Pipeline {
     // writes inherit dt-clustered tasks (1 file per dt dir) with no
     // per-write repartition. At 100 TB: repartition(col("dt"),
     // col("game_id")) to spread a day over N tasks/files.
-    val parsed = parseRaw(spark, raw)
+    val parsed = parsedSource
       .repartition(col("dt")).cache()
     // the window-ranked kyoku intermediate feeds 5 of the 9 tables —
     // cache it so the explode+window runs once, not five times

@@ -57,6 +57,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids2.toSeq == ids.toSeq)
   }
 
+  test("runV2 (mjlog DSv2 source) writes tables identical to the typed path") {
+    val out2 = Files.createTempDirectory("graft_etl_v2_").toString
+    Pipeline.runV2(spark, getClass.getResource("/mjlog").getPath, out2)
+    for (t <- Pipeline.TableNames) {
+      val a = spark.read.parquet(s"$outDir/$t")
+      val b = spark.read.parquet(s"$out2/$t")
+      assert(a.schema == b.schema, s"$t schema differs")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t rows differ between typed and DSv2-sourced pipelines")
+    }
+  }
+
   test("referential integrity: children reference existing parents") {
     val kyokuIds = table("kyokus").select(col("id").as("kyoku_id"))
     for (child <- Seq("haipais", "actions", "agaris", "nagares")) {
