@@ -27,10 +27,12 @@ import graft.model.ParsedGame
   * schema), from which `Pipeline.tables` demuxes the 9 reference tables.
   *
   * Scale design:
-  *  - one [[InputPartition]] per xml file — a game parses in one task
-  *    with no cross-row state (SURVEY.md §7.4), so parallelism equals
-  *    file count and a 1000-executor cluster streams a day's scrape
-  *    without coordination;
+  *  - files are BIN-PACKED into InputPartitions with
+  *    FileSourceScanExec's split policy (maxPartitionBytes /
+  *    openCostInBytes / minPartitionNum, whole files only — a game
+  *    never splits): KB-sized mjlogs pack hundreds to a task instead of
+  *    one task per file, while a 1000-executor cluster still gets full
+  *    parallelism from the same policy;
   *  - file listing runs once on the driver through the Hadoop
   *    FileSystem API, so the same code reads local disk, HDFS, or any
   *    object store with a Hadoop connector;
@@ -57,7 +59,7 @@ object MjlogTable {
     */
   val Schema: StructType = ExpressionEncoder[ParsedGame]().schema
 
-  private val DirDate = DateTimeFormatter.ofPattern("yyyyMMdd")
+  private[sources] val DirDate = DateTimeFormatter.ofPattern("yyyyMMdd")
   private val FileRe = "(\\d{8})/([^/]+)\\.xml$".r
 
   /** (dt, game_id) from `<YYYYMMDD>/<id>.xml`, as in Pipeline.parseRaw. */
@@ -138,7 +140,11 @@ class MjlogScanBuilder(path: String)
   override def build(): Scan = new MjlogScan(path, required, dtFilters)
 }
 
-case class MjlogFilePartition(file: String, dtEpochDay: Long, gameId: String)
+/** One whole xml file inside a packed partition. */
+case class MjlogFileSpec(file: String, len: Long, dtEpochDay: Long,
+                         gameId: String)
+
+case class MjlogFilesPartition(files: Seq[MjlogFileSpec])
     extends InputPartition
 
 class MjlogScan(path: String, required: StructType,
@@ -153,23 +159,75 @@ class MjlogScan(path: String, required: StructType,
   override def description(): String =
     s"mjlog $path, PushedFilters: ${dtFilters.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
+  // Memoized: one Scan instance is shared by every physical-plan copy of
+  // a query execution, but Spark's planning rules (supportsColumnar,
+  // RemoveRedundantProjects, AQE re-plans, ...) each hold their own
+  // BatchScanExec whose `inputPartitions` lazy val calls back into this
+  // Batch — without the cache the recursive file listing re-ran once per
+  // rule, which dominated wall time (measured ~7× a 10 s listing on a
+  // 10k-file corpus). A fresh action builds a fresh Scan via the
+  // ScanBuilder, so the listing is still re-taken per query.
+  override def planInputPartitions(): Array[InputPartition] = cachedPartitions
+
+  private lazy val cachedPartitions: Array[InputPartition] = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val conf = session.sparkContext.hadoopConfiguration
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
-    val out = Array.newBuilder[InputPartition]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toString
-      if (p.endsWith(".xml")) MjlogTable.parseName(p).foreach { case (dt, id) =>
-        val ed = dt.toEpochDay
-        if (dtFilters.forall(MjlogTable.dtSatisfies(ed, _)))
-          out += MjlogFilePartition(p, ed, id)
+    val specs = Array.newBuilder[MjlogFileSpec]
+    // E4 date-prefix pruning at LISTING time (extractor.py:33-40): walk
+    // one directory level, skip whole <YYYYMMDD> day dirs whose
+    // path-derived dt fails a pushed filter BEFORE listing their files —
+    // over a year of logs a dt= predicate lists one day, not 365 — then
+    // list surviving days. listStatus (no per-file block locations) is
+    // the cheap call on local/HDFS; object-store connectors flat-list a
+    // day dir in one request.
+    def dayDirPruned(name: String): Boolean =
+      name.matches("\\d{8}") && {
+        val ed = LocalDate.parse(name, MjlogTable.DirDate).toEpochDay
+        !dtFilters.forall(MjlogTable.dtSatisfies(ed, _))
       }
+    def walk(dir: HPath): Unit =
+      fs.listStatus(dir).foreach { f =>
+        if (f.isDirectory) {
+          if (!dayDirPruned(f.getPath.getName)) walk(f.getPath)
+        } else {
+          val p = f.getPath.toString
+          if (p.endsWith(".xml"))
+            MjlogTable.parseName(p).foreach { case (dt, id) =>
+              val ed = dt.toEpochDay
+              if (dtFilters.forall(MjlogTable.dtSatisfies(ed, _)))
+                specs += MjlogFileSpec(p, f.getLen, ed, id)
+            }
+        }
+      }
+    walk(root)
+    // FileSourceScanExec's split policy applied to WHOLE files (a game
+    // never splits): KB-sized mjlogs would otherwise cost one task each
+    // — 200k files = 200k task launches — so pack largest-first up to
+    // maxSplitBytes, honoring the same session knobs the parquet scan
+    // uses (Pipeline.runImpl sets openCostInBytes=64k for mjlog corpora)
+    val sql = session.sessionState.conf
+    val openCost = sql.filesOpenCostInBytes
+    val minParts = sql.filesMinPartitionNum
+      .getOrElse(session.sparkContext.defaultParallelism)
+    val files = specs.result()
+    val totalBytes = files.map(_.len + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minParts)
+    val maxSplit = math.min(sql.filesMaxPartitionBytes,
+                            math.max(openCost, bytesPerCore))
+    val parts = Array.newBuilder[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[MjlogFileSpec]
+    var curBytes = 0L
+    files.sortBy(f => (-f.len, f.file)).foreach { f =>
+      val cost = f.len + openCost
+      if (cur.nonEmpty && curBytes + cost > maxSplit) {
+        parts += MjlogFilesPartition(cur.toVector); cur.clear(); curBytes = 0L
+      }
+      cur += f; curBytes += cost
     }
-    out.result()
+    if (cur.nonEmpty) parts += MjlogFilesPartition(cur.toVector)
+    parts.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -183,6 +241,33 @@ class MjlogScan(path: String, required: StructType,
   }
 }
 
+object MjlogReaderFactory {
+  /** Encoder resolution and UnsafeProjection codegen are driver-grade
+    * costs (~10 ms each); paying them per FILE made the V2 path ~20×
+    * slower than the typed one on a 10k-file corpus. Both are stateful
+    * (reused buffers), so: one instance per (required schema, executor
+    * thread), built on first use and reused for every file the thread
+    * ever reads. The projection binds each required field to its
+    * ordinal in the full row (the pushed-down column pruning).
+    */
+  private val codecs = new java.util.concurrent.ConcurrentHashMap[
+    StructType,
+    ThreadLocal[(ParsedGame => InternalRow, UnsafeProjection)]]()
+
+  private[sources] def codecFor(required: StructType)
+      : (ParsedGame => InternalRow, UnsafeProjection) =
+    codecs.computeIfAbsent(required, schema =>
+      ThreadLocal.withInitial { () =>
+        val ser = ExpressionEncoder[ParsedGame]().createSerializer()
+        val full = MjlogTable.Schema
+        val refs = schema.fields.map { f =>
+          val i = full.fieldIndex(f.name)
+          BoundReference(i, full(i).dataType, full(i).nullable)
+        }
+        ((g: ParsedGame) => ser(g), UnsafeProjection.create(refs.toSeq))
+      }).get()
+}
+
 class MjlogReaderFactory(
     required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
@@ -190,42 +275,42 @@ class MjlogReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[MjlogFilePartition]
+    val p = partition.asInstanceOf[MjlogFilesPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
+      private val files = p.files.iterator
+      private var fs: org.apache.hadoop.fs.FileSystem = _
       private var row: InternalRow = _
 
-      override def next(): Boolean = {
-        if (done) return false
-        done = true
-        val hp = new HPath(p.file)
-        val fs = hp.getFileSystem(conf.value)
-        val out = new java.io.ByteArrayOutputStream()
-        val in = fs.open(hp)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        finally in.close()
-        val xml = out.toString(java.nio.charset.StandardCharsets.UTF_8)
-        // same per-file leniency as Pipeline.parseRaw: one corrupt log
-        // skips (zero rows for this partition), it must not kill the job
-        val game: ParsedGame =
-          try MjlogParser.parse(xml, p.gameId, LocalDate.ofEpochDay(p.dtEpochDay))
-          catch {
-            case e: Exception =>
-              skipped.add(1L)
-              graft.etl.LenientParse.warnSkip("graft-mjlog", p.file, e)
-              return false
+      @annotation.tailrec
+      override final def next(): Boolean =
+        if (!files.hasNext) false
+        else {
+          val f = files.next()
+          val hp = new HPath(f.file)
+          if (fs == null) fs = hp.getFileSystem(conf.value)
+          val out = new java.io.ByteArrayOutputStream()
+          val in = fs.open(hp)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally in.close()
+          val xml = out.toString(java.nio.charset.StandardCharsets.UTF_8)
+          // same per-file leniency as Pipeline.parseRaw: one corrupt log
+          // skips, it must not kill the job
+          val game: ParsedGame =
+            try MjlogParser.parse(xml, f.gameId,
+                                  LocalDate.ofEpochDay(f.dtEpochDay))
+            catch {
+              case e: Exception =>
+                skipped.add(1L)
+                graft.etl.LenientParse.warnSkip("graft-mjlog", f.file, e)
+                null
+            }
+          if (game == null) next()
+          else {
+            val (serialize, project) = MjlogReaderFactory.codecFor(required)
+            row = project(serialize(game)).copy()
+            true
           }
-        val full = ExpressionEncoder[ParsedGame]().createSerializer()(game)
-        // prune to the pushed-down columns: bind each required field to
-        // its ordinal in the full row and project once
-        val fullSchema = MjlogTable.Schema
-        val refs = required.fields.map { f =>
-          val i = fullSchema.fieldIndex(f.name)
-          BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)
         }
-        row = UnsafeProjection.create(refs.toSeq).apply(full).copy()
-        true
-      }
 
       override def get(): InternalRow = row
       override def close(): Unit = ()

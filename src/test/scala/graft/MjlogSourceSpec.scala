@@ -39,7 +39,10 @@ class MjlogSourceSpec extends AnyFunSuite {
 
   test("dt filter prunes InputPartitions at file-listing time (E4)") {
     val df = spark.read.format("mjlog").load(logDir)
-    // one partition per xml file: 4 fixtures across 3 dates
+    // under default conf each KB-sized fixture carries the 4 MB
+    // open-cost, filling one maxSplitBytes bin → one file per partition
+    // here (bin-packing only kicks in for larger corpora / lower
+    // openCostInBytes — MjlogSourceSpec below asserts that case)
     assert(df.rdd.getNumPartitions == 4)
     val eq = df.where(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")))
     assert(eq.rdd.getNumPartitions == 2,
@@ -59,6 +62,24 @@ class MjlogSourceSpec extends AnyFunSuite {
       .where(col("dt") === lit(java.sql.Date.valueOf("2024-01-01")))
     assert(eq.orderBy("game_id").toJSON.collect().toSeq ==
            typed.orderBy("game_id").toJSON.collect().toSeq)
+  }
+
+  test("small files bin-pack into one partition when open-cost allows") {
+    val prevCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    val prevMin = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    try {
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      val df = spark.read.format("mjlog").load(logDir)
+      assert(df.rdd.getNumPartitions == 1,
+        "with zero open-cost the 4 KB-sized files must pack into one task")
+      assert(df.count() == 4)
+    } finally {
+      restore("spark.sql.files.openCostInBytes", prevCost)
+      restore("spark.sql.files.minPartitionNum", prevMin)
+    }
   }
 
   test("one corrupt xml is skipped, not fatal (parity with Pipeline.parseRaw)") {

@@ -13,9 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * Every registered query runs row-for-row identical at
   * `shuffle.partitions` ∈ {1, 7, 64} on sf0.001 (1 = everything in one
   * task, 7 = a prime that misaligns every co-partitioning, 64 = more
-  * tasks than rows for small groups). Comparison is ordered — the
-  * result contract includes each query's output order, which the gate's
-  * hash also depends on.
+  * tasks than rows for small groups), plus a fourth pass with fragmented
+  * input splits (maxPartitionBytes=256k, openCostInBytes=0) — the other
+  * cluster-shape variable, exercising different scan task boundaries.
+  * Comparison is ordered — the result contract includes each query's
+  * output order, which the gate's hash also depends on.
   *
   * Known partition-layout-dependent keys, excluded with cause:
   *  - q_agg_approx: approx_percentile/HLL sketches merge per-partition
@@ -37,21 +39,40 @@ class ShuffleInvarianceSpec extends AnyFunSuite {
         case (k, fn) if !LayoutDependent(k) =>
           k -> fn(spark, sfDir).collect().map(_.toString).toSeq
       }
+    def compare(base: Map[String, Seq[String]], got: Map[String, Seq[String]],
+                what: String): Unit = {
+      val diffs = base.keys.toSeq.sorted.filter(k => base(k) != got(k))
+      assert(diffs.isEmpty,
+        s"results changed between shuffle.partitions=7 and $what for: " +
+          diffs.map { k =>
+            val b = base(k); val g = got(k)
+            val firstDiff = b.zipAll(g, "<missing>", "<missing>")
+              .indexWhere { case (x, y) => x != y }
+            s"$k (rows ${b.size} vs ${g.size}, first diff at row $firstDiff)"
+          }.mkString("; "))
+    }
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val base = runAll()
       Seq("1", "64").foreach { n =>
         spark.conf.set("spark.sql.shuffle.partitions", n)
-        val got = runAll()
-        val diffs = base.keys.toSeq.sorted.filter(k => base(k) != got(k))
-        assert(diffs.isEmpty,
-          s"results changed between shuffle.partitions=7 and =$n for: " +
-            diffs.map { k =>
-              val b = base(k); val g = got(k)
-              val firstDiff = b.zipAll(g, "<missing>", "<missing>")
-                .indexWhere { case (x, y) => x != y }
-              s"$k (rows ${b.size} vs ${g.size}, first diff at row $firstDiff)"
-            }.mkString("; "))
+        compare(base, runAll(), s"=$n")
+      }
+      // scan-split invariance — the OTHER cluster-shape variable: force
+      // many tiny input splits (different file/task boundaries than any
+      // local default) and require identical results again
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val prevCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        compare(base, runAll(), "fragmented scans (maxPartitionBytes=256k)")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        restore("spark.sql.files.maxPartitionBytes", prevMax)
+        restore("spark.sql.files.openCostInBytes", prevCost)
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
