@@ -108,7 +108,8 @@ class MjlogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"mjlog:`$path`"
   override def schema(): StructType = MjlogTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MjlogScanBuilder(path)
 }
@@ -147,51 +148,30 @@ case class MjlogFileSpec(file: String, len: Long, dtEpochDay: Long,
 case class MjlogFilesPartition(files: Seq[MjlogFileSpec])
     extends InputPartition
 
-class MjlogScan(path: String, required: StructType,
-                dtFilters: Array[Filter] = Array.empty)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+/** Driver-side listing + whole-file bin-packing, shared by the batch
+  * scan and the micro-batch stream.
+  */
+object MjlogListing {
 
-  // surface the listing-time pruning in `.explain()`: BatchScan prints
-  // the scan's description, so the pushed dt filters are visible in the
-  // plan the same way FileSourceScanExec prints PushedFilters
-  override def description(): String =
-    s"mjlog $path, PushedFilters: ${dtFilters.mkString("[", ", ", "]")}"
-
-  // Memoized: one Scan instance is shared by every physical-plan copy of
-  // a query execution, but Spark's planning rules (supportsColumnar,
-  // RemoveRedundantProjects, AQE re-plans, ...) each hold their own
-  // BatchScanExec whose `inputPartitions` lazy val calls back into this
-  // Batch — without the cache the recursive file listing re-ran once per
-  // rule, which dominated wall time (measured ~7× a 10 s listing on a
-  // 10k-file corpus). A fresh action builds a fresh Scan via the
-  // ScanBuilder, so the listing is still re-taken per query.
-  override def planInputPartitions(): Array[InputPartition] = cachedPartitions
-
-  private lazy val cachedPartitions: Array[InputPartition] = {
-    val session = org.apache.spark.sql.SparkSession.active
-    val conf = session.sparkContext.hadoopConfiguration
-    val root = new HPath(path)
-    val fs = root.getFileSystem(conf)
+  /** E4 date-prefix pruning at LISTING time (extractor.py:33-40): walk
+    * the tree breadth-first, skip whole `<YYYYMMDD>` day dirs whose
+    * path-derived dt fails a pushed filter BEFORE listing their files —
+    * over a year of logs a dt= predicate lists one day, not 365. Each
+    * depth level lists its sibling dirs in parallel (bounded pool, as
+    * InMemoryFileIndex does above its listing threshold): 365+ day dirs
+    * on an object store pay ~ceil(365/16) LIST round-trips instead of
+    * 365 serial ones. listStatus (no per-file block locations) is the
+    * cheap call on local/HDFS; object-store connectors flat-list a day
+    * dir in one request.
+    */
+  def listFiles(fs: FileSystem, root: HPath,
+                dtFilters: Array[Filter]): Array[MjlogFileSpec] = {
     val specs = Array.newBuilder[MjlogFileSpec]
-    // E4 date-prefix pruning at LISTING time (extractor.py:33-40): walk
-    // one directory level, skip whole <YYYYMMDD> day dirs whose
-    // path-derived dt fails a pushed filter BEFORE listing their files —
-    // over a year of logs a dt= predicate lists one day, not 365 — then
-    // list surviving days. listStatus (no per-file block locations) is
-    // the cheap call on local/HDFS; object-store connectors flat-list a
-    // day dir in one request.
     def dayDirPruned(name: String): Boolean =
       name.matches("\\d{8}") && {
         val ed = LocalDate.parse(name, MjlogTable.DirDate).toEpochDay
         !dtFilters.forall(MjlogTable.dtSatisfies(ed, _))
       }
-    // BFS with one parallel-listing round per depth level (bounded pool,
-    // as InMemoryFileIndex does above its listing threshold): a year of
-    // logs is 365+ sibling day dirs, and on an object store a serial
-    // walk pays 365 LIST round-trips back-to-back where the parallel
-    // one pays ~ceil(365/16)
     var frontier: Seq[HPath] = Seq(root)
     while (frontier.nonEmpty) {
       val listed: Seq[org.apache.hadoop.fs.FileStatus] =
@@ -220,19 +200,20 @@ class MjlogScan(path: String, required: StructType,
           }
       }
     }
-    // FileSourceScanExec's split policy applied to WHOLE files (a game
-    // never splits): KB-sized mjlogs would otherwise cost one task each
-    // — 200k files = 200k task launches — so pack largest-first up to
-    // maxSplitBytes, honoring the same session knobs the parquet scan
-    // uses (Pipeline.runImpl sets openCostInBytes=64k for mjlog corpora)
-    val sql = session.sessionState.conf
-    val openCost = sql.filesOpenCostInBytes
-    val minParts = sql.filesMinPartitionNum
-      .getOrElse(session.sparkContext.defaultParallelism)
-    val files = specs.result()
+    specs.result()
+  }
+
+  /** FileSourceScanExec's split policy applied to WHOLE files (a game
+    * never splits): KB-sized mjlogs would otherwise cost one task each
+    * — 200k files = 200k task launches — so pack largest-first up to
+    * maxSplitBytes, honoring the same session knobs the parquet scan
+    * uses (Pipeline.runImpl sets openCostInBytes=64k for mjlog corpora).
+    */
+  def pack(files: Array[MjlogFileSpec], openCost: Long, minParts: Int,
+           maxPartitionBytes: Long): Array[InputPartition] = {
     val totalBytes = files.map(_.len + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minParts)
-    val maxSplit = math.min(sql.filesMaxPartitionBytes,
+    val maxSplit = math.min(maxPartitionBytes,
                             math.max(openCost, bytesPerCore))
     val parts = Array.newBuilder[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[MjlogFileSpec]
@@ -248,6 +229,47 @@ class MjlogScan(path: String, required: StructType,
     parts.result()
   }
 
+  /** The three split-policy knobs read from the active session. */
+  def splitKnobs(session: org.apache.spark.sql.SparkSession): (Long, Int, Long) = {
+    val sql = session.sessionState.conf
+    (sql.filesOpenCostInBytes,
+     sql.filesMinPartitionNum
+       .getOrElse(session.sparkContext.defaultParallelism),
+     sql.filesMaxPartitionBytes)
+  }
+}
+
+class MjlogScan(path: String, required: StructType,
+                dtFilters: Array[Filter] = Array.empty)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // surface the listing-time pruning in `.explain()`: BatchScan prints
+  // the scan's description, so the pushed dt filters are visible in the
+  // plan the same way FileSourceScanExec prints PushedFilters
+  override def description(): String =
+    s"mjlog $path, PushedFilters: ${dtFilters.mkString("[", ", ", "]")}"
+
+  // Memoized: one Scan instance is shared by every physical-plan copy of
+  // a query execution, but Spark's planning rules (supportsColumnar,
+  // RemoveRedundantProjects, AQE re-plans, ...) each hold their own
+  // BatchScanExec whose `inputPartitions` lazy val calls back into this
+  // Batch — without the cache the recursive file listing re-ran once per
+  // rule, which dominated wall time (measured ~7× a 10 s listing on a
+  // 10k-file corpus). A fresh action builds a fresh Scan via the
+  // ScanBuilder, so the listing is still re-taken per query.
+  override def planInputPartitions(): Array[InputPartition] = cachedPartitions
+
+  private lazy val cachedPartitions: Array[InputPartition] = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val root = new HPath(path)
+    val fs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val (openCost, minParts, maxPB) = MjlogListing.splitKnobs(session)
+    MjlogListing.pack(
+      MjlogListing.listFiles(fs, root, dtFilters), openCost, minParts, maxPB)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = org.apache.spark.sql.SparkSession.active
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -257,6 +279,80 @@ class MjlogScan(path: String, required: StructType,
     new MjlogReaderFactory(required, conf,
       graft.etl.ParseMetrics.skippedFiles(session))
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MjlogMicroBatchStream(path, required, dtFilters)
+}
+
+/** Offset for the mjlog stream: the max file path read so far (paths
+  * sort as `<root>/<YYYYMMDD>/<id>.xml`, so path order IS scrape order
+  * for the reference's daily-append layout, extractor.py:58-67). The
+  * raw path string is the offset's JSON payload — Spark treats it
+  * opaquely in the checkpoint offset log.
+  */
+case class MjlogOffset(maxPath: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = maxPath
+}
+
+/** Micro-batch stream over a growing mjlog directory tree — the
+  * reference's E6 directory scan + E13 per-date incremental flush
+  * (main.py:18-33) as a Structured Streaming source:
+  * `spark.readStream.format("mjlog").load(dir)` emits each game once,
+  * in file-path order, batched per trigger.
+  *
+  * Exactly-once contract: offsets are max-path watermarks, so delivery
+  * is exactly-once as long as new files arrive at paths AFTER the
+  * committed watermark — true for the reference's layout, where each
+  * day's scrape appends under a fresh `<YYYYMMDD>/` prefix. A file
+  * backfilled BELOW the watermark is skipped (same behavior as
+  * FileStreamSource once a file ages past maxFileAge). At 100 TB this
+  * keeps the per-trigger driver state at one string, vs the
+  * seen-files map FileStreamSource must persist.
+  *
+  * dt filters: Spark's streaming planner does not run filter pushdown
+  * for V2 streams (the Filter stays above the scan and is applied
+  * row-wise — semantically identical), so `dtFilters` is empty today;
+  * the plumbing below composes if a pushdown-capable planner hands
+  * them down.
+  */
+class MjlogMicroBatchStream(path: String, required: StructType,
+                            dtFilters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // capture session-derived state eagerly: stream lifecycle methods run
+  // on the streaming query thread, where SparkSession.active may differ
+  private val session = org.apache.spark.sql.SparkSession.active
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    session.sparkContext.hadoopConfiguration)
+  private val (openCost, minParts, maxPB) = MjlogListing.splitKnobs(session)
+  private val skipped = graft.etl.ParseMetrics.skippedFiles(session)
+  private val root = new HPath(path)
+  private val fs = root.getFileSystem(hadoopConf.value)
+
+  override def initialOffset(): Offset = MjlogOffset("")
+  override def deserializeOffset(json: String): Offset = MjlogOffset(json)
+
+  override def latestOffset(): Offset = {
+    val files = MjlogListing.listFiles(fs, root, dtFilters)
+    MjlogOffset(if (files.isEmpty) "" else files.map(_.file).max)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MjlogOffset].maxPath
+    val e = end.asInstanceOf[MjlogOffset].maxPath
+    val batch = MjlogListing.listFiles(fs, root, dtFilters)
+      .filter(f => f.file > s && f.file <= e)
+    MjlogListing.pack(batch, openCost, minParts, maxPB)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MjlogReaderFactory(required, hadoopConf, skipped)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object MjlogReaderFactory {
