@@ -111,10 +111,11 @@ class MjlogTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
                          TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MjlogScanBuilder(path)
+    new MjlogScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-class MjlogScanBuilder(path: String)
+class MjlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = MjlogTable.Schema
@@ -138,7 +139,8 @@ class MjlogScanBuilder(path: String)
     filters
   }
   override def pushedFilters(): Array[Filter] = dtFilters
-  override def build(): Scan = new MjlogScan(path, required, dtFilters)
+  override def build(): Scan =
+    new MjlogScan(path, required, dtFilters, maxFilesPerTrigger)
 }
 
 /** One whole xml file inside a packed partition. */
@@ -240,7 +242,8 @@ object MjlogListing {
 }
 
 class MjlogScan(path: String, required: StructType,
-                dtFilters: Array[Filter] = Array.empty)
+                dtFilters: Array[Filter] = Array.empty,
+                maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -282,7 +285,7 @@ class MjlogScan(path: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MjlogMicroBatchStream(path, required, dtFilters)
+    new MjlogMicroBatchStream(path, required, dtFilters, maxFilesPerTrigger)
 }
 
 /** Offset for the mjlog stream: the max file path read so far (paths
@@ -318,9 +321,11 @@ case class MjlogOffset(maxPath: String)
   * them down.
   */
 class MjlogMicroBatchStream(path: String, required: StructType,
-                            dtFilters: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                            dtFilters: Array[Filter],
+                            maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   // capture session-derived state eagerly: stream lifecycle methods run
   // on the streaming query thread, where SparkSession.active may differ
@@ -335,9 +340,30 @@ class MjlogMicroBatchStream(path: String, required: StructType,
   override def initialOffset(): Offset = MjlogOffset("")
   override def deserializeOffset(json: String): Offset = MjlogOffset(json)
 
-  override def latestOffset(): Offset = {
-    val files = MjlogListing.listFiles(fs, root, dtFilters)
-    MjlogOffset(if (files.isEmpty) "" else files.map(_.file).max)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  // Admission control: without a limit, a restart against a year-long
+  // backfill would land the whole year in ONE micro-batch. With
+  // `.option("maxFilesPerTrigger", n)` the watermark advances at most n
+  // files (in path = scrape order) per trigger, bounding batch size and
+  // state the same way FileStreamSource's maxFilesPerTrigger does.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MjlogOffset].maxPath
+    val pending = MjlogListing.listFiles(fs, root, dtFilters)
+      .collect { case f if f.file > s => f.file }
+      .sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles      => pending.take(m.maxFiles())
+      case _: ReadAllAvailable  => pending
+      case _                    => pending
+    }
+    MjlogOffset(if (admitted.isEmpty) s else admitted.last)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

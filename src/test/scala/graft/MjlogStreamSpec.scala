@@ -75,6 +75,31 @@ class MjlogStreamSpec extends AnyFunSuite {
         "restart must resume from the committed offset, not re-deliver")
     } finally q2.stop()
 
+    // admission control: maxFilesPerTrigger=1 over the 4 accumulated
+    // files must deliver them one per micro-batch, in path (= scrape)
+    // order — the bounded-backfill behavior a restart against a year of
+    // logs needs at scale
+    val ckptMax = Files.createTempDirectory("mjlog-stream-ckpt-max")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String])]()
+    val qMax = spark.readStream.format("mjlog")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir.toString)
+      .select("game_id")
+      .writeStream
+      .option("checkpointLocation", ckptMax.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add(id -> df.collect().map(_.getString(0)).toSeq); ()
+      }
+      .start()
+    try {
+      qMax.processAllAvailable()
+      val nonEmpty = batches.asScala.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+      assert(nonEmpty == Seq(
+        Seq("2024010100gm-0001"), Seq("2024010101gm-0002"),
+        Seq("2024010200gm-0003"), Seq("2024010300gm-0004")),
+        s"one file per trigger in path order, got $nonEmpty")
+    } finally qMax.stop()
+
     // dt filter prunes day dirs from the per-trigger listing
     val ckpt2 = Files.createTempDirectory("mjlog-stream-ckpt2")
     val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
