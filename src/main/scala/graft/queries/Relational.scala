@@ -64,8 +64,10 @@ object Relational {
     */
   /** Stable scratch dir per (prefix, input dir): repeated Verify/Bench
     * runs overwrite in place instead of accumulating temp garbage.
+    * (`private[graft]` so CompactionSpec can locate q_sink_compact's
+    * output dirs and count files.)
     */
-  private def scratchDir(prefix: String, d: String): String = {
+  private[graft] def scratchDir(prefix: String, d: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch",
       prefix + "_" + Integer.toHexString(d.hashCode))
@@ -96,6 +98,45 @@ object Relational {
   val qSinkPartitionedSql: String =
     s"""SELECT l_returnflag, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Small-file compaction of a partitioned table — the OPTIMIZE /
+    * bin-pack maintenance job every long-lived partitioned sink needs
+    * (Delta/Iceberg ship it as a command; declaratively it is one
+    * keyed repartition + rewrite). Seed: orders written partitioned by
+    * month with a deliberately fragmented layout (round-robin over 16
+    * tasks, so every month directory holds ~16 small files — the shape
+    * a day's worth of incremental micro-batch appends leaves behind).
+    * Compact: read back, `repartition(col("month"))` so each directory
+    * is rewritten by exactly one task → one file per partition, write
+    * to a fresh dir (at 100 TB the swap is a directory rename /
+    * metastore pointer flip, and compaction runs per-partition so a
+    * failed rewrite never corrupts the live table). The query returns
+    * per-month rowcount + exact revenue from the COMPACTED copy; the
+    * oracle computes the same from the original table, proving the
+    * rewrite lost nothing. CompactionSpec asserts the physical
+    * file-count collapse (~16 → 1 per partition).
+    */
+  val qSinkCompact: Q = (s, d) => {
+    val frag = scratchDir("compact_frag", d)
+    val tidy = scratchDir("compact_tidy", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("month").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(tidy)
+    s.read.parquet(tidy)
+      .groupBy("month")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+  }
+
+  val qSinkCompactSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS cnt,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Text source incl. gzip (reference E2: `.gz` archives decompressed
     * transparently — Spark's text source does the same natively).
@@ -1518,6 +1559,7 @@ object Relational {
     "q_scan_parquet"     -> qScanParquet,
     "q_scan_pruned"      -> qScanPruned,
     "q_sink_partitioned" -> qSinkPartitioned,
+    "q_sink_compact"     -> qSinkCompact,
     "q_scan_text_gz"     -> qScanTextGz,
     "q_scan_csv"         -> qScanCsv,
     "q_scan_orc"         -> qScanOrc,
@@ -1571,6 +1613,7 @@ object Relational {
     "q_scan_parquet"     -> qScanParquetSql,
     "q_scan_pruned"      -> qScanPrunedSql,
     "q_sink_partitioned" -> qSinkPartitionedSql,
+    "q_sink_compact"     -> qSinkCompactSql,
     "q_scan_text_gz"     -> qScanTextGzSql,
     "q_scan_csv"         -> qScanCsvSql,
     "q_scan_orc"         -> qScanOrcSql,
