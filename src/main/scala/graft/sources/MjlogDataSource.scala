@@ -324,7 +324,7 @@ class MjlogMicroBatchStream(path: String, required: StructType,
                             dtFilters: Array[Filter],
                             maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   // capture session-derived state eagerly: stream lifecycle methods run
@@ -353,10 +353,23 @@ class MjlogMicroBatchStream(path: String, required: StructType,
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  // Trigger.AvailableNow (SupportsTriggerAvailableNow): snapshot the
+  // backlog's end once at query start; subsequent triggers keep
+  // stepping the watermark by maxFilesPerTrigger but never past the
+  // snapshot, so a bounded-batch drain terminates even while new files
+  // keep arriving. Without this Spark falls back to one
+  // all-files-in-one-batch trigger.
+  @volatile private var availableNowCap: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = MjlogListing.listFiles(fs, root, dtFilters)
+    availableNowCap = Some(if (files.isEmpty) "" else files.map(_.file).max)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MjlogOffset].maxPath
     val pending = MjlogListing.listFiles(fs, root, dtFilters)
-      .collect { case f if f.file > s => f.file }
+      .collect { case f if f.file > s &&
+                   availableNowCap.forall(f.file <= _) => f.file }
       .sorted
     val admitted = limit match {
       case m: ReadMaxFiles      => pending.take(m.maxFiles())

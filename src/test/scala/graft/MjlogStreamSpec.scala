@@ -100,6 +100,29 @@ class MjlogStreamSpec extends AnyFunSuite {
         s"one file per trigger in path order, got $nonEmpty")
     } finally qMax.stop()
 
+    // Trigger.AvailableNow + admission control: drain the whole backlog
+    // in bounded batches, then terminate on its own — the managed
+    // backfill shape (Spark wraps the stream in its AvailableNow
+    // wrapper, which must respect our ReadMaxFiles watermark stepping)
+    val ckptAn = Files.createTempDirectory("mjlog-stream-ckpt-an")
+    val anBatches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val qAn = spark.readStream.format("mjlog")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.toString)
+      .select("game_id")
+      .writeStream
+      .option("checkpointLocation", ckptAn.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        anBatches.add(df.count().toInt); ()
+      }
+      .start()
+    assert(qAn.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val counts = anBatches.asScala.toSeq.filter(_ > 0)
+    assert(counts.sum == 4, s"backlog of 4 games fully drained, got $counts")
+    assert(counts.forall(_ <= 2), s"batches bounded by maxFilesPerTrigger=2, got $counts")
+    assert(counts.size >= 2, s"backlog must split into multiple batches, got $counts")
+
     // dt filter prunes day dirs from the per-trigger listing
     val ckpt2 = Files.createTempDirectory("mjlog-stream-ckpt2")
     val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
