@@ -433,6 +433,12 @@ class MjlogReaderFactory(
       private val files = p.files.iterator
       private var fs: org.apache.hadoop.fs.FileSystem = _
       private var row: InternalRow = _
+      // one codec lookup per partition, not per row: a task consumes
+      // its reader on a single thread, so the ThreadLocal resolution
+      // (and the nested StructType hashCode it keys on) can be done
+      // once. Lazy because createReader may run before the task thread
+      // takes over.
+      private lazy val codec = MjlogReaderFactory.codecFor(required)
 
       @annotation.tailrec
       override final def next(): Boolean =
@@ -459,7 +465,7 @@ class MjlogReaderFactory(
             }
           if (game == null) next()
           else {
-            val (serialize, project) = MjlogReaderFactory.codecFor(required)
+            val (serialize, project) = codec
             row = project(serialize(game)).copy()
             true
           }
