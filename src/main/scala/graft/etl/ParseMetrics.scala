@@ -22,9 +22,22 @@ object ParseMetrics {
     * on first use; driver-side only — call before closing over it).
     */
   def skippedFiles(spark: SparkSession): LongAccumulator =
+    named(spark, "graft.mjlog.skippedFiles")
+
+  /** The per-context "graft.mjlog.backfilledFiles" accumulator: files
+    * that appeared BELOW the mjlog stream's committed max-path watermark
+    * and will therefore never be emitted (the stream's documented
+    * exactly-once contract covers path-ordered appends only). Bumped
+    * driver-side by [[graft.sources.MjlogMicroBatchStream]] so an
+    * operator can alarm on it instead of silently losing a backfill.
+    */
+  def backfilledFiles(spark: SparkSession): LongAccumulator =
+    named(spark, "graft.mjlog.backfilledFiles")
+
+  private def named(spark: SparkSession, name: String): LongAccumulator =
     cache.computeIfAbsent(
-      spark.sparkContext.applicationId,
-      _ => spark.sparkContext.longAccumulator("graft.mjlog.skippedFiles"))
+      s"${spark.sparkContext.applicationId}/$name",
+      _ => spark.sparkContext.longAccumulator(name))
 }
 
 /** Executor-side skip logging routed through Spark's log4j (not bare

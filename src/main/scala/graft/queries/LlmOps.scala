@@ -1968,13 +1968,13 @@ object LlmOps {
     * of the per-language counts (5 rows), a filter — no per-group sort
     * or window over a 20 TB language partition (an exact-cap variant
     * would rank within language; the rate rule trades ±√cap count
-    * jitter for a shuffle-free plan). Exactness bounds for the 64-bit
-    * arithmetic, which both engines must respect identically: the hash
-    * product needs `doc_id < 2⁶³/2654435761 ≈ 3.4·10⁹` (Spark would
-    * wrap silently past it, DuckDB would raise — so the rule is only
-    * DEFINED inside the bound; re-key or promote to 128-bit decimal
-    * beyond) and the cross-multiplied compare needs
-    * `n_lang · 2³¹ < 2⁶³` (n_lang < 4·10⁹).
+    * jitter for a shuffle-free plan). Exactness: the hash product is
+    * computed in 128-bit decimal (Spark Decimal(38,0) / DuckDB HUGEINT
+    * — a raw 64-bit product wraps past doc_id ≈ 3.4·10⁹, which the sf1
+    * oracle gate hit with ScaleGen's 9·10⁹ key offsets), so `hkey` is
+    * exact for EVERY long doc_id; the cross-multiplied compare is then
+    * long-safe because `hkey < 2³¹` and `n_lang < 2³²` is enforced
+    * below.
     *
     * Oracled row-for-row: DuckDB recomputes the same counts, cap, hash
     * and compare — pure integer arithmetic both engines agree on.
@@ -1983,25 +1983,23 @@ object LlmOps {
     import s.implicits._
     val docs = Tables.documents(s, d)
     // one aggregation, collected once (≈5 rows): cap scalar + broadcast
-    // side; max(doc_id) rides along so the arithmetic precondition is
-    // ENFORCED, not just documented (Spark would wrap the hash product
-    // silently past the bound while DuckDB raises — fail loudly instead)
+    // side
     val countRows = docs.groupBy("lang")
-      .agg(count(lit(1)).as("n_lang"), max(col("doc_id")).as("mx"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     if (countRows.isEmpty) {
       // empty corpus: the balanced sample is empty, not an exception
       docs.select(col("doc_id"), col("lang"), col("source")).limit(0)
     } else {
-      val maxId = countRows.map(_._3).max
-      require(maxId <= Long.MaxValue / 2654435761L,
-        s"doc_id $maxId exceeds 2^63/2654435761 — hash product would wrap; re-key or use Decimal")
       require(countRows.map(_._2).max < (1L << 32),
         "per-language count exceeds 2^32 — cross-multiplied compare would overflow")
       val cap = countRows.map(_._2).min
-      val counts = countRows.map(t => (t._1, t._2)).toSeq.toDF("lang", "n_lang")
+      val counts = countRows.toSeq.toDF("lang", "n_lang")
       docs.join(broadcast(counts), "lang")
-        .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(1L << 31)))
+        // decimal product → exact hash for every long doc_id (scaladoc)
+        .withColumn("hkey",
+          pmod(col("doc_id").cast(DecimalType(38, 0)) * lit(2654435761L),
+               lit(1L << 31)).cast("long"))
         .where(col("hkey") * col("n_lang") < lit(cap) * lit(1L << 31))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
@@ -2016,8 +2014,8 @@ object LlmOps {
       |)
       |SELECT d.doc_id, d.lang, d.source
       |FROM documents d JOIN c USING (lang), cap
-      |WHERE ((d.doc_id * 2654435761) % 2147483648) * c.n_lang
-      |      < cap.cap * 2147483648
+      |WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 2147483648)
+      |      * c.n_lang < cap.cap * 2147483648
       |ORDER BY doc_id""".stripMargin
 
   /** Temperature-based mixture resampling (the mT5/UniMax data-mixing

@@ -595,10 +595,11 @@ object StreamingQ {
     * (idempotent), and readers only ever see complete versions. The
     * snapshot is hash-bucketed on the key ([[MvBuckets]] `bucket=`
     * dirs): each batch joins its updates against only the touched
-    * buckets of `v(k)` (partition-pruned), rewrites only those bucket
-    * dirs, and hard-links the rest — per-batch cost ∝ changed keys'
-    * buckets, never a full rewrite of unrelated keys' data files
-    * (see [[mvMergeBatch]]).
+    * buckets of `v(k)` (partition-pruned), writes only those bucket
+    * dirs, and RE-REFERENCES the rest through a per-version manifest —
+    * untouched buckets contribute zero bytes written on any FileSystem
+    * (no hard links, no copies; S3/GCS included). Per-batch cost ∝
+    * changed keys' buckets, never MV size (see [[mvMergeBatch]]).
     *
     * Exactness: cents-long totals in state and snapshots (associative,
     * order-independent); one decimal→double conversion at read time.
@@ -627,14 +628,45 @@ object StreamingQ {
   private[graft] def mvBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(c), lit(MvBuckets))
 
-  /** The previous snapshot restricted to the buckets the batch touches:
-    * `bucket` is a partition directory column, so Catalyst prunes the
-    * untouched buckets at listing time — their files are never opened.
-    * (PlanSpec asserts `inputFiles` stays inside the changed buckets.)
+  /** Snapshot v's manifest: bucket → version whose `v<version>` dir
+    * holds that bucket's current data files. Written atomically-enough
+    * as the version's last file; `_`-prefixed so Spark's file index
+    * treats it as hidden and `read.parquet(vDir)` never sees it.
     */
-  private[graft] def mvPrevChanged(ss: SparkSession, prevDir: String,
-                                   changed: Seq[Int]): DataFrame =
-    ss.read.parquet(prevDir).where(col("bucket").isin(changed: _*))
+  private[graft] def mvManifest(base: java.nio.file.Path,
+                                v: Long): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .readAllLines(base.resolve(s"v$v").resolve("_manifest.csv")).asScala
+      .filter(_.nonEmpty)
+      .map { l => val Array(b, ver) = l.split(","); b.toInt -> ver.toLong }
+      .toMap
+  }
+
+  private def mvWriteManifest(dst: java.nio.file.Path,
+                              m: Map[Int, Long]): Unit =
+    java.nio.file.Files.writeString(
+      dst.resolve("_manifest.csv"),
+      m.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n"))
+
+  /** The current rows of `buckets`, resolved THROUGH the manifest: each
+    * bucket reads from the version dir that last rewrote it, with the
+    * `bucket` partition-dir filter pruning every other bucket at listing
+    * time — their files are never opened (StreamingSpec asserts via
+    * `input_file_name()`). None when no requested bucket exists yet.
+    * The union is bounded by the number of distinct owner versions (≤
+    * buckets touched); a production deployment bounds manifest fan-out
+    * by periodically compacting all buckets into one version.
+    */
+  private[graft] def mvBucketRows(s: SparkSession, base: java.nio.file.Path,
+                                  manifest: Map[Int, Long],
+                                  buckets: Set[Int]): Option[DataFrame] =
+    buckets.filter(manifest.contains).groupBy(manifest).toSeq.sortBy(_._1)
+      .map { case (ver, bs) =>
+        s.read.parquet(base.resolve(s"v$ver").toString)
+          .where(col("bucket").isin(bs.toSeq.sorted: _*))
+      }
+      .reduceOption(_.union(_))
 
   /** Merge one batch of changed keys into the versioned MV: snapshot
     * v(batchId+1) = v(batchId) keyed-merged with the batch's updates,
@@ -646,13 +678,14 @@ object StreamingQ {
     * the MV is hash-bucketed into `bucket=` partition dirs; a batch
     *  (1) computes its touched buckets (bounded by [[MvBuckets]] — a
     *      constant-size collect),
-    *  (2) full-outer-joins the updates against ONLY those buckets of
-    *      v(k) (partition pruning; the exchange moves touched-bucket
-    *      rows, never the full MV),
+    *  (2) full-outer-joins the updates against ONLY those buckets,
+    *      resolved through v(k)'s manifest (partition pruning; the
+    *      exchange moves touched-bucket rows, never the full MV),
     *  (3) writes ONLY those bucket dirs into v(k+1), and
-    *  (4) hard-links every untouched bucket's files from v(k) — the
-    *      plain-parquet equivalent of a manifest re-referencing
-    *      unchanged data files: metadata-only, no data read or written.
+    *  (4) re-references every untouched bucket by carrying its manifest
+    *      entry forward — metadata-only on ANY FileSystem (the
+    *      hard-link trick this replaces degraded to a full copy on
+    *      object stores, i.e. rewriting unchanged data per version).
     * Per-batch cost is therefore ∝ changed keys' buckets, not MV size.
     */
   private[graft] def mvMergeBatch(base: java.nio.file.Path)
@@ -662,57 +695,41 @@ object StreamingQ {
     rmTree(dst) // a crashed attempt's partial output must not survive
     val updates = updates0.withColumn("bucket", mvBucket(col("user_id"))).persist()
     try {
-      if (batchId == 0) {
-        updates.write.partitionBy("bucket").mode("overwrite")
-          .parquet(dst.toString)
-      } else {
-        val changed = updates.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSet // bounded by MvBuckets
-        val prevDir = base.resolve(s"v$batchId")
-        val merged = mvPrevChanged(ss, prevDir.toString, changed.toSeq.sorted)
-          .select(col("user_id").as("p_user"),
-                  col("n_events").as("p_n"), col("c").as("p_c"))
-          .join(updates.drop("bucket"), col("p_user") === col("user_id"),
-                "full_outer")
-          .select(
-            coalesce(col("user_id"), col("p_user")).as("user_id"),
-            coalesce(col("n_events"), col("p_n")).as("n_events"),
-            coalesce(col("c"), col("p_c")).as("c"))
-          .withColumn("bucket", mvBucket(col("user_id")))
-        merged.write.partitionBy("bucket").mode("overwrite")
-          .parquet(dst.toString)
-        // copy-on-write for untouched buckets: hard-link v(k)'s files
-        // (fall back to copy on filesystems without link support)
-        import scala.jdk.CollectionConverters._
-        val dirs = java.nio.file.Files.list(prevDir).iterator().asScala.toSeq
-        dirs.foreach { d =>
-          val n = d.getFileName.toString
-          if (n.startsWith("bucket=") &&
-              !changed.contains(n.stripPrefix("bucket=").toInt)) {
-            val tgt = dst.resolve(n)
-            java.nio.file.Files.createDirectories(tgt)
-            java.nio.file.Files.list(d).iterator().asScala.foreach { f =>
-              val t = tgt.resolve(f.getFileName.toString)
-              try java.nio.file.Files.createLink(t, f)
-              catch { case _: UnsupportedOperationException |
-                           _: java.nio.file.FileSystemException =>
-                java.nio.file.Files.copy(f, t,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              }
-            }
-          }
-        }
+      val changed = updates.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet // bounded by MvBuckets
+      val prevManifest =
+        if (batchId == 0) Map.empty[Int, Long] else mvManifest(base, batchId)
+      val merged = mvBucketRows(ss, base, prevManifest, changed) match {
+        case None => updates.drop("bucket")
+        case Some(prevRows) =>
+          prevRows
+            .select(col("user_id").as("p_user"),
+                    col("n_events").as("p_n"), col("c").as("p_c"))
+            .join(updates.drop("bucket"), col("p_user") === col("user_id"),
+                  "full_outer")
+            .select(
+              coalesce(col("user_id"), col("p_user")).as("user_id"),
+              coalesce(col("n_events"), col("p_n")).as("n_events"),
+              coalesce(col("c"), col("p_c")).as("c"))
       }
+      merged.withColumn("bucket", mvBucket(col("user_id")))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dst.toString)
+      mvWriteManifest(dst, prevManifest ++ changed.map(_ -> (batchId + 1)))
     } finally { updates.unpersist(); () }
   }
 
-  /** Read MV snapshot `v` in its query-facing shape. */
+  /** Read MV snapshot `v` in its query-facing shape, resolving each
+    * bucket to its owning version through v's manifest.
+    */
   private[graft] def mvRead(s: SparkSession, base: java.nio.file.Path,
-                            v: Long): DataFrame =
-    s.read.parquet(base.resolve(s"v$v").toString)
+                            v: Long): DataFrame = {
+    val manifest = mvManifest(base, v)
+    mvBucketRows(s, base, manifest, manifest.keySet)
+      .getOrElse(sys.error(s"MV snapshot v$v has an empty manifest"))
       .select(col("user_id"), col("n_events"),
               (col("c").cast("double") / lit(100.0)).as("total"))
       .orderBy("user_id")
+  }
 
   private[graft] def rmTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

@@ -155,6 +155,14 @@ case class MjlogFilesPartition(files: Seq[MjlogFileSpec])
   */
 object MjlogListing {
 
+  /** Test probe: one entry per [[listFiles]] call = the number of
+    * directories that call listed (listStatus round-trips). Lets specs
+    * assert the stream's watermark-pruned incremental listing skips day
+    * dirs, and that one listing is shared per trigger, without wrapping
+    * the FileSystem. Driver-side only; cleared by specs.
+    */
+  val listingProbe = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
   /** E4 date-prefix pruning at LISTING time (extractor.py:33-40): walk
     * the tree breadth-first, skip whole `<YYYYMMDD>` day dirs whose
     * path-derived dt fails a pushed filter BEFORE listing their files —
@@ -175,7 +183,9 @@ object MjlogListing {
         !dtFilters.forall(MjlogTable.dtSatisfies(ed, _))
       }
     var frontier: Seq[HPath] = Seq(root)
+    var dirsThisCall = 0
     while (frontier.nonEmpty) {
+      dirsThisCall += frontier.size
       val listed: Seq[org.apache.hadoop.fs.FileStatus] =
         if (frontier.size <= 1) frontier.flatMap(fs.listStatus(_).toSeq)
         else {
@@ -202,6 +212,7 @@ object MjlogListing {
           }
       }
     }
+    listingProbe.add(dirsThisCall)
     specs.result()
   }
 
@@ -361,13 +372,75 @@ class MjlogMicroBatchStream(path: String, required: StructType,
   // all-files-in-one-batch trigger.
   @volatile private var availableNowCap: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit = {
-    val files = MjlogListing.listFiles(fs, root, dtFilters)
+    val files = listFrom("")
+    lastListingFresh = true
     availableNowCap = Some(if (files.isEmpty) "" else files.map(_.file).max)
+  }
+
+  // Incremental listing: the offset is a max PATH and paths embed the
+  // day (`<root>/<YYYYMMDD>/<id>.xml`), so every day dir strictly below
+  // the committed watermark's day is dead weight — draining a year-long
+  // backlog with maxFilesPerTrigger must not pay O(whole tree) per
+  // trigger to admit n files. Derive a `dt >= watermarkDay` filter from
+  // the start offset (the watermark's OWN day still lists: files above
+  // the watermark may share its day dir) and reuse the listing-time
+  // pruning the batch scan already has. The one listing a trigger takes
+  // here is shared with the same trigger's planInputPartitions below.
+  private def watermarkFilters(startPath: String): Array[Filter] =
+    dtFilters ++ MjlogTable.parseName(startPath).map { case (day, _) =>
+      GreaterThanOrEqual("dt", java.sql.Date.valueOf(day)) }
+
+  // One listing per trigger: latestOffset lists (or consumes the fresh
+  // AvailableNow seed, exactly once — an idle trigger must NOT reuse a
+  // prior trigger's listing or new files would never be discovered) and
+  // the same trigger's planInputPartitions reuses it by start-offset key.
+  @volatile private var lastListing: Option[(String, Array[MjlogFileSpec])] = None
+  @volatile private var lastListingFresh = false
+  private def listFrom(startPath: String): Array[MjlogFileSpec] = {
+    val files = MjlogListing.listFiles(fs, root, watermarkFilters(startPath))
+    lastListing = Some((startPath, files))
+    files
+  }
+
+  // Backfill observability: exactly-once covers path-ordered appends
+  // only; a file landing BELOW the committed watermark is skipped by
+  // design (scaladoc above). Make the skip countable: when a trigger
+  // ends at watermark e, remember how many listed files sit at-or-below
+  // e among the day dirs the NEXT trigger will still list; any excess
+  // the next trigger observes is a backfilled file that will never be
+  // emitted → bump the "graft.mjlog.backfilledFiles" accumulator.
+  // (A backfill into a day dir older than the watermark's day is below
+  // the pruned listing's horizon — same blind spot as FileStreamSource
+  // past maxFileAge — which is why the baseline counts only days the
+  // next listing will see.)
+  @volatile private var expectedBelow: Option[(String, Long)] = None
+  private val backfilled = graft.etl.ParseMetrics.backfilledFiles(session)
+  private def countBelow(files: Array[MjlogFileSpec], mark: String): Long = {
+    val markDay = MjlogTable.parseName(mark).map(_._1.toEpochDay)
+    files.count(f => f.file <= mark && markDay.forall(f.dtEpochDay >= _)).toLong
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MjlogOffset].maxPath
-    val pending = MjlogListing.listFiles(fs, root, dtFilters)
+    val files = lastListing match {
+      // AvailableNow seeds the cache with a full listing at query start;
+      // reuse it for the first trigger instead of listing a second time
+      case Some((`s`, cached)) if lastListingFresh => cached
+      case _                                       => listFrom(s)
+    }
+    lastListingFresh = false
+    expectedBelow match {
+      case Some((`s`, exp)) =>
+        val below = countBelow(files, s)
+        if (below > exp) {
+          backfilled.add(below - exp)
+          graft.etl.LenientParse.warnSkip("graft-mjlog-stream",
+            s"$root: ${below - exp} file(s) backfilled below watermark $s",
+            new IllegalStateException("backfill below committed watermark"))
+        }
+      case _ => ()
+    }
+    val pending = files
       .collect { case f if f.file > s &&
                    availableNowCap.forall(f.file <= _) => f.file }
       .sorted
@@ -376,14 +449,23 @@ class MjlogMicroBatchStream(path: String, required: StructType,
       case _: ReadAllAvailable  => pending
       case _                    => pending
     }
-    MjlogOffset(if (admitted.isEmpty) s else admitted.last)
+    val e = if (admitted.isEmpty) s else admitted.last
+    expectedBelow = Some((e, countBelow(files, e)))
+    MjlogOffset(e)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[MjlogOffset].maxPath
     val e = end.asInstanceOf[MjlogOffset].maxPath
-    val batch = MjlogListing.listFiles(fs, root, dtFilters)
-      .filter(f => f.file > s && f.file <= e)
+    // same trigger as the latestOffset above → its listing is cached;
+    // a checkpoint REPLAY of a committed batch (no preceding
+    // latestOffset call) re-lists, still day-pruned from the replayed
+    // batch's own start
+    val files = lastListing match {
+      case Some((`s`, cached)) => cached
+      case _                   => listFrom(s)
+    }
+    val batch = files.filter(f => f.file > s && f.file <= e)
     MjlogListing.pack(batch, openCost, minParts, maxPB)
   }
 

@@ -123,7 +123,7 @@ class MjlogStreamSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 2), s"batches bounded by maxFilesPerTrigger=2, got $counts")
     assert(counts.size >= 2, s"backlog must split into multiple batches, got $counts")
 
-    // dt filter prunes day dirs from the per-trigger listing
+    // dt filter prunes day dirs from the stream's output
     val ckpt2 = Files.createTempDirectory("mjlog-stream-ckpt2")
     val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val q3 = spark.readStream.format("mjlog")
@@ -140,5 +140,89 @@ class MjlogStreamSpec extends AnyFunSuite {
       q3.processAllAvailable()
       assert(seen2.asScala.toSeq == Seq("2024010200gm-0003"))
     } finally q3.stop()
+  }
+
+  test("watermark-pruned incremental listing, one listing per trigger, " +
+       "backfill surfaced in a counter") {
+    import graft.sources.MjlogListing
+    val dir = Files.createTempDirectory("mjlog-prune")
+    val seedXml = fixtures.resolve("20240101").resolve("2024010100gm-0001.xml")
+    def plant(day: String, id: String): Unit = {
+      val d = dir.resolve(day)
+      Files.createDirectories(d)
+      Files.copy(seedXml, d.resolve(s"$id.xml"),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    val days = Seq("20240101", "20240102", "20240103", "20240104")
+    days.zipWithIndex.foreach { case (day, i) => plant(day, s"${day}00gm-100$i") }
+
+    // AvailableNow drain, one file per trigger, over the 4-day backlog:
+    // the listing probe must show ONE listing per trigger (latestOffset
+    // and planInputPartitions share it) with the dir count SHRINKING as
+    // the committed watermark's day advances — the anti-listing-storm
+    // contract a year-long backfill needs.
+    MjlogListing.listingProbe.clear()
+    val ckpt = Files.createTempDirectory("mjlog-prune-ckpt")
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("mjlog")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir.toString)
+      .select("game_id")
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => delivered.add(r.getString(0))); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(delivered.asScala.toSet == days.zipWithIndex
+      .map { case (d, i) => s"${d}00gm-100$i" }.toSet)
+    val listings = MjlogListing.listingProbe.asScala.toSeq
+    // the AvailableNow seed lists the full tree: root + 4 day dirs
+    assert(listings.head == 5, s"seed must list the full tree, got $listings")
+    // one shared listing per trigger: seed + at most one per trigger
+    // (4 data triggers + a possible final idle one). Unshared would be ~9.
+    assert(listings.size <= 6, s"expected one listing per trigger, got $listings")
+    // day dirs strictly below the watermark's day are never re-listed
+    assert(listings.zip(listings.tail).forall { case (a, b) => b <= a },
+      s"listing size must shrink as the watermark advances, got $listings")
+    assert(listings.last <= 3,
+      s"day dirs below the watermark must be pruned, got $listings")
+
+    // Backfill below the committed watermark: skipped by design, but the
+    // skip must be OBSERVABLE (graft.mjlog.backfilledFiles) — a silent
+    // exactly-once violation is an operator's nightmare at 100 TB.
+    val acc = graft.etl.ParseMetrics.backfilledFiles(spark)
+    val before = acc.value
+    val ckpt2 = Files.createTempDirectory("mjlog-prune-ckpt2")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = spark.readStream.format("mjlog")
+      .load(dir.toString)
+      .select("game_id")
+      .writeStream
+      .option("checkpointLocation", ckpt2.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add(r.getString(0))); ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable() // establishes the below-watermark baseline
+      // lands below the watermark ("...gm-0000" < "...gm-1003"): never
+      // delivered, but counted; the second file is a legit append we can
+      // sync on
+      plant("20240104", "2024010400gm-0000")
+      plant("20240104", "2024010400gm-9999")
+      q2.processAllAvailable()
+      assert(seen.asScala.toSeq.contains("2024010400gm-9999"),
+        "appends above the watermark still flow")
+      assert(!seen.asScala.toSeq.contains("2024010400gm-0000"),
+        "a backfill below the watermark is skipped by contract")
+      val deadline = System.currentTimeMillis + 30000
+      while (acc.value < before + 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(acc.value >= before + 1,
+        "the skipped backfill must surface in graft.mjlog.backfilledFiles")
+    } finally q2.stop()
   }
 }

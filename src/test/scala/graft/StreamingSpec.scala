@@ -266,10 +266,14 @@ class StreamingSpec extends AnyFunSuite {
 
   /** Scale shape of the MV merge: a batch touching one key must (a) read
     * only that key's bucket from the previous snapshot (partition
-    * pruning), and (b) carry every untouched bucket into the new version
-    * as a hard link to the previous version's file — no data rewritten.
+    * pruning through the manifest), and (b) write ONLY that bucket into
+    * the new version — every untouched bucket is re-referenced by its
+    * manifest entry, contributing ZERO bytes written on any FileSystem
+    * (the object-store-safe replacement for the hard-link trick, which
+    * degraded to full copies where links are unsupported — S3/GCS).
     */
-  test("MV merge prunes to touched buckets and hard-links the rest") {
+  test("MV merge prunes to touched buckets; untouched buckets are " +
+       "manifest-only re-references") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_mv_cow_")
     try {
@@ -282,11 +286,12 @@ class StreamingSpec extends AnyFunSuite {
       val touched = upd.select(StreamingQ.mvBucket(
           org.apache.spark.sql.functions.col("user_id")))
         .first().getInt(0)
-      // (a) the pruned prev-snapshot scan opens only the touched bucket
+      // (a) the manifest-resolved prev scan opens only the touched bucket
       // (input_file_name() reflects the files actually read post-pruning,
       // unlike DataFrame.inputFiles which lists the whole relation)
-      val readFiles = StreamingQ.mvPrevChanged(
-          spark, base.resolve("v1").toString, Seq(touched))
+      val readFiles = StreamingQ.mvBucketRows(
+          spark, base, StreamingQ.mvManifest(base, 1L), Set(touched))
+        .get
         .select(org.apache.spark.sql.functions.input_file_name())
         .distinct().collect().map(_.getString(0)).toSeq
       assert(readFiles.nonEmpty &&
@@ -299,24 +304,20 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(mv.size == 64 && mv.contains((7L, 2L, 14.0)) &&
              mv.contains((8L, 1L, 8.0)))
-      // (b) untouched buckets' files are the SAME files (hard links),
-      // not rewrites; the touched bucket's file is new
+      // (b) v2 holds data files for the touched bucket ONLY — zero bytes
+      // written for any untouched bucket, on any FileSystem
       import scala.jdk.CollectionConverters._
-      def files(v: String) = java.nio.file.Files.walk(base.resolve(v))
-        .iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(p => base.resolve(v).relativize(p).toString -> p).toMap
-      val f1 = files("v1"); val f2 = files("v2")
-      val untouched2 = f2.filterNot(_._1.contains(s"bucket=$touched"))
-      assert(untouched2.nonEmpty)
-      untouched2.foreach { case (rel, p2) =>
-        assert(f1.contains(rel) && java.nio.file.Files.isSameFile(f1(rel), p2),
-          s"untouched $rel must be a hard link to v1's file")
-      }
-      assert(f2.keys.exists(_.contains(s"bucket=$touched")) &&
-        f2.filter(_._1.contains(s"bucket=$touched")).forall { case (rel, p2) =>
-          !f1.get(rel).exists(java.nio.file.Files.isSameFile(_, p2))
-        }, "the touched bucket must be freshly written")
+      val v2Buckets = java.nio.file.Files.list(base.resolve("v2"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("bucket=")).toSeq
+      assert(v2Buckets == Seq(s"bucket=$touched"),
+        s"v2 must materialize only the touched bucket, got $v2Buckets")
+      // the manifest re-references untouched buckets to v1, touched to v2
+      val m2 = StreamingQ.mvManifest(base, 2L)
+      assert(m2(touched) == 2L)
+      assert(m2.removed(touched).values.toSet == Set(1L),
+        s"untouched buckets must still resolve to v1, got $m2")
+      assert(m2.keySet == StreamingQ.mvManifest(base, 1L).keySet)
     } finally StreamingQ.rmTree(base)
   }
 
