@@ -54,14 +54,21 @@ object Bench {
     // round 5 — the median is the reported figure, the min is kept
     // alongside as the noise floor. REPS=1 restores single-shot mode.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (times(times.length / 2), times.head)
-    }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts to a subset for targeted
+    // perf iteration; unset (the driver's mode) benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> (times(times.length / 2), times.head)
+      }
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }

@@ -780,16 +780,21 @@ object StreamingQ {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // changelog checkpointing: each commit uploads the batch's delta
+      // instead of a full SST snapshot — the per-commit upload was the
+      // dominant session-window cost at sf1 (the state itself is small;
+      // the cadence of full snapshots was not)
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prevProvider match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+    finally prev.foreach { case (k, old) =>
+      old.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
   /** Hand-placed 3-batch fixture form (StreamingSpec asserts it emits

@@ -32,25 +32,29 @@ class ShuffleInvarianceSpec extends AnyFunSuite {
 
   private val LayoutDependent = Set("q_agg_approx")
 
+  private def runKeys(dir: String,
+                      keys: String => Boolean): Map[String, Seq[String]] =
+    SparkEntry.queries.collect {
+      case (k, fn) if keys(k) && !LayoutDependent(k) =>
+        k -> fn(spark, dir).collect().map(_.toString).toSeq
+    }
+
+  private def compare(base: Map[String, Seq[String]],
+                      got: Map[String, Seq[String]], what: String): Unit = {
+    val diffs = base.keys.toSeq.sorted.filter(k => base(k) != got(k))
+    assert(diffs.isEmpty,
+      s"results changed between shuffle.partitions=7 and $what for: " +
+        diffs.map { k =>
+          val b = base(k); val g = got(k)
+          val firstDiff = b.zipAll(g, "<missing>", "<missing>")
+            .indexWhere { case (x, y) => x != y }
+          s"$k (rows ${b.size} vs ${g.size}, first diff at row $firstDiff)"
+        }.mkString("; "))
+  }
+
   test("every query is row-for-row invariant to shuffle.partitions ∈ {1,7,64}") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    def runAll(): Map[String, Seq[String]] =
-      SparkEntry.queries.collect {
-        case (k, fn) if !LayoutDependent(k) =>
-          k -> fn(spark, sfDir).collect().map(_.toString).toSeq
-      }
-    def compare(base: Map[String, Seq[String]], got: Map[String, Seq[String]],
-                what: String): Unit = {
-      val diffs = base.keys.toSeq.sorted.filter(k => base(k) != got(k))
-      assert(diffs.isEmpty,
-        s"results changed between shuffle.partitions=7 and $what for: " +
-          diffs.map { k =>
-            val b = base(k); val g = got(k)
-            val firstDiff = b.zipAll(g, "<missing>", "<missing>")
-              .indexWhere { case (x, y) => x != y }
-            s"$k (rows ${b.size} vs ${g.size}, first diff at row $firstDiff)"
-          }.mkString("; "))
-    }
+    def runAll(): Map[String, Seq[String]] = runKeys(sfDir, _ => true)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val base = runAll()
@@ -74,6 +78,31 @@ class ShuffleInvarianceSpec extends AnyFunSuite {
         restore("spark.sql.files.maxPartitionBytes", prevMax)
         restore("spark.sql.files.openCostInBytes", prevCost)
       }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** The sf0.001 pass can miss order instabilities that only appear
+    * with MULTI-ROW TIES (equal sort keys spread across more rows and
+    * partitions), so the exchange-heavy subset — joins, windows,
+    * streaming/stateful, and the other order-sensitive shapes — re-runs
+    * at sf0.01 across two misaligned partition counts.
+    */
+  test("exchange-heavy keys are layout-invariant at sf0.01 (multi-row ties)") {
+    val exchangeHeavy = (k: String) =>
+      k.startsWith("q_join_") || k.startsWith("q_win_") ||
+      k.startsWith("q_stream_") ||
+      Set("q_topk_global", "q_sort_multi", "q_sessionize",
+          "q_session_window", "q_seq_pattern", "q_scd2", "q_merge_upsert",
+          "q_agg_listagg", "q_interval_sweep", "q_cohort_retention",
+          "q_funnel")(k)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val base = runKeys("/root/testdata/sf0.01", exchangeHeavy)
+      assert(base.size >= 20, s"subset unexpectedly small: ${base.keys}")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      compare(base, runKeys("/root/testdata/sf0.01", exchangeHeavy),
+              "=64 at sf0.01")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -11,6 +11,55 @@ import graft.queries.StreamingQ
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** The sf1 session-window wall cost is all state-store commit cadence,
+    * so the spec pins it to NAMED RocksDB metrics: the query must run on
+    * RocksDB with changelog checkpointing enabled (commits upload the
+    * batch delta, not a full SST snapshot) and report commit-latency
+    * custom metrics in StreamingQueryProgress — the observability an
+    * operator needs to see where a slow session stream spends its time.
+    */
+  test("RocksDB session stream: changelog checkpointing on, commit " +
+       "metrics exposed") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    StreamingQ.withRocksDb(spark) {
+      assert(spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        == "true")
+      val ms = MemoryStream[Ev]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_metrics_")
+      val q = ms.toDF()
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName("graft_rocks_metrics")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        def ev(id: Long, t: String) =
+          Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+        ms.addData(Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00")))
+        q.processAllAvailable()
+        ms.addData(Seq(ev(3, "2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        val withState = q.recentProgress
+          .flatMap(_.stateOperators).filter(_.numRowsTotal > 0)
+        assert(withState.nonEmpty, "no state-operator progress reported")
+        import scala.jdk.CollectionConverters._
+        val metrics = withState.flatMap(_.customMetrics.asScala).toMap
+        val commitMetrics = metrics.keys
+          .filter(k => k.startsWith("rocksdb") && k.toLowerCase.contains("commit"))
+        assert(commitMetrics.nonEmpty,
+          s"expected named rocksdb commit metrics, got ${metrics.keys.toSeq.sorted}")
+      } finally { q.stop(); StreamingQ.rmTree(ckpt) }
+    }
+  }
+
   test("watermark append: closed windows emitted, too-late row dropped") {
     val rows = StreamingQ.qStreamWatermark(spark, "").collect()
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
