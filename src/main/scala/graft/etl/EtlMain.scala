@@ -10,11 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object EtlMain {
   def main(rawArgs: Array[String]): Unit = {
-    // --v2 sources the pipeline through spark.read.format("mjlog")
-    // (Pipeline.runV2) instead of the typed binaryFile+flatMap path
-    val useV2 = rawArgs.contains("--v2")
+    // The DSv2 path (spark.read.format("mjlog") → Pipeline.runV2) is the
+    // DEFAULT: it won 5 of 6 interleaved round-12 pairings and every
+    // phase-isolated probe (THROUGHPUT.md). --typed selects the
+    // binaryFile+flatMap path; --v2 is accepted for compatibility.
+    val useV2 = !rawArgs.contains("--typed")
     val args = rawArgs.filterNot(_.startsWith("--"))
-    require(args.length >= 2, "usage: EtlMain [--v2] <logDir> <outDir> [nWalls]")
+    require(args.length >= 2, "usage: EtlMain [--typed] <logDir> <outDir> [nWalls]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
