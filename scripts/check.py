@@ -38,7 +38,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def connect(sf_dir):
     import duckdb
+    import tempfile
     con = duckdb.connect()
+    # unique spill dir per connection: concurrent workers sharing cwd's
+    # .tmp corrupt each other's duckdb_temp_storage files
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='graft_duckck_')}'")
     mem = os.environ.get("CHECK_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")

@@ -94,7 +94,9 @@ object Funcs {
       greatest(col("l_quantity"), lit(25.0)).as("q_hi"),
       least(col("l_quantity"), lit(25.0)).as("q_lo"),
       round(sqrt(col("l_quantity")), 6).as("q_sqrt")
-    ).orderBy("l_orderkey", "l_linenumber")
+      // q_sqrt totalizes the order: (l_orderkey, l_linenumber) has
+      // duplicates in the data, and tied rows differ only by quantity
+    ).orderBy("l_orderkey", "l_linenumber", "q_sqrt")
 
   val qFnMathSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -109,7 +111,7 @@ object Funcs {
       |  greatest(l_quantity, 25.0) AS q_hi,
       |  least(l_quantity, 25.0) AS q_lo,
       |  ROUND(sqrt(l_quantity), 6) AS q_sqrt
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, q_sqrt""".stripMargin
 
   /** Array family — reference analogs: F2 `transform` over dora arrays,
     * F11 `aggregate` han-sum, array columns in haipais/agaris
@@ -137,7 +139,9 @@ object Funcs {
         size(col("arr")).cast("long").as("alen"),
         explode(sequence(lit(1), col("l_linenumber"))).as("seq_elem"))
       .withColumn("seq_elem", col("seq_elem").cast("long"))
-      .orderBy("l_orderkey", "l_linenumber", "seq_elem")
+      // arr_sum totalizes among duplicate (l_orderkey, l_linenumber)
+      // rows (they differ only by quantity, which arr_sum embeds)
+      .orderBy("l_orderkey", "l_linenumber", "arr_sum", "seq_elem")
 
   val qFnArraySql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -154,7 +158,7 @@ object Funcs {
       |  CAST(3 AS BIGINT) AS alen,
       |  CAST(unnest(generate_series(1, l_linenumber)) AS BIGINT) AS seq_elem
       |FROM lineitem WHERE l_orderkey % 10 = 0
-      |ORDER BY l_orderkey, l_linenumber, seq_elem""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, arr_sum, seq_elem""".stripMargin
 
   /** Struct / map family — reference analogs: F5/F6 lookup tables,
     * `agaris.yaku` list<struct> (scrape.py:91-101). DuckDB oracle uses
@@ -171,7 +175,8 @@ object Funcs {
         .getField("q").as("struct_q"),
       struct(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
         .getField("st").as("struct_st")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "flag_code", "struct_q",
+              "struct_st")
 
   val qFnMapStructSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -180,7 +185,9 @@ object Funcs {
       |                    WHEN 'R' THEN CAST(3 AS BIGINT) END AS flag_code,
       |  struct_pack(q := l_quantity, disc := l_discount).q AS struct_q,
       |  struct_pack(f := l_returnflag, st := l_linestatus).st AS struct_st
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, flag_code, struct_q,
+      |  struct_st""".stripMargin
 
   /** JSON family — `events.props` is a JSON string (FIXTURES.md). */
   val qFnJson: Q = (s, d) =>

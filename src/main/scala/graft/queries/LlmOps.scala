@@ -56,10 +56,19 @@ object LlmOps {
     * expressions: under Catalyst's project collapsing a
     * transform-inside-transform recomputes the shingle array once per
     * hash seed (measured 288s at sf0.1); the kernel hashes each shingle
-    * once and derives the per-seed values with an odd-multiplier mix
-    * (a bijection on Z/2^64, so the min-hash property holds per seed) —
+    * once and derives the per-seed values by AVALANCHING the base hash
+    * against a per-seed constant (the murmur/splitmix finalizer) —
     * O(shingles × seeds) long ops, embarrassingly parallel. The only
     * shuffle remains the band-bucket aggregation, ∝ n·BANDS rows.
+    *
+    * The avalanche is load-bearing: an earlier kernel used the linear
+    * per-seed map `base·mult_i + i` (bijective, so each seed is
+    * marginally uniform), but a LINEAR map nearly preserves the signed
+    * order of base values across seeds, so every seed picked the same
+    * few argmins and the signature agreement of a 0.95-jaccard pair
+    * measured 13/64 — the sf1 oracle gate caught it as an LSH recall
+    * miss. Order independence across seeds needs the full finalizer,
+    * not just a bijection.
     */
   val MinhashHashes = 64
   val MinhashBands  = 16
@@ -85,12 +94,17 @@ object LlmOps {
       else toks.sliding(3).map(_.mkString(" ")).toArray
     val base = shingles.map(hash64(_, 0L))
     val sig = Array.tabulate(MinhashHashes) { i =>
-      val mult = 0x9E3779B97F4A7C15L * (2L * i + 1) // odd => bijective mix
+      val seedC = 0x9E3779B97F4A7C15L * (2L * i + 1)
       var mn = Long.MaxValue
       var j = 0
       while (j < base.length) {
-        val v = base(j) * mult + i
-        if (v < mn) mn = v
+        // full avalanche per (shingle, seed): see scaladoc above — a
+        // linear map here correlates argmins across seeds
+        var z = base(j) ^ seedC
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+        z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+        z ^= z >>> 33
+        if (z < mn) mn = z
         j += 1
       }
       mn

@@ -30,14 +30,18 @@ object Relational {
     * here is ReadSchema: we select 3 of 11 columns so the parquet reader
     * materializes 3 column chunks, not the whole row.
     */
+  // ORDER BY covers every projected column: (l_orderkey, l_linenumber)
+  // is NOT unique in the data, and a non-total order let the two
+  // engines permute tied rows once the input spanned multiple files
+  // (caught by the sf1 gate; same fix on every lineitem detail key)
   val qScanParquet: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   val qScanParquetSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   /** Predicate reaching the scan: row-group/page-level skipping via
     * parquet min/max stats (PushedFilters). On a `dt=`-partitioned lake
@@ -48,13 +52,13 @@ object Relational {
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
       .select("l_orderkey", "l_linenumber", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
 
   val qScanPrunedSql: String =
     """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate <  TIMESTAMP '1996-04-01'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin
 
   /** Partitioned parquet sink (reference E11, scrape.py:612-660:
     * `<table>/dt=.../` layout) — write partitioned by a key, read back,
@@ -453,7 +457,7 @@ object Relational {
         (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
         .cast("double").as("net"),
       (col("l_tax") > 0.04).as("taxed")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "qty100", "net", "taxed")
 
   val qProjectExprSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -463,7 +467,8 @@ object Relational {
       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net,
       |  l_tax > 0.04 AS taxed
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, qty100, net, taxed""".stripMargin
 
   /** Conjunctive/disjunctive predicates, IN / BETWEEN / LIKE / IS NULL. */
   val qFilterPred: Q = (s, d) =>
@@ -495,12 +500,12 @@ object Relational {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
               col("l_extendedprice"))
-      .orderBy("o_orderkey", "l_linenumber")
+      .orderBy("o_orderkey", "l_linenumber", "o_custkey", "l_extendedprice")
 
   val qJoinInnerSql: String =
     """SELECT o_orderkey, l_linenumber, o_custkey, l_extendedprice
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, o_custkey, l_extendedprice""".stripMargin
 
   /** Dimension joins with explicit broadcast — region/nation are tiny at
     * any scale factor, so we pin broadcast-hash-join rather than let a

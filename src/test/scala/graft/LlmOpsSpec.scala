@@ -241,16 +241,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
-  test("rebalance enforces the doc_id hash-wrap precondition loudly") {
+  test("rebalance hash is exact past the 64-bit wrap bound (decimal product)") {
+    // doc_ids beyond 2^63/2654435761 ≈ 3.4e9 used to wrap the hash
+    // product (the sf1 gate hit this with ScaleGen's 9e9 key offsets);
+    // the decimal-promoted hash must be exact for ANY long doc_id and
+    // agree with big-integer arithmetic
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bigid_").toString
-    Seq((Long.MaxValue / 2654435761L + 1L, "text", "en", "s", 4L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 8 "en" docs with post-wrap-bound ids + 1 "xx" doc: cap = 1, so an
+    // en doc is kept iff hkey(doc_id) * 8 < 2^31 — the threshold really
+    // exercises the hash VALUES, not just survival
+    val enIds = (0L until 8L).map(i => 9000000000L + 7L * i) :+
+      (Long.MaxValue - 7L)
+    val rows = enIds.zipWithIndex.map { case (id, i) =>
+      (id, s"text $i", "en", "s", 6L) } :+ ((12L, "solo", "xx", "s", 4L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val e = intercept[IllegalArgumentException] {
-      LlmOps.qSampleBalance(spark, dir).collect()
-    }
-    assert(e.getMessage.contains("2654435761"))
+    val kept = LlmOps.qSampleBalance(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // replicate with BigInt (exact by construction)
+    val nEn = BigInt(enIds.length)
+    val expect = (enIds.filter { id =>
+      (BigInt(id) * BigInt(2654435761L)).mod(BigInt(1L << 31)) * nEn <
+        BigInt(1L << 31)
+    } :+ 12L).toSet
+    assert(kept == expect, s"kept $kept != $expect")
   }
 
   test("LSH candidate pair count grows ~linearly with the corpus, never n²") {
