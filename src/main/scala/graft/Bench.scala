@@ -59,23 +59,49 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // per-query failure is recorded, NOT timed: a query that dies in
+    // analysis would otherwise masquerade as a ~0.05 s "timing" and
+    // silently deflate the total (round 12 shipped 26 such entries).
+    // Failed queries land in an `errors` map and are excluded from
+    // `queries`/`total`; `value` stays comparable across rounds only
+    // over the `queries` keys actually present.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+        var err: Option[String] = None
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              if (err.isEmpty)
+                err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> (times(times.length / 2), times.head)
+        name -> (times(times.length / 2), times.head, err)
       }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.filter { case (_, (_, _, err)) => err.isEmpty }
+    val failed = results.collect { case (k, (_, _, Some(e))) => k -> e }
+    val qs = ok.map { case (k, (med, _, _)) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+    val qsMin = ok.map { case (k, (_, mn, _)) => jstr(k) + ":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val errs = failed.map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)

@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *    scale): distance structure is preserved but exact cross-replica
   *    ties — which would degenerate top-k — cannot occur.
   *
-  * `events.ts` is read with `nanosAsLong` (the driver writes parquet
-  * TIMESTAMP(NANOS)) and written back as a plain long of epoch nanos;
-  * [[Tables.events]] truncates either representation to micros.
+  * `events.ts` is read under whichever of the three live encodings the
+  * source carries (BIGINT nanos via `nanosAsLong`, TIMESTAMP_NTZ micros,
+  * or TIMESTAMP micros — see [[Tables.events]]) and always written back
+  * as a plain long of epoch nanos, the generator's canonical shape.
   */
 object ScaleGen {
   /** Larger than any source key at the scale factors involved (sf1
@@ -124,8 +125,17 @@ object ScaleGen {
       s"timestampadd(SECOND, $r, l_shipdate) AS l_shipdate")
     }, "lineitem", 32)
 
-    // ts is a long of epoch nanos under nanosAsLong; jitter r seconds
-    write(replicate(read("events")) { r => Seq(
+    // events.ts arrives under any of the three live encodings (see
+    // Tables.events); normalize to the generator's canonical shape — a
+    // plain BIGINT of epoch nanos — before replicating, then jitter r
+    // seconds. Output round-trips through Tables.events' LongType branch.
+    val ev0 = read("events")
+    val evNanos = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev0
+      case _ => ev0.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+    write(replicate(evNanos) { r => Seq(
       s"event_id + ${off(r)} AS event_id",
       s"ts + ${r}L * 1000000000L AS ts",
       s"user_id + ${off(r)} AS user_id",

@@ -26,16 +26,41 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The
-    * session must set `spark.sql.legacy.parquet.nanosAsLong=true` (done
-    * in the Verify/Bench/test session builders — loaders stay
-    * side-effect-free); we then truncate the long nanos to microseconds,
-    * Spark's native timestamp precision. All oracle SQL that orders or
-    * compares `ts` does `CAST(ts AS TIMESTAMP)` on the DuckDB side so
-    * both engines see identical microsecond values.
+  /** `events.ts` has shipped under three live parquet encodings, so the
+    * loader adapts to whichever the file on disk actually carries and
+    * normalizes all of them to session-timezone `TimestampType` at
+    * microsecond precision (sessions run with `session.timeZone=UTC`, so
+    * every branch yields identical epoch-micros values):
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (done in the
+    *    Verify/Bench/test session builders — loaders stay
+    *    side-effect-free), under which `ts` reads as a `LongType` of
+    *    epoch nanos → truncate to micros. `ScaleGen` writes this shape
+    *    as a plain BIGINT too, handled by the same branch.
+    *  - TIMESTAMP(MICROS), isAdjustedToUTC=false (driver testdata as of
+    *    2026-08-13): reads as `TimestampNTZType` → cast to
+    *    `TimestampType` (identity on the stored micros under UTC).
+    *  - TIMESTAMP(MICROS), isAdjustedToUTC=true: reads as
+    *    `TimestampType` → pass through.
+    *
+    * All oracle SQL that orders or compares `ts` does
+    * `CAST(ts AS TIMESTAMP)` on the DuckDB side so both engines see
+    * identical microsecond values regardless of encoding.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 }

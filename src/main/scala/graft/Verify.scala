@@ -21,13 +21,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are collected into outDir/errors.json and the
+    // process exits non-zero — a stderr whisper let round 12 lose 26
+    // keys to one schema drift before anyone noticed. The dump itself
+    // stays best-effort: one broken query must not block the other 100+.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +56,14 @@ object Verify {
         s"${q(k)}: ${q(graft.queries.Scratch.resolveSql(v, sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED — see $outDir/errors.json")
+      sys.exit(1)
+    }
   }
 }

@@ -660,24 +660,32 @@ object LlmOps {
     * ~0.95 at k=32), then the exact cosine (native expression) verifies.
     * No all-pairs pass — same linearity argument as text LSH.
     *
-    * On the driver testdata this returns 0 rows AND THAT IS THE RIGHT
-    * ANSWER: the embeddings are independent random vectors with no
-    * planted near-identical pairs (measured max pairwise cosine 0.51 at
-    * sf0.01, 0.60 at sf0.1 — nowhere near the 0.95 dedup bar). The
-    * detection mechanism is verified by LlmOpsSpec, which plants a
-    * near-identical pair and asserts exactly it is found; lowering the
-    * threshold to force rows here would misstate what embedding dedup
-    * means. The claim that 0 is correct is itself driver-checked:
-    * [[qDedupEmbedStats]] is the oracled, always-non-empty companion
-    * that measures the pairwise-cosine distribution this scaladoc cites.
+    * The driver corpus itself contributes 0 pairs and that is the right
+    * answer: the embeddings are independent random vectors (measured max
+    * pairwise cosine 0.51 at sf0.01, 0.60 at sf0.1 — nowhere near the
+    * 0.95 dedup bar; [[qDedupEmbedStats]] is the oracled companion that
+    * measures exactly that distribution). A 0-row result, however, makes
+    * the driver's rows-only check vacuous — it would pass identically if
+    * the whole detection path were broken. So the query plants ONE
+    * deterministic canary: the lowest-vec_id vector is re-entered under
+    * sentinel id -1 (real ids are non-negative), which must surface as
+    * the exact-duplicate pair (-1, min_id, 1.0). The canary exercises
+    * signature → chunk-bucket join → exact-cosine verify end-to-end on
+    * the driver data path, so spark_rows ≥ 1 now asserts the mechanism,
+    * not vacuity. LlmOpsSpec additionally plants a merely-near (not
+    * identical) pair and asserts exactly it is found.
     */
   val qDedupEmbed: Q = (s, d) => {
     import s.implicits._
     val k = 32
     val chunks = 4
     val bitsPerChunk = k / chunks
-    val sigChunks = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // detection-path canary: duplicate the min-id vector under id -1
+    val canary = base.orderBy(col("vec_id")).limit(1)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val sigChunks = base.unionByName(canary)
+      .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         // the Rademacher (+1/-1) hyperplane matrix depends only on
         // (h, j) — precompute once per task, not per row
@@ -704,7 +712,9 @@ object LlmOps {
       .toDF("vec_id", "sig", "chunk_id", "chunk_val")
     val a = sigChunks.alias("a")
     val b = sigChunks.alias("b")
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the verify join must resolve the canary's id too, so it looks up
+    // embeddings in the same unioned set the signatures came from
+    val emb = base.unionByName(canary)
     val cand = a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
         col("a.chunk_val") === col("b.chunk_val") &&

@@ -625,6 +625,20 @@ object StreamingQ {
     */
   private[graft] val MvBuckets = 16
 
+  /** Every Nth snapshot version is a COMPACTION: all live buckets are
+    * rewritten into that one version and the manifest collapses to a
+    * single owner version. Between compactions a bucket's owner version
+    * only moves forward when touched, so the number of distinct owner
+    * versions any read must union is bounded by this interval — without
+    * compaction it grows with update history (the fan-out
+    * `mvBucketRows` notes). Compaction cost ∝ MV size but amortizes to
+    * 1/N of batches; it stays a pure function of (inputs, batchId) so
+    * replay idempotency is untouched. Old version dirs become
+    * unreferenced after the next compaction and are a retention/GC
+    * concern, not a read-path one.
+    */
+  private[graft] val MvCompactionInterval = 8
+
   private[graft] def mvBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(c), lit(MvBuckets))
 
@@ -699,7 +713,11 @@ object StreamingQ {
         .collect().map(_.getInt(0)).toSet // bounded by MvBuckets
       val prevManifest =
         if (batchId == 0) Map.empty[Int, Long] else mvManifest(base, batchId)
-      val merged = mvBucketRows(ss, base, prevManifest, changed) match {
+      // every MvCompactionInterval-th version rewrites ALL live buckets,
+      // collapsing the manifest to one owner version (fan-out bound)
+      val compacting = (batchId + 1) % MvCompactionInterval == 0
+      val targets = if (compacting) prevManifest.keySet ++ changed else changed
+      val merged = mvBucketRows(ss, base, prevManifest, targets) match {
         case None => updates.drop("bucket")
         case Some(prevRows) =>
           prevRows
@@ -714,7 +732,9 @@ object StreamingQ {
       }
       merged.withColumn("bucket", mvBucket(col("user_id")))
         .write.partitionBy("bucket").mode("overwrite").parquet(dst.toString)
-      mvWriteManifest(dst, prevManifest ++ changed.map(_ -> (batchId + 1)))
+      mvWriteManifest(dst,
+        if (compacting) targets.map(_ -> (batchId + 1)).toMap
+        else prevManifest ++ changed.map(_ -> (batchId + 1)))
     } finally { updates.unpersist(); () }
   }
 

@@ -370,6 +370,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingQ.rmTree(base)
   }
 
+  /** Manifest fan-out bound: without compaction, a long-lived MV's
+    * manifest accumulates one owner version per touched-bucket epoch and
+    * every read unions that many scans. Every
+    * [[StreamingQ.MvCompactionInterval]]-th version rewrites all live
+    * buckets into itself, so across an arbitrarily long replay the
+    * per-read union width stays ≤ the interval.
+    */
+  test("MV manifest fan-out stays bounded by periodic compaction over " +
+       "a 50-batch replay") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_compact_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      // 50 batches, each a single-key update carrying the key's COMPLETE
+      // running aggregate (Update-mode emission contract); 20 keys cycle
+      // so buckets keep getting re-touched across compaction epochs
+      var expected = Map.empty[Long, (Long, Long)]
+      for (b <- 0L until 50L) {
+        val u = b % 20L + 1L
+        val nv = expected.get(u)
+          .map { case (n, c) => (n + 1L, c + 100L * u) }
+          .getOrElse((1L, 100L * u))
+        expected += u -> nv
+        val upd = Seq((u, nv._1, nv._2)).toDF("user_id", "n_events", "c")
+        StreamingQ.mvMergeBatch(base)(upd, b)
+        val owners = StreamingQ.mvManifest(base, b + 1).values.toSet
+        assert(owners.size <= StreamingQ.MvCompactionInterval,
+          s"v${b + 1}: union width ${owners.size} exceeds the " +
+            s"compaction interval ${StreamingQ.MvCompactionInterval}")
+      }
+      // at a compaction version the manifest collapses to ONE owner
+      val atCompaction = StreamingQ.mvManifest(base, 48L).values.toSet
+      assert(atCompaction == Set(48L),
+        s"v48 is a compaction version; owners must be {48}, got $atCompaction")
+      // and the final MV is still exactly the merged history
+      val mv = StreamingQ.mvRead(spark, base, 50L).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), (r.getDouble(2) * 100).round)))
+        .toMap
+      assert(mv == expected, s"MV diverged after compactions")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      StreamingQ.rmTree(base)
+    }
+  }
+
   /** Failure recovery: stop a stateful query, start a NEW query instance
     * on the SAME checkpoint, and prove (a) keyed state is restored from
     * the state store, (b) already-committed offsets are not reprocessed.
