@@ -625,19 +625,21 @@ object StreamingQ {
     */
   private[graft] val MvBuckets = 16
 
-  /** Every Nth snapshot version is a COMPACTION: all live buckets are
-    * rewritten into that one version and the manifest collapses to a
-    * single owner version. Between compactions a bucket's owner version
-    * only moves forward when touched, so the number of distinct owner
-    * versions any read must union is bounded by this interval — without
-    * compaction it grows with update history (the fan-out
-    * `mvBucketRows` notes). Compaction cost ∝ MV size but amortizes to
-    * 1/N of batches; it stays a pure function of (inputs, batchId) so
-    * replay idempotency is untouched. Old version dirs become
-    * unreferenced after the next compaction and are a retention/GC
-    * concern, not a read-path one.
+  /** Ceiling on manifest fan-out: when the previous snapshot's manifest
+    * already references this many DISTINCT owner versions, the next
+    * merge is a COMPACTION — all live buckets are rewritten into the new
+    * version and the manifest collapses to a single owner. The trigger
+    * is the measured width, not a version counter, so workloads whose
+    * batches touch most buckets (manifest stays ~1 owner wide) never pay
+    * a compaction, while skewed histories that accumulate width compact
+    * exactly when they hit the bound — every read unions at most this
+    * many versioned scans either way. The decision depends only on the
+    * immutable predecessor manifest, so replaying a batch makes the same
+    * choice (idempotency untouched). Old version dirs become
+    * unreferenced after a compaction and are a retention/GC concern, not
+    * a read-path one.
     */
-  private[graft] val MvCompactionInterval = 8
+  private[graft] val MvMaxManifestWidth = 8
 
   private[graft] def mvBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(c), lit(MvBuckets))
@@ -713,9 +715,10 @@ object StreamingQ {
         .collect().map(_.getInt(0)).toSet // bounded by MvBuckets
       val prevManifest =
         if (batchId == 0) Map.empty[Int, Long] else mvManifest(base, batchId)
-      // every MvCompactionInterval-th version rewrites ALL live buckets,
-      // collapsing the manifest to one owner version (fan-out bound)
-      val compacting = (batchId + 1) % MvCompactionInterval == 0
+      // when the inherited manifest is already MvMaxManifestWidth owner
+      // versions wide, this merge rewrites ALL live buckets, collapsing
+      // the manifest to one owner (fan-out bound)
+      val compacting = prevManifest.values.toSet.size >= MvMaxManifestWidth
       val targets = if (compacting) prevManifest.keySet ++ changed else changed
       val merged = mvBucketRows(ss, base, prevManifest, targets) match {
         case None => updates.drop("bucket")

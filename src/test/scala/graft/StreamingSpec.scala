@@ -370,15 +370,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingQ.rmTree(base)
   }
 
-  /** Manifest fan-out bound: without compaction, a long-lived MV's
-    * manifest accumulates one owner version per touched-bucket epoch and
-    * every read unions that many scans. Every
-    * [[StreamingQ.MvCompactionInterval]]-th version rewrites all live
-    * buckets into itself, so across an arbitrarily long replay the
-    * per-read union width stays ≤ the interval.
+  /** Manifest fan-out bound: without compaction, a skewed update history
+    * (each batch touching few buckets) accumulates one owner version per
+    * touched-bucket epoch and every read unions that many scans. When the
+    * inherited manifest is already [[StreamingQ.MvMaxManifestWidth]]
+    * owner versions wide, the next merge rewrites all live buckets, so
+    * across an arbitrarily long replay the per-read union width stays ≤
+    * the bound — and workloads whose batches touch most buckets never
+    * trigger (width never accumulates).
     */
-  test("MV manifest fan-out stays bounded by periodic compaction over " +
-       "a 50-batch replay") {
+  test("MV manifest fan-out stays bounded by width-triggered compaction " +
+       "over a 50-batch skewed replay") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_mv_compact_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -388,6 +390,7 @@ class StreamingSpec extends AnyFunSuite {
       // running aggregate (Update-mode emission contract); 20 keys cycle
       // so buckets keep getting re-touched across compaction epochs
       var expected = Map.empty[Long, (Long, Long)]
+      var widths = Vector.empty[Int]
       for (b <- 0L until 50L) {
         val u = b % 20L + 1L
         val nv = expected.get(u)
@@ -397,14 +400,18 @@ class StreamingSpec extends AnyFunSuite {
         val upd = Seq((u, nv._1, nv._2)).toDF("user_id", "n_events", "c")
         StreamingQ.mvMergeBatch(base)(upd, b)
         val owners = StreamingQ.mvManifest(base, b + 1).values.toSet
-        assert(owners.size <= StreamingQ.MvCompactionInterval,
-          s"v${b + 1}: union width ${owners.size} exceeds the " +
-            s"compaction interval ${StreamingQ.MvCompactionInterval}")
+        widths :+= owners.size
+        assert(owners.size <= StreamingQ.MvMaxManifestWidth,
+          s"v${b + 1}: union width ${owners.size} exceeds the bound " +
+            s"${StreamingQ.MvMaxManifestWidth}")
       }
-      // at a compaction version the manifest collapses to ONE owner
-      val atCompaction = StreamingQ.mvManifest(base, 48L).values.toSet
-      assert(atCompaction == Set(48L),
-        s"v48 is a compaction version; owners must be {48}, got $atCompaction")
+      // the skewed history must actually have accumulated width AND
+      // collapsed back to one owner at least once (a compaction ran) —
+      // otherwise the bound above was asserted vacuously
+      assert(widths.contains(StreamingQ.MvMaxManifestWidth),
+        s"fixture never reached the width bound: $widths")
+      assert(widths.zipWithIndex.exists { case (w, i) => i > 0 && w == 1 },
+        s"no compaction collapsed the manifest: $widths")
       // and the final MV is still exactly the merged history
       val mv = StreamingQ.mvRead(spark, base, 50L).collect()
         .map(r => (r.getLong(0), (r.getLong(1), (r.getDouble(2) * 100).round)))
