@@ -583,6 +583,13 @@ object LlmOps {
   /** The clusters derivation WITHOUT a final ORDER BY, shared verbatim
     * by the standalone oracle (which appends one) and the canonical
     * oracle (which embeds it as a CTE).
+    *
+    * `pairs` is AS MATERIALIZED: without the fence, DuckDB inlines the
+    * whole grams self-join (~100M intermediate rows at sf1) into BOTH
+    * sides of the recursive `reach` CTE and re-evaluates it per
+    * iteration — measured >110 GB of spill before exhausting disk at
+    * sf1, vs 25 s with the 2.5k-row pair list materialized once.
+    * Purely an evaluation fence; results are identical.
     */
   private lazy val clustersCteBody: String =
     """WITH RECURSIVE toks AS (
@@ -602,7 +609,7 @@ object LlmOps {
       |  FROM grams a JOIN grams b
       |    ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM inter
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
@@ -666,14 +673,17 @@ object LlmOps {
     * 0.95 dedup bar; [[qDedupEmbedStats]] is the oracled companion that
     * measures exactly that distribution). A 0-row result, however, makes
     * the driver's rows-only check vacuous — it would pass identically if
-    * the whole detection path were broken. So the query plants ONE
-    * deterministic canary: the lowest-vec_id vector is re-entered under
-    * sentinel id -1 (real ids are non-negative), which must surface as
-    * the exact-duplicate pair (-1, min_id, 1.0). The canary exercises
-    * signature → chunk-bucket join → exact-cosine verify end-to-end on
-    * the driver data path, so spark_rows ≥ 1 now asserts the mechanism,
-    * not vacuity. LlmOpsSpec additionally plants a merely-near (not
-    * identical) pair and asserts exactly it is found.
+    * the whole detection path were broken. So the query plants a
+    * deterministic canary PAIR: two sentinel rows (ids -2 and -1; real
+    * ids are non-negative) carrying the same fixed vector, which must
+    * surface as the exact-duplicate pair (-2, -1, 1.0). The canary is
+    * two literal rows — no extra pass over the corpus (an earlier
+    * design duplicated the min-id corpus vector, which cost a full
+    * TakeOrdered scan per reference) — and it exercises signature →
+    * chunk-bucket join → exact-cosine verify end-to-end on the driver
+    * data path, so spark_rows ≥ 1 asserts the mechanism, not vacuity.
+    * LlmOpsSpec additionally plants a merely-near (not identical) pair
+    * and asserts exactly it is found.
     */
   val qDedupEmbed: Q = (s, d) => {
     import s.implicits._
@@ -681,9 +691,14 @@ object LlmOps {
     val chunks = 4
     val bitsPerChunk = k / chunks
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // detection-path canary: duplicate the min-id vector under id -1
-    val canary = base.orderBy(col("vec_id")).limit(1)
-      .select(lit(-1L).as("vec_id"), col("embedding"))
+    // detection-path canary: two sentinel rows sharing one fixed vector
+    // (64 = the corpus embedding dim; the signature kernel adapts to
+    // whatever length each row carries, so a dim change only widens the
+    // hyperplane matrix)
+    val canaryVec = array((0 until 64).map(i =>
+      lit(math.sin(i * 0.7 + 1.0).toFloat)): _*)
+    val canary = s.range(-2L, 0L).toDF("vec_id")
+      .withColumn("embedding", canaryVec)
     val sigChunks = base.unionByName(canary)
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>

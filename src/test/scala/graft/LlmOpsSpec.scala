@@ -310,11 +310,10 @@ class LlmOpsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val pairs = LlmOps.qDedupEmbed(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // (0, 1) is the planted near-pair this spec is actually about.
-    // (-1, *) are the query's built-in detection-path canary (the min-id
-    // vector re-entered under sentinel id -1): it duplicates vec 0, so
-    // it is near both vec 0 (exactly) and vec 1 (transitively ≥ 0.95)
-    assert(pairs == Set((-1L, 0L), (-1L, 1L), (0L, 1L)))
+    // (0, 1) is the planted near-pair this spec is actually about;
+    // (-2, -1) is the query's built-in detection-path canary (two
+    // sentinel rows sharing one fixed vector, independent of the corpus)
+    assert(pairs == Set((-2L, -1L), (0L, 1L)))
   }
 
   test("ANN(IVF) top-10 overlaps brute-force top-10") {
