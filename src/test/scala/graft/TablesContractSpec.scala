@@ -34,10 +34,37 @@ class TablesContractSpec extends AnyFunSuite {
       "events"     -> (Tables.events _)
     )
 
+  /** Columns every engine query may reference by name. A regeneration
+    * that renames or drops one must fail here, not as scattered
+    * UNRESOLVED_COLUMN errors across the gate. Extra columns are allowed
+    * (additive drift is harmless).
+    */
+  private val pinnedColumns = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                        "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                        "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                        "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value",
+                        "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label")
+  )
+
   for ((name, loader) <- loaders) {
     test(s"table `$name` loads from current testdata and materializes a row") {
       val df = loader(spark, sfDir)
       assert(df.schema.nonEmpty, s"$name resolved an empty schema")
+      val missing = pinnedColumns(name).filterNot(df.schema.fieldNames.contains)
+      assert(missing.isEmpty,
+        s"$name lost pinned columns $missing — testdata contract drifted")
       assert(df.limit(1).collect().length == 1, s"$name produced no rows")
     }
   }
