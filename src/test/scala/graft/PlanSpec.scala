@@ -176,6 +176,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_embed: chunk-bucket equi-join candidates, no cartesian, " +
+       "canary adds no corpus pass") {
+    val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+           "the n² vector pair space must never be planned")
+    assert(p.contains("chunk_val"), "candidates must bucket on chunk value")
+    // the sentinel canary is a 2-row local Range union — it must not add
+    // a TakeOrdered/Sort over the embeddings table (the earlier min-id
+    // canary design did exactly that)
+    assert(!p.contains("TakeOrderedAndProject"),
+           "canary must not scan the corpus for a representative vector")
+  }
+
   test("q_dedup_embed_stats: pair space is an equi-join on the block id") {
     val df = SparkEntry.queries("q_dedup_embed_stats")(spark, sf)
     val p = plan(df)
