@@ -246,6 +246,32 @@ object Relational {
 
   val qScanJsonSql: String = qScanOrcSql
 
+  /** XML source — Spark 4 ships the (formerly spark-xml) reader
+    * natively, and XML is the reference's actual wire format (mjlog is
+    * gzipped XML; `main.py` parses it record-per-file). Round-trip a
+    * projection through element-per-row XML and read it back with a
+    * DECLARED schema (inference would cost a full extra pass at 100 TB)
+    * — the row tag splits records, so the scan parallelizes like any
+    * text source. The oracle aggregates the original parquet: a pass
+    * proves the markup round-trip is lossless, doubles included.
+    */
+  val qScanXml: Q = (s, d) => {
+    val tmp = scratchDir("xml", d)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").option("rowTag", "li").format("xml").save(tmp)
+    s.read
+      .schema("l_orderkey LONG, l_linenumber LONG, l_quantity DOUBLE, l_returnflag STRING")
+      .option("rowTag", "li").format("xml").load(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_orderkey")).as("sum_keys"))
+      .orderBy("l_returnflag")
+  }
+
+  val qScanXmlSql: String = qScanOrcSql
+
   /** FULL OUTER join — per-(user, day) click activity vs purchase
     * activity, where each side has keys the other lacks (days a user
     * clicked but bought nothing and vice versa), so BOTH null-extension
@@ -1574,6 +1600,7 @@ object Relational {
     "q_scan_csv"         -> qScanCsv,
     "q_scan_orc"         -> qScanOrc,
     "q_scan_json"        -> qScanJson,
+    "q_scan_xml"         -> qScanXml,
     "q_recursive_calendar" -> qRecursiveCalendar,
     "q_profile_columns"  -> qProfileColumns,
     "q_profile_histogram" -> qProfileHistogram,
@@ -1628,6 +1655,7 @@ object Relational {
     "q_scan_csv"         -> qScanCsvSql,
     "q_scan_orc"         -> qScanOrcSql,
     "q_scan_json"        -> qScanJsonSql,
+    "q_scan_xml"         -> qScanXmlSql,
     "q_recursive_calendar" -> qRecursiveCalendarSql,
     "q_profile_columns"  -> qProfileColumnsSql,
     "q_profile_histogram" -> qProfileHistogramSql,
