@@ -803,6 +803,55 @@ object StreamingQ {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Offline state-store inspection — Spark 4's state data source
+    * (`spark.read.format("statestore")`) read back against batch truth.
+    * The replay runs the running per-user aggregate through a durable
+    * checkpoint, then the query result is NOT the stream's output but
+    * the keyed state the engine left behind, decoded from the store's
+    * files (key.user_id, value.count, value.sum). The DuckDB oracle is
+    * the plain GROUP BY over all events: a hash match proves the state
+    * the stream would resume from IS the batch answer — the
+    * state-integrity check an operator of a 100 TB/day pipeline runs
+    * after an incident, without touching the live query. Weekly batches
+    * are grouped ~6 per trigger: state at the final commit is invariant
+    * to replay granularity, so the coarser replay buys wall time
+    * without weakening what is asserted about the store.
+    */
+  val qStreamStateInspect: Q = (s, d) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val weeks = eventWeekBatches(s, d)
+    val batches = weeks.grouped(math.max(1, weeks.size / 6))
+      .map(_.flatten.toSeq).toSeq
+    // deterministic per-dataset checkpoint, recreated per run: the state
+    // files must OUTLIVE this function (the returned frame reads them
+    // lazily), so cleanup is rewrite-on-next-run, not a finally block
+    val ckpt = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch",
+      "stinsp_" + Integer.toHexString(d.hashCode))
+    rmTree(ckpt)
+    java.nio.file.Files.createDirectories(ckpt)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = mvAggregate(ms.toDF())
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.format("statestore").option("path", ckpt.toString).load()
+      .select(col("key.user_id").as("user_id"),
+              col("value.count").as("n_events"),
+              (col("value.sum").cast("double") / lit(100.0)).as("total"))
+      .orderBy("user_id")
+  }
+
+  val qStreamStateInspectSql: String = qStreamMvSql
+
   private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
@@ -1012,7 +1061,8 @@ object StreamingQ {
     "q_stream_join"      -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
     "q_stream_static_join" -> qStreamStaticJoin,
-    "q_stream_mv"        -> qStreamMv
+    "q_stream_mv"        -> qStreamMv,
+    "q_stream_state_inspect" -> qStreamStateInspect
   )
 
   val oracles: Map[String, String] = Map(
@@ -1030,6 +1080,8 @@ object StreamingQ {
     "q_stream_join_outer" -> qStreamJoinOuterSql,
     "q_stream_static_join" -> qStreamStaticJoinSql,
     "q_stream_stateful_ttl" -> qStreamStatefulTtlSql,
-    "q_stream_mv" -> qStreamMvSql
+    "q_stream_mv" -> qStreamMvSql,
+    // the state the stream left behind must BE the batch answer
+    "q_stream_state_inspect" -> qStreamStateInspectSql
   )
 }
