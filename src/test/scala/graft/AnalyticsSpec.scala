@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics
+
+/** Round-14 analytics operators: URL parse/canonicalize-dedup, exact
+  * order statistics, sketch quantiles, PageRank. The DuckDB oracle gate
+  * cross-checks all five against independent SQL re-derivations every
+  * driver run; these specs assert the semantic properties the hash
+  * compare can't express (tolerance contracts, variant unification,
+  * convergence sanity) on the sf0.001 data.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_fn_url extracts every URL component") {
+    val rows = Analytics.qFnUrl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // doc_id 1 -> variant 1: uppercase scheme/host, explicit :443, slash
+    val v1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(v1.getAs[String]("scheme") == "https")
+    assert(v1.getAs[String]("host") == "www.cdn.example.com")
+    assert(v1.getAs[String]("path") == "/article/1/")
+    assert(v1.getAs[String]("query") == "")
+    // doc_id 2 -> variant 2: utm query
+    val v2 = rows.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(v2.getAs[String]("utm_source") == "feed")
+    assert(v2.getAs[String]("query") == "utm_source=feed&utm_campaign=c7")
+    // doc_id 3 -> variant 3: index.html + fragment
+    val v3 = rows.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(v3.getAs[String]("path") == "/article/3/index.html")
+    assert(v3.getAs[String]("fragment") == "top")
+    // form codec round-trip constants
+    assert(v1.getAs[String]("decoded") == "a b/c")
+    assert(v1.getAs[String]("encoded") == "a+b%2Fc")
+  }
+
+  test("q_dedup_url unifies all four spelling variants of an article") {
+    val out = Analytics.qDedupUrl(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs, "dedup must partition the corpus")
+    // canonical form: lowercase, no www/port/index.html/utm/fragment
+    assert(out.forall { r =>
+      val u = r.getAs[String]("canonical_url")
+      u.startsWith("https://cdn.example.com/article/") &&
+        !u.contains("www.") && !u.contains(":443") &&
+        !u.contains("index.html") && !u.contains("utm_") &&
+        !u.contains("#") && !u.endsWith("/")
+    })
+    // sf0.001 has 500 docs over 97 article slots: at least one article
+    // collects docs from >1 variant class and they must land together
+    assert(out.exists(_.getAs[Long]("n_docs") > 1L))
+    // keep_id is the minimum member: article k keeps the smallest doc_id
+    // whose doc_id % 97 == k
+    val kept = out.map { r =>
+      val art = r.getAs[String]("canonical_url")
+        .stripPrefix("https://cdn.example.com/article/").toLong
+      (art, r.getAs[Long]("keep_id"))
+    }
+    assert(kept.forall { case (art, keep) => keep % 97 == art })
+  }
+
+  test("q_agg_mode_median matches a brute-force recomputation") {
+    val out = Analytics.qAggModeMedian(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    out.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val qs = li.filter(_._1 == flag).map(_._2)
+      val byCount = qs.groupBy(identity).view.mapValues(_.length).toMap
+      val best = byCount.toSeq.sortBy { case (v, c) => (-c, v) }.head
+      assert(r.getAs[Double]("mode_qty") == best._1)
+      assert(r.getAs[Long]("mode_n") == best._2.toLong)
+      val sorted = qs.sorted
+      val n = sorted.length
+      val med =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      assert(math.abs(r.getAs[Double]("med_qty") - med) < 1e-6)
+    }
+  }
+
+  test("q_agg_quantile_sketch stays inside the rank-error contract") {
+    val out = Analytics.qAggQuantileSketch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ok_p50"), s"p50 out of tolerance: $r")
+      assert(r.getAs[Boolean]("ok_p95"), s"p95 out of tolerance: $r")
+      assert(r.getAs[Double]("exact_p50") > 0.0)
+    }
+  }
+
+  test("q_graph_pagerank matches a driver-side power iteration") {
+    val out = Analytics.qGraphPagerank(spark, sf).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    assert(out.nonEmpty)
+    // recompute the same 5 damped iterations from the raw events
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = ev.withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = out.keySet
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, ww) =>
+          rank(src) * ww.toDouble / outw(src).toDouble
+        }.sum
+      }
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0)))
+        .toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(out(v) - rank(v)) < 1e-5, s"node $v: ${out(v)} vs ${rank(v)}")
+    }
+    // damped-PageRank invariant: total mass = (1-d) + d * passed mass <= 1
+    val mass = out.values.sum
+    assert(mass > 0.15 && mass <= 1.0 + 1e-9)
+  }
+}
