@@ -324,12 +324,138 @@ object Analytics {
       |   WHERE e.dst = nd.node), 0) AS rank FROM nodes nd)
       |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin
 
+  /** NOT IN with nullable keys — the null-aware anti join. Spark plans a
+    * single-column NOT IN as a null-aware BroadcastHashJoin (LeftAnti
+    * with isNullAwareAntiJoin): a NULL probe key can never satisfy
+    * NOT IN (three-valued logic), and one NULL on the subquery side
+    * empties the result entirely. Both legs are exercised and the
+    * summary counts are hash-compared; `NOT EXISTS` semantics (which
+    * keep NULL probes) are the separate q_join_anti.
+    *
+    * Scale: the subquery side is aggregated to distinct keys and
+    * broadcast — no shuffle of the probe side at any scale.
+    */
+  val qJoinNullAnti: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_naaj")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_naaj")
+    s.sql(
+      """WITH probe AS (
+        |  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+        |              ELSE c_custkey END AS k
+        |  FROM graft_cust_naaj),
+        |a AS (SELECT count(*) AS n FROM probe
+        |      WHERE k NOT IN (SELECT o_custkey FROM graft_orders_naaj
+        |                      WHERE o_totalprice > 400000)),
+        |b AS (SELECT count(*) AS n FROM probe
+        |      WHERE k NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0
+        |                                  THEN NULL ELSE o_custkey END
+        |                      FROM graft_orders_naaj
+        |                      WHERE o_totalprice > 400000))
+        |SELECT 'probe_nullable' AS variant, n FROM a
+        |UNION ALL
+        |SELECT 'subquery_has_null' AS variant, n FROM b
+        |ORDER BY variant""".stripMargin)
+  }
+
+  val qJoinNullAntiSql: String =
+    """WITH probe AS (
+      |  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+      |              ELSE c_custkey END AS k
+      |  FROM customer),
+      |a AS (SELECT count(*) AS n FROM probe
+      |      WHERE k NOT IN (SELECT o_custkey FROM orders
+      |                      WHERE o_totalprice > 400000)),
+      |b AS (SELECT count(*) AS n FROM probe
+      |      WHERE k NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0
+      |                                  THEN NULL ELSE o_custkey END
+      |                      FROM orders
+      |                      WHERE o_totalprice > 400000))
+      |SELECT 'probe_nullable' AS variant, n FROM a
+      |UNION ALL
+      |SELECT 'subquery_has_null' AS variant, n FROM b
+      |ORDER BY variant""".stripMargin
+
+  /** Exact COUNT(DISTINCT) via mergeable bitmaps — the 100 TB pattern
+    * for exact distinct counting over an integer key: bucket the key
+    * space (bitmap_bucket_number), build one fixed-size bitmap per
+    * (group, bucket) with a map-side-combining aggregate
+    * (bitmap_construct_agg), then sum the popcounts. Unlike
+    * count(DISTINCT), the partial state is a bounded bitmap instead of
+    * an exact value set, and unlike HLL it is exact — the DuckDB oracle
+    * pins it to count(DISTINCT) directly.
+    */
+  val qAggBitmapDistinct: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_bitmap")
+    s.sql(
+      """SELECT l_returnflag, sum(bitmap_count(bm)) AS n_distinct
+        |FROM (
+        |  SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
+        |         bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+        |  FROM graft_li_bitmap GROUP BY 1, 2)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val qAggBitmapDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Robust outlier detection per group — median/MAD (median absolute
+    * deviation), the data-quality screen that survives the heavy tails
+    * that break mean/stddev z-scores. Three passes, each a mergeable
+    * aggregate: group medians; MAD against the broadcast medians;
+    * outlier counts against the broadcast (median, MAD). The row tables
+    * never shuffle — only the tiny per-group stats move.
+    */
+  val qDqOutliers: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(abs(l_extendedprice - med), 0.5D)").as("mad"),
+        first(col("med")).as("med"))
+    li.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med0"),
+        first(col("mad")).as("mad0"),
+        sum(when(abs(col("l_extendedprice") - col("med")) >
+          lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("med0"), 6).as("med"),
+        round(col("mad0"), 6).as("mad"),
+        col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  val qDqOutliersSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, median(l_extendedprice) AS med
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT l.l_returnflag,
+      |    median(abs(l.l_extendedprice - s.med)) AS mad,
+      |    any_value(s.med) AS med
+      |  FROM lineitem l JOIN s USING (l_returnflag)
+      |  GROUP BY l.l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  round(any_value(m.med), 6) AS med,
+      |  round(any_value(m.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med) > 1.5 * m.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN m USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_fn_url"              -> qFnUrl,
     "q_dedup_url"           -> qDedupUrl,
     "q_agg_mode_median"     -> qAggModeMedian,
     "q_agg_quantile_sketch" -> qAggQuantileSketch,
-    "q_graph_pagerank"      -> qGraphPagerank
+    "q_graph_pagerank"      -> qGraphPagerank,
+    "q_join_null_anti"      -> qJoinNullAnti,
+    "q_agg_bitmap_distinct" -> qAggBitmapDistinct,
+    "q_dq_outliers"         -> qDqOutliers
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +463,9 @@ object Analytics {
     "q_dedup_url"           -> qDedupUrlSql,
     "q_agg_mode_median"     -> qAggModeMedianSql,
     "q_agg_quantile_sketch" -> qAggQuantileSketchSql,
-    "q_graph_pagerank"      -> qGraphPagerankSql
+    "q_graph_pagerank"      -> qGraphPagerankSql,
+    "q_join_null_anti"      -> qJoinNullAntiSql,
+    "q_agg_bitmap_distinct" -> qAggBitmapDistinctSql,
+    "q_dq_outliers"         -> qDqOutliersSql
   )
 }

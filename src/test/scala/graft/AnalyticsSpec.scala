@@ -94,6 +94,56 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_null_anti honors three-valued NOT IN semantics") {
+    val out = Analytics.qJoinNullAnti(spark, sf).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("n")).toMap
+    // one NULL in the subquery empties a NOT IN entirely
+    assert(out("subquery_has_null") == 0L)
+    // NULL probe keys can never pass NOT IN: the survivor count must
+    // equal the brute-force count over non-null keys only
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val hot = Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = cust.count(k => k % 50 != 0 && !hot.contains(k))
+    assert(out("probe_nullable") == expected.toLong)
+    // the plan must be the null-aware anti join, not a nested loop
+    val plan = Analytics.qJoinNullAnti(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(500))
+  }
+
+  test("q_agg_bitmap_distinct equals exact count(DISTINCT)") {
+    val out = Analytics.qAggBitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_partkey").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).distinct.length.toLong).toMap
+    assert(out == exact)
+  }
+
+  test("q_dq_outliers flags exactly the rows beyond 1.5 MAD") {
+    val out = Analytics.qDqOutliers(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val med = r.getAs[Double]("med")
+      val mad = r.getAs[Double]("mad")
+      assert(mad > 0.0)
+      val flag = r.getAs[String]("l_returnflag")
+      val xs = Tables.lineitem(spark, sf)
+        .where(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0))
+      // med/mad are rounded to 6 decimals in the output; re-derive the
+      // outlier count with a tolerance window around the boundary
+      val n = xs.count(x => math.abs(x - med) > 1.5 * mad + 1e-4)
+      val m = xs.count(x => math.abs(x - med) > 1.5 * mad - 1e-4)
+      val got = r.getAs[Long]("n_outliers")
+      assert(got >= n && got <= m, s"$flag: $got not in [$n,$m]")
+    }
+  }
+
   test("q_graph_pagerank matches a driver-side power iteration") {
     val out = Analytics.qGraphPagerank(spark, sf).collect()
       .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
