@@ -341,6 +341,57 @@ class PlanSpec extends AnyFunSuite {
            s"running sum missing:\n$p")
   }
 
+  test("q_agg_bitmap_distinct: bitmap partials combine map-side before one shuffle") {
+    val p = plan("q_agg_bitmap_distinct")
+    assert(p.contains("partial_bitmap_construct_agg"),
+           s"bitmap build must be a map-side partial aggregate:\n$p")
+    assert(p.contains("partial_sum(static_invoke(BitmapExpressionUtils.bitmapCount"),
+           s"popcount sum must also combine map-side:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_partkey") && !read.contains("l_extendedprice"),
+           s"scan must read only key + group columns, got: $read")
+  }
+
+  test("q_dq_outliers: three mergeable passes, row table never shuffles") {
+    val p = plan("q_dq_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+           "median and (median, MAD) stats must broadcast back, not shuffle rows")
+    assert(!p.contains("SortMergeJoin"),
+           "the row table must never shuffle into a join")
+    assert(p.contains("partial_percentile"),
+           "exact percentile must run as a partial-mergeable aggregate")
+    // the only Exchanges are the tiny per-group stats and the final sort
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_extendedprice") && !read.contains("l_quantity"),
+           s"scan must prune to the screened column, got: $read")
+  }
+
+  test("q_dedup_url: map-only canonicalization, one shuffle on the canonical key") {
+    val p = plan("q_dedup_url")
+    assert(!p.contains("Join"), s"canonicalize+dedup must not join:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+           "dedup aggregate must combine map-side")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("struct<doc_id:bigint>"),
+           s"scan must read doc_id only, got: $read")
+  }
+
+  test("q_join_null_anti: NOT IN plans as broadcast anti join, not a nested loop") {
+    val p = plan("q_join_null_anti")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+           s"null-aware NOT IN must be a broadcast LeftAnti hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"nested-loop shapes must not appear:\n$p")
+  }
+
+  test("q_graph_pagerank: aggregated graph is persisted once, reused per iteration") {
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+           "edge table must come from the persisted InMemoryRelation, " +
+             "not a rebuilt lineage per iteration")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
