@@ -447,6 +447,99 @@ object Analytics {
       |FROM lineitem l JOIN m USING (l_returnflag)
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  /** VARIANT — Spark 4's binary semi-structured type: parse once,
+    * extract typed fields without per-access string re-parsing (the
+    * 100 TB JSON pattern; get_json_object re-tokenizes the string on
+    * every call, q_fn_json). The oracle re-derives each extraction with
+    * DuckDB's JSON operators; `schema_of_variant` and the variant-null
+    * probe pin the type machinery itself.
+    */
+  val qFnVariant: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+      (variant_get(parse_json(col("props")), "$.k", "bigint") % 7)
+        .as("k_mod"),
+      schema_of_variant(parse_json(col("props"))).as("vschema"),
+      is_variant_null(parse_json(lit("null"))).as("null_probe"))
+      .orderBy("event_id")
+
+  val qFnVariantSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  CAST(props->>'$.k' AS BIGINT) % 7 AS k_mod,
+      |  'OBJECT<k: BIGINT>' AS vschema,
+      |  TRUE AS null_probe
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Mergeable approximate COUNT(DISTINCT) — DataSketches HLL: one
+    * sketch per (group, month) partial, `hll_union_agg` merges the
+    * partials per group, estimate at the end. This is the re-aggregable
+    * distinct for 100 TB cube/rollup layers: partials are fixed-size
+    * bytes, unions are associative, and a day→month→year hierarchy
+    * re-aggregates without touching raw data (the exact counterpart is
+    * q_agg_bitmap_distinct). The estimate is implementation-defined, so
+    * the oracle pins the exact count (hash-compared) plus a boolean
+    * "estimate within ±5% of exact" — far outside HLL's ~1% error at
+    * lgConfigK=12, but a broken merge misses by much more.
+    */
+  val qAggHllMerge: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val partials = li
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = partials.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(broadcast(merged), "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          lit(0.05) * col("n_exact")).as("ok_est"))
+      .orderBy("l_returnflag")
+  }
+
+  val qAggHllMergeSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+      |  TRUE AS ok_est
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic exact-k stratified sample — k docs per language,
+    * chosen by multiplicative-hash order (same decimal-exact hash as
+    * q_sample_balance, so membership is row-for-row reproducible across
+    * engines and runs — no RNG state, no seed drift). Spark 3.5+ plans
+    * the rank-filter as WindowGroupLimit: each map task keeps only k
+    * rows per group BEFORE the shuffle, so the exchange carries
+    * k·partitions rows, not the corpus.
+    */
+  val qSampleReservoir: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val k = 20
+    val w = Window.partitionBy("lang")
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("hkey",
+        pmod(col("doc_id").cast(DecimalType(38, 0)) * lit(2654435761L),
+          lit(1L << 31)).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val qSampleReservoirSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    ((CAST(doc_id AS HUGEINT) * 2654435761) % 2147483648) AS hkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY hkey ASC, doc_id ASC) AS rk
+      |  FROM h)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_fn_url"              -> qFnUrl,
     "q_dedup_url"           -> qDedupUrl,
@@ -455,7 +548,10 @@ object Analytics {
     "q_graph_pagerank"      -> qGraphPagerank,
     "q_join_null_anti"      -> qJoinNullAnti,
     "q_agg_bitmap_distinct" -> qAggBitmapDistinct,
-    "q_dq_outliers"         -> qDqOutliers
+    "q_dq_outliers"         -> qDqOutliers,
+    "q_fn_variant"          -> qFnVariant,
+    "q_agg_hll_merge"       -> qAggHllMerge,
+    "q_sample_reservoir"    -> qSampleReservoir
   )
 
   val oracles: Map[String, String] = Map(
@@ -466,6 +562,9 @@ object Analytics {
     "q_graph_pagerank"      -> qGraphPagerankSql,
     "q_join_null_anti"      -> qJoinNullAntiSql,
     "q_agg_bitmap_distinct" -> qAggBitmapDistinctSql,
-    "q_dq_outliers"         -> qDqOutliersSql
+    "q_dq_outliers"         -> qDqOutliersSql,
+    "q_fn_variant"          -> qFnVariantSql,
+    "q_agg_hll_merge"       -> qAggHllMergeSql,
+    "q_sample_reservoir"    -> qSampleReservoirSql
   )
 }

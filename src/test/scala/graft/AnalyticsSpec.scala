@@ -144,6 +144,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fn_variant extracts typed fields and pins the variant schema") {
+    val rows = Analytics.qFnVariant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("vschema") == "OBJECT<k: BIGINT>")
+      assert(r.getAs[Boolean]("null_probe"))
+      assert(r.getAs[Long]("k_mod") == r.getAs[Long]("k") % 7)
+    }
+  }
+
+  test("q_agg_hll_merge: merged sketch estimate within 5% of exact") {
+    val out = Analytics.qAggHllMerge(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ok_est"), s"estimate out of tolerance: $r")
+      assert(r.getAs[Long]("n_exact") > 0L)
+    }
+  }
+
+  test("q_sample_reservoir draws exactly k per language, hash-ordered") {
+    val out = Analytics.qSampleReservoir(spark, sf).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      val expected = math.min(20L, langSizes(lang))
+      assert(rows.length.toLong == expected, s"$lang: ${rows.length}")
+      // ranks are 1..k and the hash order is deterministic: re-running
+      // returns the identical membership
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to expected).toSeq)
+    }
+    val again = Analytics.qSampleReservoir(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(again == out.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
   test("q_graph_pagerank matches a driver-side power iteration") {
     val out = Analytics.qGraphPagerank(spark, sf).collect()
       .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
