@@ -392,6 +392,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_sample_reservoir: partial WindowGroupLimit keeps k per group before the shuffle") {
+    val p = plan("q_sample_reservoir")
+    val idxPartialLimit = p.indexOf("WindowGroupLimit")
+    val idxExchange = p.indexOf("Exchange")
+    assert(idxPartialLimit >= 0 && idxPartialLimit > idxExchange,
+           s"rank filter must push down as WindowGroupLimit:\n${p.take(800)}")
+    assert(p.contains("row_number(), 20, Partial"),
+           s"the map-side limit must be the Partial mode:\n${p.take(1200)}")
+  }
+
+  test("q_agg_hll_merge: sketches build and union as partial aggregates") {
+    val p = plan("q_agg_hll_merge")
+    assert(p.contains("partial_hll_sketch_agg"),
+           "per-(group, month) sketches must combine map-side")
+    assert(p.contains("partial_hll_union_agg"),
+           "the cross-month union must also combine map-side")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
