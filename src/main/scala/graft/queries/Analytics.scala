@@ -540,6 +540,76 @@ object Analytics {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
       |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  /** Batch time-bucket downsampling — the telemetry-rollup shape:
+    * `window(ts, 7 days)` buckets (epoch-aligned, same origin as the
+    * DuckDB `time_bucket` oracle) with count/min/max plus an exact
+    * decimal sum (util.dsum — raw double sums are partial-order-
+    * dependent). One hash aggregation; at 100 TB this is the map-side-
+    * combining rollup that turns an event firehose into a queryable
+    * series, and its streaming twin is q_stream_tumbling.
+    */
+  val qTimeDownsample: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        window(col("ts"), "7 days").getField("start").as("wk"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type", "wk")
+
+  val qTimeDownsampleSql: String =
+    s"""SELECT event_type,
+       |  time_bucket(INTERVAL 7 DAY, CAST(ts AS TIMESTAMP),
+       |              TIMESTAMP '1970-01-01') AS wk,
+       |  count(*) AS n,
+       |  ${dsumSql("value")} AS sum_value,
+       |  min(value) AS min_value,
+       |  max(value) AS max_value
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, wk""".stripMargin
+
+  /** Schema evolution on read — the lake reality that columns arrive
+    * over time: a v1 slice written without `priority_score`, a v2 slice
+    * with it, one `mergeSchema` read that null-fills v1 rows. Spark
+    * resolves the union schema from the file footers (at 100 TB set
+    * the union schema explicitly or via the metastore; mergeSchema
+    * footers-scan is the discovery path). The oracle replays the
+    * two-generation layout with DuckDB's union_by_name.
+    */
+  val qScanMergeSchema: Q = (s, d) => {
+    val tmp = Relational.scratchDir("evolve", d)
+    seedOnceLocal(tmp) {
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") / lit(1000.0)).as("priority_score"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      // mark the two-generation seed complete as a unit
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SEEDED"))
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("priority_score")).as("n_scored"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  private def seedOnceLocal(dir: String)(write: => Unit): Unit =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SEEDED")))
+      write
+
+  val qScanMergeSchemaSql: String =
+    """SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_scored,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_fn_url"              -> qFnUrl,
     "q_dedup_url"           -> qDedupUrl,
@@ -551,7 +621,9 @@ object Analytics {
     "q_dq_outliers"         -> qDqOutliers,
     "q_fn_variant"          -> qFnVariant,
     "q_agg_hll_merge"       -> qAggHllMerge,
-    "q_sample_reservoir"    -> qSampleReservoir
+    "q_sample_reservoir"    -> qSampleReservoir,
+    "q_time_downsample"     -> qTimeDownsample,
+    "q_scan_merge_schema"   -> qScanMergeSchema
   )
 
   val oracles: Map[String, String] = Map(
@@ -565,6 +637,8 @@ object Analytics {
     "q_dq_outliers"         -> qDqOutliersSql,
     "q_fn_variant"          -> qFnVariantSql,
     "q_agg_hll_merge"       -> qAggHllMergeSql,
-    "q_sample_reservoir"    -> qSampleReservoirSql
+    "q_sample_reservoir"    -> qSampleReservoirSql,
+    "q_time_downsample"     -> qTimeDownsampleSql,
+    "q_scan_merge_schema"   -> qScanMergeSchemaSql
   )
 }

@@ -182,6 +182,33 @@ class AnalyticsSpec extends AnyFunSuite {
       (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet)
   }
 
+  test("q_time_downsample buckets on epoch-aligned 7-day windows") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.qTimeDownsample(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every bucket start is a whole multiple of 7 days from the epoch
+    out.foreach { r =>
+      val us = r.getAs[java.sql.Timestamp]("wk").getTime
+      assert(us % (7L * 24 * 3600 * 1000) == 0, s"unaligned bucket: $r")
+    }
+    // counts partition the table
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("q_scan_merge_schema null-fills the column absent from v1 files") {
+    val out = Analytics.qScanMergeSchema(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val n = r.getAs[Long]("n")
+      val scored = r.getAs[Long]("n_scored")
+      // odd orderkeys carry priority_score (v2 generation), even don't
+      if (b % 2 == 1) assert(scored == n, s"odd bucket fully scored: $r")
+      else assert(scored == 0L, s"even bucket unscored: $r")
+    }
+  }
+
   test("q_graph_pagerank matches a driver-side power iteration") {
     val out = Analytics.qGraphPagerank(spark, sf).collect()
       .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
