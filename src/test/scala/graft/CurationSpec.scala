@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Curation
+
+/** Curation operators: prefix-filtered exact set-similarity join,
+  * distributed k-means, weighted reservoir sampling. The DuckDB oracle
+  * gate hash-checks all three against independent SQL re-derivations
+  * every driver run; these specs assert the algorithmic properties the
+  * hash compare can't express — prefix-filter COMPLETENESS against a
+  * full inverted-index join, the k-means monotone-objective invariant,
+  * and an independent Scala re-derivation of the A-ES selection.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_join_setsim finds EXACTLY the pairs a full inverted-index join finds") {
+    import spark.implicits._
+    // reference: brute-force via the full gram inverted index (every
+    // gram joins, not just the prefix) — the plan prefix filtering must
+    // not lose a single pair from
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => Curation.threeGrams(t).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val full = grams.alias("a").join(grams.alias("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .where($"inter" * 3 >= $"na" + $"nb")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Curation.qJoinSetsim(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full, "prefix filtering must be lossless at tau=0.5")
+    assert(full.nonEmpty, "vacuous corpus — no pairs to verify")
+  }
+
+  test("q_join_setsim prefix is strictly smaller than the full gram set") {
+    // the filter must actually filter: candidate-side gram rows < full
+    // gram rows (otherwise the 'scale path' is the inverted index again)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => Curation.threeGrams(t).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val fullRows = docs.count()
+    // prefix length for tau=0.5 is n - ceil(n/2) + 1 ~ n/2 + 1
+    val prefixRows = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") - ((col("n") + 1) / lit(2)).cast("long") + 1)))
+      .head.getLong(0)
+    assert(prefixRows * 3 < fullRows * 2,
+      s"prefix ($prefixRows rows) should be ~half of full ($fullRows rows)")
+  }
+
+  test("q_cluster_kmeans objective is monotone and partitions the corpus") {
+    val n = Tables.embeddings(spark, sf).count()
+    def run(iters: Int) = {
+      val rows = Curation.kmeans(spark, sf, iters).collect()
+      (rows.map(_.getAs[Long]("n_members")).sum,
+       rows.map(_.getAs[Double]("inertia")).sum,
+       rows.length)
+    }
+    val (n1, inertia1, _)  = run(1)
+    val (n2, inertia2, k2) = run(2)
+    val (n3, inertia3, _)  = run(3)
+    assert(n1 == n && n2 == n && n3 == n,
+      "every vector must be assigned exactly once at every iteration")
+    assert(k2 <= 8 && k2 > 1)
+    assert(inertia2 <= inertia1 + 1e-3,
+      s"Lloyd iteration must not increase the objective ($inertia1 -> $inertia2)")
+    assert(inertia3 <= inertia2 + 1e-3,
+      s"Lloyd iteration must not increase the objective ($inertia2 -> $inertia3)")
+    // and it must actually improve on this data, not just not-regress
+    assert(inertia2 < inertia1 * 0.999)
+  }
+
+  test("q_cluster_kmeans is deterministic across runs") {
+    val a = Curation.qClusterKmeans(spark, sf).collect().map(_.toString).toSeq
+    val b = Curation.qClusterKmeans(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("q_sample_weighted matches an independent Scala A-ES re-derivation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent key derivation: BigInt hash (no 64-bit wrap), ln, scale
+    val expected = docs.map { case (id, nc) =>
+      val hkey = ((BigInt(id) * BigInt(2654435761L)).mod(BigInt(1L << 31))).toLong
+      val u = (hkey + 1).toDouble / 2147483648.0
+      val wkey = math.round(math.log(u) / math.max(nc, 1L) * 1e9)
+      (id, wkey)
+    }.sortBy { case (id, wkey) => (-wkey, id) }.take(50)
+    val got = Curation.qSampleWeighted(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("wkey"))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("q_sample_weighted prefers heavy documents") {
+    val sel = Curation.qSampleWeighted(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val all = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sel > all,
+      s"w=n_chars sample mean ($sel) should exceed corpus mean ($all)")
+  }
+}
