@@ -410,6 +410,31 @@ class PlanSpec extends AnyFunSuite {
            "the cross-month union must also combine map-side")
   }
 
+  test("q_sample_weighted: pure TakeOrderedAndProject, no global sort, no exchange") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+           "weighted A-ES top-k must be per-partition heap + driver merge")
+    assert(!p.contains("Exchange"),
+           "scan -> project -> top-k needs no shuffle at all")
+  }
+
+  test("q_cluster_kmeans: centroid joins broadcast, assignment never sort-merges") {
+    val p = plan("q_cluster_kmeans")
+    assert(!p.contains("SortMergeJoin"),
+           "k*d centroid tables are model constants — every join must broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+           "both Lloyd iterations must broadcast their centroid table")
+  }
+
+  test("q_join_setsim: candidate generation is an equi-join on the gram key") {
+    val p = plan("q_join_setsim")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+           "prefix filtering must keep pair generation an equi-join")
+    // the rarest-first ranking rides the per-doc window
+    assert(p.contains("Window"), "per-doc prefix ranking must be a window")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
