@@ -33,12 +33,19 @@ object Curation {
     * sf0.1 with the identical final pair set (planted near-dups clear
     * τ = 0.5 under both shingle widths).
     */
-  private[graft] def threeGrams(text: String): Array[String] = {
+  private[graft] def threeGrams(text: String): Array[String] =
+    windowGrams(text, 3)
+
+  /** Sliding token w-grams, distinct within doc; a doc shorter than the
+    * window is one gram of its whole text. SQL twin: the gram CTEs in
+    * [[qJoinSetsimSql]] / [[qTextDedupSubstringsSql]].
+    */
+  private[graft] def windowGrams(text: String, w: Int): Array[String] = {
     val toks = text.split(" ").filter(_.nonEmpty)
     val gs =
       if (toks.length == 0) Iterator.empty
-      else if (toks.length <= 2) Iterator.single(toks.mkString(" "))
-      else toks.sliding(3).map(_.mkString(" "))
+      else if (toks.length < w) Iterator.single(toks.mkString(" "))
+      else toks.sliding(w).map(_.mkString(" "))
     gs.toArray.distinct
   }
 
@@ -293,15 +300,155 @@ object Curation {
       |  FROM documents)
       |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin
 
+  // ------------------------------------------- exact substring dedup
+
+  /** Cross-document repeated-substring detection — the exact-substring
+    * dedup signal of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better": any 10-token window that appears verbatim
+    * in ≥ 2 documents marks boilerplate/duplication. Per affected doc:
+    * how many of its distinct 10-gram windows are shared, and the
+    * ratio — the per-doc score a removal pass would threshold on.
+    *
+    * At 100 TB this is the scalable skeleton of suffix-array dedup:
+    * windows are generated map-side (linear, no state), the document
+    * frequency per window is one combiner-collapsed gram shuffle, the
+    * per-doc rollup one doc-keyed shuffle. No pairwise stage, no
+    * suffix array — a window shared by m docs costs m rows, not m²
+    * pairs, which is exactly why production substring dedup buckets by
+    * window hash. (Window HASHES would further shrink the shuffle at
+    * scale; the plaintext window is kept here so the oracle can replay
+    * the operator byte-for-byte.)
+    */
+  val qTextDedupSubstrings: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => windowGrams(text, 10).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .where(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+              round(col("n_dup").cast("double") / col("n_grams"), 6)
+                .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qTextDedupSubstringsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) <= 9 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(list_slice(ts, i, i + 9), ' ') END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 9, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), df AS (
+      |  SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |       CAST(COUNT(*) FILTER (d.df >= 2) AS BIGINT) AS n_dup,
+      |       ROUND(CAST(COUNT(*) FILTER (d.df >= 2) AS DOUBLE) / COUNT(*), 6)
+      |         AS dup_ratio
+      |FROM grams g JOIN df d USING (gram)
+      |GROUP BY g.doc_id HAVING COUNT(*) FILTER (d.df >= 2) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- heavy hitters
+
+  /** Corpus heavy hitters through Spark 4.1's mergeable frequent-items
+    * sketch (DataSketches): per-language partial sketches
+    * (`approx_top_k_accumulate`) are unioned (`approx_top_k_combine`)
+    * and the global top-20 3-gram shingles read out — the same
+    * partial/merge algebra as [[Analytics]]'s HLL operator, applied to
+    * frequency. The output joins the sketch estimate against the exact
+    * count and pins the DataSketches error contract as a boolean the
+    * oracle sets TRUE (same tolerance-oracle pattern as
+    * q_agg_quantile_sketch): with maxItemsTracked = 65536 the guarantee
+    * |est − exact| ≤ 3.5·N/65536 holds for every reported item.
+    *
+    * At 100 TB: each executor folds its partition into a bounded
+    * (≤ maxItemsTracked entries) sketch map-side; only sketches cross
+    * the wire, never per-item counts — heavy-hitter extraction with
+    * O(1) shuffle per partition. The exact-count join exists for the
+    * oracle gate; a production run reads the estimates alone.
+    */
+  val qAggHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        threeGrams(text).map(g => (id, lang, g)) }
+      .toDF("doc_id", "lang", "gram")
+    val n = grams.count()
+    val eps = 3.5 * n / 65536.0
+    // partial per-language sketches -> one combined global sketch
+    // read the sketch's full tracked list (bounded by maxItemsTracked,
+    // not by data size), not its top-20: the top-k cut inside the
+    // sketch breaks count ties arbitrarily, while the exact side's
+    // (count DESC, gram) order is total — joining per-item keeps the
+    // bound check deterministic at tie boundaries
+    val est = grams
+      .groupBy("lang")
+      .agg(expr("approx_top_k_accumulate(gram, 65536)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 65536), 65536)")
+             .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("gram"), col("t.count").as("n_est"))
+    // exact side: TakeOrderedAndProject over the vocab-sized count table
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("gram")).limit(20)
+    exact.join(est, Seq("gram"), "left")
+      .select(col("gram"), col("n_exact"),
+              (col("n_est").isNotNull &&
+               abs(col("n_est") - col("n_exact")) <= eps).as("within_bound"))
+      .orderBy(col("n_exact").desc, col("gram"))
+  }
+
+  /** Oracle: the exact top-20 with the error contract asserted TRUE —
+    * the sketch side has no SQL replay (DataSketches internal state);
+    * what is hash-compared is the exact ranking plus the bound holding.
+    */
+  val qAggHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) <= 2 THEN array_to_string(ts, ' ')
+      |         ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), exact AS (
+      |  SELECT gram, COUNT(*) AS n_exact,
+      |         row_number() OVER (ORDER BY COUNT(*) DESC, gram) AS rk
+      |  FROM grams GROUP BY gram
+      |)
+      |SELECT gram, n_exact, TRUE AS within_bound
+      |FROM exact WHERE rk <= 20
+      |ORDER BY n_exact DESC, gram""".stripMargin
+
   val entries: Map[String, Q] = Map(
-    "q_join_setsim"     -> qJoinSetsim,
-    "q_cluster_kmeans"  -> qClusterKmeans,
-    "q_sample_weighted" -> qSampleWeighted
+    "q_join_setsim"            -> qJoinSetsim,
+    "q_cluster_kmeans"         -> qClusterKmeans,
+    "q_sample_weighted"        -> qSampleWeighted,
+    "q_text_dedup_substrings"  -> qTextDedupSubstrings,
+    "q_agg_heavy_hitters"      -> qAggHeavyHitters
   )
 
   val oracles: Map[String, String] = Map(
-    "q_join_setsim"     -> qJoinSetsimSql,
-    "q_cluster_kmeans"  -> qClusterKmeansSql,
-    "q_sample_weighted" -> qSampleWeightedSql
+    "q_join_setsim"            -> qJoinSetsimSql,
+    "q_cluster_kmeans"         -> qClusterKmeansSql,
+    "q_sample_weighted"        -> qSampleWeightedSql,
+    "q_text_dedup_substrings"  -> qTextDedupSubstringsSql,
+    "q_agg_heavy_hitters"      -> qAggHeavyHittersSql
   )
 }

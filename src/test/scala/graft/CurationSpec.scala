@@ -103,6 +103,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("q_text_dedup_substrings flags both sides of every near-dup pair") {
+    val flagged = Curation.qTextDedupSubstrings(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    assert(flagged.nonEmpty)
+    assert(flagged.values.forall(r => r > 0.0 && r <= 1.0))
+    // a tau=0.5 3-gram near-dup pair shares long verbatim runs, so both
+    // docs must carry duplicated 10-token windows
+    val pairs = Curation.qJoinSetsim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(flagged.contains(a) && flagged.contains(b),
+        s"near-dup pair ($a,$b) must surface in the substring screen")
+    }
+  }
+
+  test("q_agg_heavy_hitters: sketch estimate within the DataSketches bound for all 20") {
+    val rows = Curation.qAggHeavyHitters(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")),
+      "every exact heavy hitter must be tracked within 3.5*N/65536")
+    val counts = rows.map(_.getAs[Long]("n_exact"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "output must be ranked by exact count")
+  }
+
   test("q_sample_weighted prefers heavy documents") {
     val sel = Curation.qSampleWeighted(spark, sf)
       .agg(avg("n_chars")).head.getDouble(0)
