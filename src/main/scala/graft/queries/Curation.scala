@@ -370,8 +370,9 @@ object Curation {
     * frequency. The output joins the sketch estimate against the exact
     * count and pins the DataSketches error contract as a boolean the
     * oracle sets TRUE (same tolerance-oracle pattern as
-    * q_agg_quantile_sketch): with maxItemsTracked = 65536 the guarantee
-    * |est − exact| ≤ 3.5·N/65536 holds for every reported item.
+    * q_agg_quantile_sketch): with maxItemsTracked = 65536, a tracked
+    * item's estimate is within ε·N = 3.5·N/65536 of truth, and an item
+    * may be untracked only while its true count is ≤ ε·N.
     *
     * At 100 TB: each executor folds its partition into a bounded
     * (≤ maxItemsTracked entries) sketch map-side; only sketches cross
@@ -405,10 +406,17 @@ object Curation {
     // exact side: TakeOrderedAndProject over the vocab-sized count table
     val exact = grams.groupBy("gram").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("gram")).limit(20)
+    // the full DataSketches contract, which is also exactly what is
+    // provable: a TRACKED item's estimate is within eps*N of truth; an
+    // item may legally be UNTRACKED only while its true count is itself
+    // <= eps*N (sf1's flat caesar-shifted replica vocabulary exercises
+    // that branch: every count sits far below eps*N and nothing need be
+    // tracked)
     exact.join(est, Seq("gram"), "left")
       .select(col("gram"), col("n_exact"),
-              (col("n_est").isNotNull &&
-               abs(col("n_est") - col("n_exact")) <= eps).as("within_bound"))
+              when(col("n_est").isNull, col("n_exact") <= eps)
+                .otherwise(abs(col("n_est") - col("n_exact")) <= eps)
+                .as("within_bound"))
       .orderBy(col("n_exact").desc, col("gram"))
   }
 

@@ -123,7 +123,8 @@ class CurationSpec extends AnyFunSuite {
     val rows = Curation.qAggHeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
     assert(rows.forall(_.getAs[Boolean]("within_bound")),
-      "every exact heavy hitter must be tracked within 3.5*N/65536")
+      "every heavy hitter must satisfy the DataSketches error contract " +
+        "(tracked within 3.5*N/65536, or untracked with count <= that)")
     val counts = rows.map(_.getAs[Long]("n_exact"))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
       "output must be ranked by exact count")
