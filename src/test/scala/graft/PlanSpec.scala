@@ -435,6 +435,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "per-doc prefix ranking must be a window")
   }
 
+  test("q_text_dedup_substrings: window df and doc rollup are the only shuffles") {
+    val p = plan("q_text_dedup_substrings")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+           "gram-frequency join must not add a third shuffle path at test scale")
+    assert(!p.contains("CartesianProduct"))
+    // both aggregations must combine map-side (partial HashAggregate)
+    assert("partial_count".r.findAllIn(p).size >= 2,
+           "df count and per-doc rollup must both have map-side partials")
+  }
+
+  test("q_agg_heavy_hitters: sketches build as partial aggregates, exact side is TakeOrdered") {
+    val p = plan("q_agg_heavy_hitters")
+    assert(p.contains("partial_approx_top_k_accumulate"),
+           "per-language sketches must fold map-side — only sketches cross the wire")
+    assert(p.contains("TakeOrderedAndProject"),
+           "the exact top-20 must be a distributed top-k, not a global sort")
+  }
+
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
     // documented tiny-side broadcast crossJoins (constant-size builds:
     // a single query vector, the 16-row centroid table, a 1-row count)
