@@ -548,7 +548,73 @@ object Windows {
       |SELECT 3, 'purchase_after_click', COUNT(*) FROM s3
       |ORDER BY stage_no""".stripMargin
 
+  /** Last-touch marketing attribution — for every purchase, find the
+    * same user's most recent click and attribute the purchase (and its
+    * value) to it iff the click happened within the preceding 24 h.
+    * Per user: purchases, attributed purchases, attributed value. The
+    * conversion-credit computation funnels/cohorts stop short of.
+    *
+    * Shape: ONE user_id exchange carries everything — the
+    * last-click-so-far column is a running `last(..., ignoreNulls)`
+    * over (ts, event_id) [the streaming-LOCF pattern of q_win_locf,
+    * here across event types], the 24 h test is exact integer
+    * microsecond arithmetic (`unix_micros`, no double seconds), and
+    * the per-user rollup shares the window's partitioning so no second
+    * shuffle exists. An as-of join (purchases asof clicks) computes the
+    * same thing with two shuffles; the single-exchange window form wins
+    * whenever both event streams live in one table.
+    */
+  val qAttribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+             ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+        unix_micros(col("ts")) - col("last_click_us") <= lit(86400000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+           sum(when(col("attributed"), col("value")).otherwise(0.0)
+                 .cast(DecimalType(18, 2))).cast("double")
+             .as("attributed_value"))
+      .orderBy("user_id")
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         value
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), wc AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    last_value(CASE WHEN event_type = 'click'
+      |                    THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_click_us
+      |  FROM ev
+      |), p AS (
+      |  SELECT user_id, value,
+      |    last_click_us IS NOT NULL
+      |      AND epoch_us(ts) - last_click_us <= 86400000000 AS attributed
+      |  FROM wc WHERE event_type = 'purchase'
+      |)
+      |SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_attributed,
+      |  CAST(SUM(CAST(CASE WHEN attributed THEN value ELSE 0.0 END
+      |                AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_attribution"     -> qAttribution,
     "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
     "q_win_running"     -> qWinRunning,
@@ -565,6 +631,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution"     -> qAttributionSql,
     "q_win_dist"        -> qWinDistSql,
     "q_win_rank"        -> qWinRankSql,
     "q_win_running"     -> qWinRunningSql,

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Windows
+
+/** q_attribution (last-touch, 24 h): the DuckDB oracle hash-checks the
+  * full result per driver run; this spec re-derives the attribution
+  * independently in plain Scala from the raw events (no windows, no
+  * SQL) and compares row-for-row at sf0.001.
+  */
+class AttributionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_attribution matches a plain-Scala last-touch re-derivation") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getTimestamp(3).getTime * 1000L +
+                   (r.getTimestamp(3).getNanos / 1000) % 1000,
+                 r.getDouble(4)))
+    val expected = ev.groupBy(_._1).map { case (user, rows) =>
+      val ordered = rows.toSeq
+        .filter(r => r._3 == "click" || r._3 == "purchase")
+        .sortBy(r => (r._4, r._2))
+      var lastClick = Option.empty[Long]
+      var nP = 0L; var nA = 0L; var sumA = BigDecimal(0)
+      ordered.foreach { case (_, _, tpe, us, v) =>
+        if (tpe == "click") lastClick = Some(us)
+        else {
+          nP += 1
+          if (lastClick.exists(c => us - c <= 86400000000L)) {
+            nA += 1
+            sumA += BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+      }
+      user -> ((nP, nA, sumA.toDouble))
+    }
+    val got = Windows.qAttribution(spark, sf).collect().map { r =>
+      r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"),
+          r.getAs[Double]("attributed_value")))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (np, na, sv)) =>
+      val (gp, ga, gv) = got(u)
+      assert(gp == np && ga == na, s"user $u counts: got ($gp,$ga) want ($np,$na)")
+      assert(math.abs(gv - sv) < 1e-9, s"user $u value: got $gv want $sv")
+    }
+    // non-vacuity: some purchases attribute, some don't
+    val (tp, ta) = expected.values.foldLeft((0L, 0L)) {
+      case ((p, a), (np, na, _)) => (p + np, a + na) }
+    assert(ta > 0 && ta < tp)
+  }
+}
