@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Extensions, Funcs, Headline,
-  LlmOps, Multimodal, Relational, Skew, StreamingQ, Windows}
+  Insights, LlmOps, Multimodal, Relational, Skew, StreamingQ, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
     Relational.entries ++ Windows.entries ++ Funcs.entries ++
       LlmOps.entries ++ StreamingQ.entries ++ Multimodal.entries ++
       Extensions.entries ++ Headline.entries ++ Skew.entries ++
-      Analytics.entries ++ Curation.entries
+      Analytics.entries ++ Curation.entries ++ Insights.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +35,5 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
       LlmOps.oracles ++ StreamingQ.oracles ++ Multimodal.oracles ++
       Extensions.oracles ++ Headline.oracles ++ Skew.oracles ++
-      Analytics.oracles ++ Curation.oracles
+      Analytics.oracles ++ Curation.oracles ++ Insights.oracles
 }

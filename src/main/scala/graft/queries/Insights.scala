@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Time-series / experimentation / data-quality analytics wave:
+  * EWMA smoothing, islands-and-gaps outage detection, Welch's t-test
+  * A/B readout, PSI distribution-drift screens, and two-level mergeable
+  * re-aggregation (the daily→monthly rollup-reuse pattern).
+  *
+  * Reference analog: the reference delegates every analytical query to
+  * Athena over its parquet lake (README.md:2); these are the
+  * monitoring/experimentation queries such a lake serves, re-expressed
+  * Spark-first. Cross-engine exactness is engineered per query: EWMA
+  * uses dyadic weights (exact in binary FP at every step), the t-test
+  * and re-aggregation derive from decimal-exact moments, and PSI sums
+  * per-bucket terms in DECIMAL after rounding so the one `ln` call is
+  * the only FP-library touchpoint (≤1 ulp, far below the 1e-6 gate).
+  */
+object Insights {
+
+  /** Daily event counts per type — the shared spine of the series ops.
+    * One hash aggregation (map-side combining), shuffle on the tiny
+    * (event_type, day) key space; at 100 TB this is the standard
+    * firehose→series rollup and everything downstream touches only the
+    * aggregated series (|types| × |days| rows).
+    */
+  private def dailyCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  private val dailyCountsSql =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** EWMA smoothing over the daily series — alpha = 1/2, 8-term window.
+    *
+    * Exactness: the weights 2^-k are dyadic rationals, counts are
+    * integers, so every product and partial sum is EXACTLY representable
+    * in an IEEE double (numerator < 2^53, denominator 2^7) — addition
+    * order cannot matter and both engines hit the same final division.
+    * No `pow` at runtime: the weights are literals.
+    *
+    * Scale: the heavy stage is the daily rollup above; the EWMA itself
+    * is one window over the aggregated series (8 lags computed in a
+    * single WindowExec pass per partition key) — negligible at any SF.
+    */
+  val qWinEwma: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wts = (0 to 7).map(k => math.pow(0.5, k)) // dyadic literals
+    val lags = (0 to 7).map { k =>
+      if (k == 0) col("n") else lag(col("n"), k).over(w)
+    }
+    val num = lags.zip(wts).map { case (l, wt) =>
+      coalesce(l.cast("double"), lit(0.0)) * lit(wt)
+    }.reduce(_ + _)
+    val den = lags.zip(wts).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    dailyCounts(s, d)
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n"), col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val qWinEwmaSql: String = {
+    val lagDefs = (1 to 7)
+      .map(k => s"lag(n, $k) OVER w AS n$k").mkString(",\n      |    ")
+    val wts = (0 to 7).map(k => s"${math.pow(0.5, k)}")
+    val num = (0 to 7).map { k =>
+      val src = if (k == 0) "n" else s"coalesce(n$k, 0)"
+      s"CAST($src AS DOUBLE) * ${wts(k)}"
+    }.mkString(" + ")
+    val den = (0 to 7).map { k =>
+      if (k == 0) wts(k)
+      else s"CASE WHEN n$k IS NULL THEN 0.0 ELSE ${wts(k)} END"
+    }.mkString(" + ")
+    s"""WITH daily AS ($dailyCountsSql),
+       |l AS (
+       |  SELECT event_type, day, n,
+       |    $lagDefs
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+       |  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+       |FROM l ORDER BY event_type, day""".stripMargin
+  }
+
+  /** Islands-and-gaps outage detection — the monitoring question "which
+    * days did ingestion miss, per stream?". A deterministic synthetic
+    * outage (drop days with epoch-day % 9 ∈ {4,5}) is applied to the
+    * daily series, then ONE window (lag) per event_type finds every gap
+    * and its width — no calendar-spine explode, no generate_series: at
+    * 100 TB the spine join would materialize |types|×|days| rows while
+    * the lag formulation touches only the observed series.
+    */
+  val qTimeGaps: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    dailyCounts(s, d)
+      .withColumn("dayidx", expr("datediff(day, DATE '1970-01-01')"))
+      .where(!(col("dayidx") % 9).isin(4, 5)) // simulated outage days
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_idx", lag(col("dayidx"), 1).over(w))
+      .where(col("prev_idx").isNotNull &&
+        col("dayidx") - col("prev_idx") > 1)
+      .select(col("event_type"),
+        col("prev_day").cast("timestamp").as("gap_after"),
+        col("day").cast("timestamp").as("resume_day"),
+        (col("dayidx") - col("prev_idx") - 1).cast("long")
+          .as("missing_days"))
+      .orderBy("event_type", "gap_after")
+  }
+
+  val qTimeGapsSql: String =
+    s"""WITH daily AS ($dailyCountsSql),
+       |idx AS (
+       |  SELECT event_type, day,
+       |    date_diff('day', DATE '1970-01-01', day) AS dayidx
+       |  FROM daily
+       |  WHERE (date_diff('day', DATE '1970-01-01', day) % 9) NOT IN (4, 5)),
+       |g AS (
+       |  SELECT event_type, day, dayidx,
+       |    lag(day) OVER w AS prev_day,
+       |    lag(dayidx) OVER w AS prev_idx
+       |  FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type,
+       |  CAST(prev_day AS TIMESTAMP) AS gap_after,
+       |  CAST(day AS TIMESTAMP) AS resume_day,
+       |  CAST(dayidx - prev_idx - 1 AS BIGINT) AS missing_days
+       |FROM g WHERE prev_idx IS NOT NULL AND dayidx - prev_idx > 1
+       |ORDER BY event_type, gap_after""".stripMargin
+
+  /** Welch's unequal-variance t-test per event_type — the A/B-test
+    * readout (arm = user_id parity). The moments (n, Σx, Σx²) are
+    * DECIMAL-exact: value is cast to DECIMAL(18,2) once, the square is
+    * exact decimal multiplication, and the sums are mergeable decimal
+    * aggregates — so both engines feed IDENTICAL doubles into the
+    * identical t/df expression tree (same operation order spelled out
+    * on both sides) and every IEEE step matches bit-for-bit.
+    *
+    * Scale: one pass over events with conditional map-side-combining
+    * aggregates — no join, no second scan; the t-statistic math runs on
+    * |event_type| rows.
+    */
+  val qStatsAb: Q = (s, d) => {
+    val dv = col("value").cast(DecimalType(18, 2))
+    val isA = col("user_id") % 2 === 0
+    val m = Tables.events(s, d).groupBy("event_type").agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isA, dv)).as("s_a"),
+      sum(when(!isA, dv)).as("s_b"),
+      sum(when(isA, dv * dv)).as("ss_a"),
+      sum(when(!isA, dv * dv)).as("ss_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sa = col("s_a").cast("double")
+    val sb = col("s_b").cast("double")
+    val ssa = col("ss_a").cast("double")
+    val ssb = col("ss_b").cast("double")
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 4).as("t_stat"), round(df, 1).as("df"),
+      (abs(t) > lit(1.96)).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val qStatsAbSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |             THEN CAST(value AS DECIMAL(18,2)) END) AS s_a,
+      |    sum(CASE WHEN user_id % 2 <> 0
+      |             THEN CAST(value AS DECIMAL(18,2)) END) AS s_b,
+      |    sum(CASE WHEN user_id % 2 = 0
+      |             THEN CAST(value AS DECIMAL(18,2)) *
+      |                  CAST(value AS DECIMAL(18,2)) END) AS ss_a,
+      |    sum(CASE WHEN user_id % 2 <> 0
+      |             THEN CAST(value AS DECIMAL(18,2)) *
+      |                  CAST(value AS DECIMAL(18,2)) END) AS ss_b
+      |  FROM events GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+      |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+      |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
+      |  FROM m),
+      |y AS (
+      |  SELECT event_type, n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+      |    ((ssa - sa * sa / na) / (na - 1.0)) / na AS sea,
+      |    ((ssb - sb * sb / nb) / (nb - 1.0)) / nb AS seb
+      |  FROM x)
+      |SELECT event_type, n_a, n_b,
+      |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+      |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+      |  round((sea + seb) * (sea + seb) /
+      |        (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 1) AS df,
+      |  abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS significant
+      |FROM y ORDER BY event_type""".stripMargin
+
+  /** PSI (population stability index) distribution-drift screen: split
+    * events at the midpoint of the time range, bucket `value` into 10
+    * fixed-width bins over the global range, Laplace-smooth the two
+    * histograms, PSI = Σ (p−q)·ln(p/q) per event_type.
+    *
+    * Exactness: the split point and bin edges derive from global
+    * min/max (one tiny broadcast aggregate — integers in micros for
+    * time, identical doubles for value), bucket assignment is one
+    * identical floor per row, and the final PSI sums per-bucket terms
+    * AFTER rounding to DECIMAL(18,6) so the cross-bucket sum is exact
+    * and order-free. The single `ln` is the only libm call — its ≤1 ulp
+    * engine difference is ~13 orders of magnitude below the 1e-6 gate.
+    *
+    * Scale: two scans collapse to one (conditional aggregation on
+    * (event_type, bucket)); the broadcast stats row never shuffles the
+    * fact table; PSI math runs on ≤ |types|×10 rows.
+    */
+  val qDqDrift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val rng = ev.agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"),
+      min(col("value")).as("v0"),
+      max(col("value")).as("v1"))
+    val e = ev.crossJoin(broadcast(rng))
+      .withColumn("early",
+        unix_micros(col("ts")) * lit(2L) < col("t0") + col("t1"))
+      .withColumn("bucket",
+        least(floor((col("value") - col("v0")) /
+          ((col("v1") - col("v0")) / lit(10.0))), lit(9L)).cast("long"))
+    val hist = e.groupBy("event_type", "bucket").agg(
+      sum(when(col("early"), 1L).otherwise(0L)).as("c0"),
+      sum(when(!col("early"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy("event_type")
+    val p = (col("c0").cast("double") + lit(1.0)) /
+      (sum(col("c0")).over(w).cast("double") + lit(10.0))
+    val q = (col("c1").cast("double") + lit(1.0)) /
+      (sum(col("c1")).over(w).cast("double") + lit(10.0))
+    hist
+      .withColumn("term",
+        round((p - q) * log(p / q), 6).cast(DecimalType(18, 6)))
+      .withColumn("n0", sum(col("c0")).over(w))
+      .withColumn("n1", sum(col("c1")).over(w))
+      .groupBy("event_type")
+      .agg(first(col("n0")).as("n_early"), first(col("n1")).as("n_late"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("term")).cast("double").as("psi"))
+      .withColumn("drift", col("psi") > lit(0.1))
+      .orderBy("event_type")
+  }
+
+  val qDqDriftSql: String =
+    """WITH rng AS (
+      |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1,
+      |         min(value) AS v0, max(value) AS v1
+      |  FROM events),
+      |e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) * 2 < t0 + t1 AS early,
+      |    CAST(least(floor((value - v0) /
+      |      ((v1 - v0) / CAST(10.0 AS DOUBLE))), 9) AS BIGINT) AS bucket
+      |  FROM events, rng),
+      |hist AS (
+      |  SELECT event_type, bucket,
+      |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, bucket, c0, c1,
+      |    sum(c0) OVER w AS n0, sum(c1) OVER w AS n1,
+      |    (CAST(c0 AS DOUBLE) + 1.0) /
+      |      (CAST(sum(c0) OVER w AS DOUBLE) + 10.0) AS p,
+      |    (CAST(c1 AS DOUBLE) + 1.0) /
+      |      (CAST(sum(c1) OVER w AS DOUBLE) + 10.0) AS q
+      |  FROM hist WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type,
+      |  CAST(any_value(n0) AS BIGINT) AS n_early,
+      |  CAST(any_value(n1) AS BIGINT) AS n_late,
+      |  count(*) AS n_buckets,
+      |  CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)))
+      |       AS DOUBLE) AS psi,
+      |  CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)))
+      |       AS DOUBLE) > 0.1 AS drift
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Two-level mergeable re-aggregation — the rollup-reuse pattern: a
+    * daily partial layer (count / exact-decimal sum / min / max per
+    * (priority, day)) re-aggregated to months WITHOUT touching raw rows
+    * again. The oracle computes months directly from raw orders, so the
+    * gate proves the partial layer loses nothing: counts add, decimal
+    * sums add exactly, min/max compose, and avg derives from the merged
+    * sum/count. At 100 TB this is why rollup tables work at all —
+    * day→month→year re-aggregates over data smaller by the daily
+    * compression ratio, and every aggregate here is partial-mergeable
+    * by construction (no avg/median stored, only its numerator and
+    * denominator).
+    */
+  val qAggReagg: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    daily
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("day")).as("month"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("s")).cast("double").as("sum_price"),
+        min(col("mn")).as("min_price"),
+        max(col("mx")).as("max_price"))
+      .withColumn("avg_price", round(col("sum_price") / col("n"), 6))
+      .orderBy("o_orderpriority", "month")
+  }
+
+  val qAggReaggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |        count(*), 6) AS avg_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_win_ewma"   -> qWinEwma,
+    "q_time_gaps"  -> qTimeGaps,
+    "q_stats_ab"   -> qStatsAb,
+    "q_dq_drift"   -> qDqDrift,
+    "q_agg_reagg"  -> qAggReagg
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_win_ewma"   -> qWinEwmaSql,
+    "q_time_gaps"  -> qTimeGapsSql,
+    "q_stats_ab"   -> qStatsAbSql,
+    "q_dq_drift"   -> qDqDriftSql,
+    "q_agg_reagg"  -> qAggReaggSql
+  )
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Insights
+
+/** Insights wave: EWMA smoothing, islands-and-gaps outage detection,
+  * Welch A/B t-test, PSI drift, two-level mergeable re-aggregation.
+  * The DuckDB oracle hash-compares all five per driver run; these specs
+  * assert the semantic identities the hash can't express (the EWMA
+  * recurrence, the gap⊆outage containment, moment identities, PSI
+  * non-negativity, partial-merge losslessness) plus the plan shapes.
+  */
+class InsightsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_win_ewma: first rows of each series obey the closed form") {
+    val rows = Insights.qWinEwma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      // row 0: only the k=0 term -> ewma == n exactly
+      val r0 = sorted.head
+      assert(r0.getAs[Double]("ewma") == r0.getAs[Long]("n").toDouble)
+      // row 1: (n1 + 0.5*n0) / 1.5 — dyadic arithmetic, exact to 6dp
+      if (sorted.length > 1) {
+        val n0 = sorted(0).getAs[Long]("n").toDouble
+        val n1 = sorted(1).getAs[Long]("n").toDouble
+        val expect = BigDecimal((n1 + 0.5 * n0) / 1.5)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(sorted(1).getAs[Double]("ewma") - expect) < 1e-9)
+      }
+    }
+  }
+
+  test("q_win_ewma: smoother than the raw series (variance shrinks)") {
+    val rows = Insights.qWinEwma(spark, sf).collect()
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val raw = rs.map(_.getAs[Long]("n").toDouble).toSeq
+      val sm = rs.map(_.getAs[Double]("ewma")).toSeq
+      assert(variance(sm) <= variance(raw) + 1e-9,
+        s"EWMA must not amplify variance for $t")
+    }
+  }
+
+  test("q_time_gaps: every gap spans exactly the simulated outage days") {
+    val rows = Insights.qTimeGaps(spark, sf).collect()
+    assert(rows.nonEmpty, "the synthetic outage must produce gaps")
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    rows.foreach { r =>
+      val after = r.getAs[java.sql.Timestamp]("gap_after")
+        .toLocalDateTime.toLocalDate
+      val resume = r.getAs[java.sql.Timestamp]("resume_day")
+        .toLocalDateTime.toLocalDate
+      val missing = r.getAs[Long]("missing_days")
+      assert(java.time.temporal.ChronoUnit.DAYS.between(after, resume) ==
+        missing + 1)
+      // surviving endpoints are never outage days; every interior
+      // missing day either is an outage day or had no raw events
+      Seq(after, resume).foreach { dy =>
+        val idx = java.time.temporal.ChronoUnit.DAYS.between(epoch, dy)
+        assert(!(Set(4L, 5L) contains (idx % 9)),
+          s"endpoint $dy (idx%9=${idx % 9}) should have been dropped")
+      }
+    }
+    // at sf0.001 the daily series is dense, so gaps are exactly the
+    // outage runs: missing_days in {1,2}
+    assert(rows.forall(r => r.getAs[Long]("missing_days") <= 2))
+    assert(rows.exists(r => r.getAs[Long]("missing_days") == 2L),
+      "the %9 in (4,5) rule yields two-day outages on a dense series")
+  }
+
+  test("q_stats_ab: arms partition events; means match a direct recompute") {
+    val out = Insights.qStatsAb(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+      == total)
+    // direct recompute of one arm mean for one event_type
+    val t0 = out.head.getAs[String]("event_type")
+    val direct = Tables.events(spark, sf)
+      .where(col("event_type") === t0 && col("user_id") % 2 === 0)
+      .agg(avg(col("value").cast("decimal(18,2)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(out.head.getAs[Double]("mean_a") - direct) < 1e-4)
+    // Welch df must sit between min(n)-1 and n_a+n_b-2
+    out.foreach { r =>
+      val df = r.getAs[Double]("df")
+      val lo = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) - 1.0
+      val hi = r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - 2.0
+      assert(df >= lo - 0.1 && df <= hi + 0.1, s"df=$df outside [$lo,$hi]")
+    }
+  }
+
+  test("q_dq_drift: PSI is non-negative and halves partition the stream") {
+    val out = Insights.qDqDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(r =>
+      r.getAs[Long]("n_early") + r.getAs[Long]("n_late")).sum == total)
+    out.foreach { r =>
+      // each PSI term (p-q)ln(p/q) >= 0; per-term 6dp rounding can only
+      // shave < 5e-7 per bucket
+      assert(r.getAs[Double]("psi") >= -1e-5)
+      assert(r.getAs[Long]("n_buckets") <= 10)
+    }
+    // uniform synthetic halves should NOT drift (the screen's null case)
+    assert(out.count(_.getAs[Boolean]("drift")) <= out.length / 2,
+      "stationary synthetic data must mostly pass the drift screen")
+  }
+
+  test("q_agg_reagg: month level from daily partials equals direct") {
+    val reagg = Insights.qAggReagg(spark, sf).collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("avg_price", round(col("sum_price") / col("n"), 6))
+      .orderBy("o_orderpriority", "month")
+      .collect()
+    assert(reagg.toSeq == direct.toSeq,
+      "re-aggregating daily partials must lose nothing vs raw")
+  }
+
+  test("plan shapes: one scan for the t-test, broadcast stats for drift," +
+      " two-level agg for reagg, no cartesians anywhere") {
+    val ab = plan("q_stats_ab")
+    // formatted mode prints each node twice (tree line + detail section)
+    assert("Scan parquet".r.findAllIn(ab).size <= 2,
+      "q_stats_ab must compute all six moments in ONE events scan")
+    assert(!ab.contains("CartesianProduct"))
+
+    val drift = plan("q_dq_drift")
+    assert(drift.contains("BroadcastExchange"),
+      "the global stats row must broadcast, never shuffle the stream")
+    assert(!drift.contains("CartesianProduct"))
+
+    val reagg = plan("q_agg_reagg")
+    assert("HashAggregate".r.findAllIn(reagg).size >= 4,
+      "daily partial layer + monthly merge layer (each partial+final)")
+    assert(!reagg.contains("CartesianProduct"))
+
+    val ewma = plan("q_win_ewma")
+    // all 8 lags must ride ONE window pass
+    assert("\\bWindow\\b".r.findAllIn(ewma).size <= 2, // formatted prints node + detail
+      "the 8 lag terms must share a single WindowExec")
+    assert(!ewma.contains("CartesianProduct"))
+
+    val gaps = plan("q_time_gaps")
+    assert(!gaps.contains("Generate"),
+      "gap detection must be the lag formulation, not a spine explode")
+  }
+}
