@@ -341,12 +341,133 @@ object Insights {
       |        count(*), 6) AS avg_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Point-in-time (PIT) lookup against an SCD Type-2 dimension — the
+    * query pattern that motivates SCD2 in the first place: for every
+    * purchase, which activity-state version was the user in AT THAT
+    * MOMENT? The dimension is the q_scd2 fold over the non-purchase
+    * stream (same single-user_id-exchange shape); the lookup is an
+    * equi-join on user_id with the `[valid_from, valid_to)` interval as
+    * a residual predicate — Spark plans a sort-merge join keyed on
+    * user_id, so at 100 TB both sides shuffle once on the dimension key
+    * and the interval check never degenerates into a range-only join.
+    * Half-open intervals make boundary hits deterministic (a fact at
+    * exactly `valid_to` belongs to the NEXT version) in both engines.
+    */
+  val qJoinPit: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val byTs = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byVersion = Window.partitionBy("du").orderBy(col("version").asc)
+    val dim = ev.where(col("event_type") =!= "purchase")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byTs.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id").as("du"), col("version"),
+        col("event_type").as("state"))
+      .agg(min(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim,
+        col("user_id") === col("du") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("state"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
+  val qJoinPitSql: String =
+    """WITH status AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type <> 'purchase'),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM status
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |versioned AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |dim AS (
+      |  SELECT user_id AS du, CAST(version AS BIGINT) AS version,
+      |    event_type AS state, MIN(ts) AS valid_from
+      |  FROM versioned GROUP BY 1, 2, 3),
+      |dim2 AS (
+      |  SELECT du, version, state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY du ORDER BY version)
+      |      AS valid_to
+      |  FROM dim)
+      |SELECT f.event_id, f.user_id, CAST(f.ts AS TIMESTAMP) AS ts,
+      |  d.version, d.state, d.valid_from
+      |FROM events f JOIN dim2 d
+      |  ON f.user_id = d.du
+      | AND CAST(f.ts AS TIMESTAMP) >= d.valid_from
+      | AND (d.valid_to IS NULL OR CAST(f.ts AS TIMESTAMP) < d.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.event_id""".stripMargin
+
+  /** Edit-distance near-dup verify — the precision stage of a dedup
+    * chain spelled with exact Levenshtein instead of Jaccard: block on
+    * (32-char prefix, length-bucket), score only the blocked candidate
+    * pairs with `levenshtein` over the 200-char head. Both engines run
+    * the identical classic DP, so distances hash-compare exactly.
+    *
+    * Scale: the blocking join is a pure equi-join (shuffle on the
+    * block key, never all-pairs); the O(len²) DP runs only on
+    * candidates, bounded by the 200-char truncation. At 100 TB the
+    * recall stage would be the MinHash/SimHash chain (q_dedup_near)
+    * feeding THIS as its verify — prefix blocking here keeps the op
+    * self-contained and deterministic for the oracle.
+    */
+  val qDedupEdit: Q = (s, d) => {
+    val b = Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(col("text"), 1, 32).as("pfx"),
+      expr("n_chars DIV 20").as("lb"),
+      substring(col("text"), 1, 200).as("t2"),
+      col("n_chars"))
+    val a = b.alias("a")
+    val c = b.alias("c")
+    a.join(c,
+        col("a.pfx") === col("c.pfx") && col("a.lb") === col("c.lb") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .where(levenshtein(col("a.t2"), col("c.t2")) <= 20)
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        levenshtein(col("a.t2"), col("c.t2")).cast("long").as("edit_dist"),
+        col("a.n_chars").as("n_chars_a"), col("c.n_chars").as("n_chars_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupEditSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS pfx, n_chars // 20 AS lb,
+      |    substr(text, 1, 200) AS t2, n_chars
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.t2, c.t2) AS BIGINT) AS edit_dist,
+      |  a.n_chars AS n_chars_a, c.n_chars AS n_chars_b
+      |FROM b a JOIN b c
+      |  ON a.pfx = c.pfx AND a.lb = c.lb AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.t2, c.t2) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
     "q_stats_ab"   -> qStatsAb,
     "q_dq_drift"   -> qDqDrift,
-    "q_agg_reagg"  -> qAggReagg
+    "q_agg_reagg"  -> qAggReagg,
+    "q_join_pit"   -> qJoinPit,
+    "q_dedup_edit" -> qDedupEdit
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +475,8 @@ object Insights {
     "q_time_gaps"  -> qTimeGapsSql,
     "q_stats_ab"   -> qStatsAbSql,
     "q_dq_drift"   -> qDqDriftSql,
-    "q_agg_reagg"  -> qAggReaggSql
+    "q_agg_reagg"  -> qAggReaggSql,
+    "q_join_pit"   -> qJoinPitSql,
+    "q_dedup_edit" -> qDedupEditSql
   )
 }

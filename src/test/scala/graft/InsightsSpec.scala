@@ -137,6 +137,53 @@ class InsightsSpec extends AnyFunSuite {
       "re-aggregating daily partials must lose nothing vs raw")
   }
 
+  test("q_join_pit: each purchase resolves to exactly the version " +
+      "active at its timestamp") {
+    val rows = Insights.qJoinPit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // at most one dim version per fact
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length ==
+      rows.length, "a purchase must never match two versions")
+    rows.foreach { r =>
+      assert(r.getAs[String]("state") != "purchase")
+      assert(!r.getAs[java.sql.Timestamp]("ts")
+        .before(r.getAs[java.sql.Timestamp]("valid_from")))
+    }
+    // coverage: every purchase with at least one earlier status event
+    // for the same user resolves
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+    val firstStatus = ev.where(col("event_type") =!= "purchase")
+      .groupBy("user_id").agg(min("ts").as("t0")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.sql.Timestamp]("t0")).toMap
+    val expect = purchases.count { p =>
+      firstStatus.get(p.getAs[Long]("user_id"))
+        .exists(t0 => !p.getAs[java.sql.Timestamp]("ts").before(t0))
+    }
+    assert(rows.length == expect,
+      s"PIT join must cover all resolvable purchases: ${rows.length} vs $expect")
+  }
+
+  test("q_dedup_edit: blocked pairs only, exact distances, dist-0 means " +
+      "identical heads") {
+    val rows = Insights.qDedupEdit(spark, sf).collect()
+    assert(rows.nonEmpty, "the corpus carries exact dups -> pairs exist")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("t2"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t2")).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      assert(a < b, "pairs must be canonical (doc_a < doc_b)")
+      val dist = r.getAs[Long]("edit_dist")
+      assert(dist <= 20)
+      if (dist == 0L) assert(docs(a) == docs(b))
+      else assert(docs(a) != docs(b))
+    }
+  }
+
   test("plan shapes: one scan for the t-test, broadcast stats for drift," +
       " two-level agg for reagg, no cartesians anywhere") {
     val ab = plan("q_stats_ab")
@@ -164,5 +211,18 @@ class InsightsSpec extends AnyFunSuite {
     val gaps = plan("q_time_gaps")
     assert(!gaps.contains("Generate"),
       "gap detection must be the lag formulation, not a spine explode")
+
+    val pit = plan("q_join_pit")
+    assert(pit.contains("SortMergeJoin") || pit.contains("ShuffledHashJoin")
+      || pit.contains("BroadcastHashJoin"),
+      "the PIT lookup must key on user_id, not scan intervals")
+    assert(!pit.contains("CartesianProduct") &&
+      !pit.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate must ride the user_id equi-join as residual")
+
+    val edit = plan("q_dedup_edit")
+    assert(!edit.contains("CartesianProduct") &&
+      !edit.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the blocking equi-join, never all-pairs")
   }
 }
