@@ -460,6 +460,119 @@ object Insights {
       |WHERE levenshtein(a.t2, c.t2) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Distinct users per SLIDING 7-day window (1-day slide) — the
+    * rolling-reach metric. Spark's `window(ts, 7d, 1d)` expands each
+    * event to its 7 overlapping windows (an Expand operator, the same
+    * expansion the oracle spells as a 0..6 spine join) and
+    * `countDistinct` plans as the two-level partial-distinct aggregate —
+    * so at 100 TB the expansion is map-side (×7 rows into the exchange,
+    * combiner-collapsed to distinct (window, type, user) partials) and
+    * no per-window user set ever materializes on one node.
+    */
+  val qAggWindowDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        window(col("ts"), "7 days", "1 day").getField("start").as("ws"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "ws")
+
+  val qAggWindowDistinctSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP),
+      |                TIMESTAMP '1970-01-01') AS db
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, user_id, db - to_days(CAST(k AS INTEGER)) AS ws
+      |  FROM e, UNNEST(generate_series(0, 6)) AS t(k))
+      |SELECT event_type, ws, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM x GROUP BY 1, 2 ORDER BY event_type, ws""".stripMargin
+
+  /** Incremental dedup of a NEW batch against a PERSISTED corpus index —
+    * the nightly-ingest pattern: yesterday's corpus (doc_id % 10 != 0)
+    * has its 2-gram inverted index and per-doc gram counts materialized
+    * ONCE to scratch parquet (`_SEEDED`-guarded, standing in for the
+    * warehouse's signature store); today's batch (doc_id % 10 == 0)
+    * computes grams for ITSELF ONLY, probes the stored index with one
+    * equi-join on the gram, and reports exact-Jaccard ≥ 0.5 matches.
+    * The oracle recomputes everything from `documents` directly, so the
+    * hash-pass proves the persisted index is equivalent to recompute.
+    *
+    * Scale: this is why incremental dedup is cheap — per night, gram
+    * extraction is O(batch), not O(corpus), and the probe join shuffles
+    * the batch's grams against a pre-bucketed index (at 100 TB the
+    * index side would be bucketed-at-rest on the gram hash and the
+    * exact gram stage replaced by the MinHash band index of
+    * q_dedup_near, with THIS op's exact-Jaccard as its verify stage).
+    */
+  val qDedupIncremental: Q = (s, d) => {
+    import s.implicits._
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          LlmOps.twoGrams(text).map(g => (id, g)) }
+        .toDF("doc_id", "gram")
+    val docs = Tables.documents(s, d)
+    val tmp = Relational.scratchDir("dedup_index", d)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, "_SEEDED"))) {
+      val ix = grams(docs.where(col("doc_id") % 10 =!= 0))
+      ix.write.mode("overwrite").parquet(s"$tmp/grams")
+      ix.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$tmp/sizes")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SEEDED"))
+    }
+    val batch = grams(docs.where(col("doc_id") % 10 === 0))
+    val inter = batch.alias("b")
+      .join(s.read.parquet(s"$tmp/grams").hint("shuffle_hash").alias("x"),
+        col("b.gram") === col("x.gram"))
+      .groupBy(col("b.doc_id").as("batch_doc"),
+        col("x.doc_id").as("index_doc"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(batch.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        .withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+      .join(s.read.parquet(s"$tmp/sizes")
+        .withColumnRenamed("doc_id", "index_doc")
+        .withColumnRenamed("n", "nb"), "index_doc")
+      .select(col("batch_doc"), col("index_doc"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("batch_doc", "index_doc")
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1)))
+      |    AS g(i)
+      |  WHERE len(ts) >= 1),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT b.doc_id AS batch_doc, x.doc_id AS index_doc,
+      |    COUNT(*) AS i
+      |  FROM grams b JOIN grams x ON b.gram = x.gram
+      |  WHERE b.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT batch_doc, index_doc,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = batch_doc
+      |JOIN sizes sb ON sb.doc_id = index_doc
+      |WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+      |ORDER BY batch_doc, index_doc""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
@@ -467,7 +580,9 @@ object Insights {
     "q_dq_drift"   -> qDqDrift,
     "q_agg_reagg"  -> qAggReagg,
     "q_join_pit"   -> qJoinPit,
-    "q_dedup_edit" -> qDedupEdit
+    "q_dedup_edit" -> qDedupEdit,
+    "q_agg_window_distinct" -> qAggWindowDistinct,
+    "q_dedup_incremental"   -> qDedupIncremental
   )
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +592,8 @@ object Insights {
     "q_dq_drift"   -> qDqDriftSql,
     "q_agg_reagg"  -> qAggReaggSql,
     "q_join_pit"   -> qJoinPitSql,
-    "q_dedup_edit" -> qDedupEditSql
+    "q_dedup_edit" -> qDedupEditSql,
+    "q_agg_window_distinct" -> qAggWindowDistinctSql,
+    "q_dedup_incremental"   -> qDedupIncrementalSql
   )
 }

@@ -184,6 +184,49 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_window_distinct: every event lands in exactly 7 sliding " +
+      "windows; spot window matches a direct recompute") {
+    val rows = Insights.qAggWindowDistinct(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 7 * total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
+    // spot check one interior window against a direct range filter
+    val mid = rows(rows.length / 2)
+    val ws = mid.getAs[java.sql.Timestamp]("ws")
+    val we = java.sql.Timestamp.from(ws.toInstant.plus(
+      java.time.Duration.ofDays(7)))
+    val direct = Tables.events(spark, sf)
+      .where(col("event_type") === mid.getAs[String]("event_type") &&
+        col("ts") >= lit(ws) && col("ts") < lit(we))
+      .select("user_id").distinct().count()
+    assert(mid.getAs[Long]("n_users") == direct)
+  }
+
+  test("q_dedup_incremental: persisted index equals recompute; " +
+      "idempotent across invocations") {
+    val rows = Insights.qDedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty, "cross-split near-dups exist at sf0.001")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch_doc"); val x = r.getAs[Long]("index_doc")
+      assert(b % 10 == 0 && x % 10 != 0)
+      // exact-Jaccard recompute from raw text, no index involved
+      val gb = graft.queries.LlmOps.twoGrams(texts(b)).toSet
+      val gx = graft.queries.LlmOps.twoGrams(texts(x)).toSet
+      val j = gb.intersect(gx).size.toDouble / gb.union(gx).size
+      val expect = BigDecimal(j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("jaccard") - expect) < 1e-9)
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+    // warm-index second run (seed-once must not rewrite) is identical
+    val again = Insights.qDedupIncremental(spark, sf).collect()
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("plan shapes: one scan for the t-test, broadcast stats for drift," +
       " two-level agg for reagg, no cartesians anywhere") {
     val ab = plan("q_stats_ab")
@@ -224,5 +267,15 @@ class InsightsSpec extends AnyFunSuite {
     assert(!edit.contains("CartesianProduct") &&
       !edit.contains("BroadcastNestedLoopJoin"),
       "candidate generation must be the blocking equi-join, never all-pairs")
+
+    val slide = plan("q_agg_window_distinct")
+    assert(slide.contains("Expand"),
+      "sliding windows must be the map-side Expand, not a spine join")
+    assert(!slide.contains("CartesianProduct"))
+
+    val incr = plan("q_dedup_incremental")
+    assert(!incr.contains("CartesianProduct") &&
+      !incr.contains("BroadcastNestedLoopJoin"),
+      "the index probe must be a gram equi-join")
   }
 }
