@@ -178,6 +178,44 @@ object StreamingQ {
       .orderBy("user_id", "session_start")
   }
 
+  /** TRUE streaming COUNT(DISTINCT) — two CHAINED stateful windowed
+    * aggregations (Spark 4's multiple-stateful-operator support, which
+    * older releases rejected outright): stage 1 collapses each
+    * (day-window, event_type, user) to one state row — the distinct —
+    * and stage 2 re-windows the finalized stage-1 output via
+    * `window_time` and counts survivors. Distinct aggregates are
+    * illegal on streams (unbounded per-window value sets); this
+    * two-phase chain is THE streaming-legal spelling, and its state is
+    * bounded: |users| rows live per open day, finalized and freed as
+    * the watermark passes. The week-batched replay of `events` plus a
+    * far-future sentinel (filtered from the result) drains every
+    * window; emitted counts hash-match DuckDB's batch
+    * count(DISTINCT) exactly.
+    */
+  val qStreamWindowDistinct: Q = (s, d) => {
+    val batches = eventWeekBatches(s, d)
+    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
+    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
+                      -1L, "wm_flush", 0.0)
+    runReplayStream(s, "graft_stream_windist", batches :+ Seq(sentinel)) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(window_time(col("w")), "1 day").as("w2"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+        .select(col("w2").getField("start").as("day"), col("event_type"),
+                col("n_users"), col("n_events"))
+    }.where(col("event_type") =!= "wm_flush")
+      .orderBy("day", "event_type")
+  }
+
+  val qStreamWindowDistinctSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val qStreamSessionSql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -1062,7 +1100,8 @@ object StreamingQ {
     "q_stream_join_outer" -> qStreamJoinOuter,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_mv"        -> qStreamMv,
-    "q_stream_state_inspect" -> qStreamStateInspect
+    "q_stream_state_inspect" -> qStreamStateInspect,
+    "q_stream_window_distinct" -> qStreamWindowDistinct
   )
 
   val oracles: Map[String, String] = Map(
@@ -1082,6 +1121,8 @@ object StreamingQ {
     "q_stream_stateful_ttl" -> qStreamStatefulTtlSql,
     "q_stream_mv" -> qStreamMvSql,
     // the state the stream left behind must BE the batch answer
-    "q_stream_state_inspect" -> qStreamStateInspectSql
+    "q_stream_state_inspect" -> qStreamStateInspectSql,
+    // chained stateful aggs drain to exactly the batch distinct
+    "q_stream_window_distinct" -> qStreamWindowDistinctSql
   )
 }

@@ -227,6 +227,22 @@ class InsightsSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("q_stream_window_distinct: chained stateful aggs drain to the " +
+      "batch distinct exactly") {
+    val streamed = graft.queries.StreamingQ
+      .entries("q_stream_window_distinct")(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day", "event_type")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "every finalized window must carry the exact distinct count")
+    streamed.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
+  }
+
   test("plan shapes: one scan for the t-test, broadcast stats for drift," +
       " two-level agg for reagg, no cartesians anywhere") {
     val ab = plan("q_stats_ab")

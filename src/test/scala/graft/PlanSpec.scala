@@ -458,7 +458,9 @@ class PlanSpec extends AnyFunSuite {
     // a single query vector, the 16-row centroid table, a 1-row count)
     // compile to BroadcastNestedLoopJoin — allowed there and only there
     val bnljAllowed = Set("q_sim_topk", "q_sim_ann_ivf", "q_sim_knn_join_ivf",
-                          "q_text_tfidf", "q_text_perplexity", "q_text_pmi")
+                          "q_text_tfidf", "q_text_perplexity", "q_text_pmi",
+                          // 1-row global min/max stats broadcast
+                          "q_dq_drift")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
