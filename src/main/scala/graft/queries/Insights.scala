@@ -573,6 +573,107 @@ object Insights {
       |WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
       |ORDER BY batch_doc, index_doc""".stripMargin
 
+  /** Rolling z-score anomaly screen over the daily series — each day is
+    * scored against the TRAILING 7-day window (current day excluded, so
+    * an anomaly can't suppress itself). All window inputs are integer
+    * sums (Σn, Σn², k), so both engines derive bit-identical doubles
+    * through the identical mean/var/z expression tree; `z` is NULL
+    * until 3 trailing days exist or when the trailing window is
+    * constant (var = 0). One window pass over the aggregated series —
+    * the firehose never re-shuffles.
+    */
+  val qDqAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val sN = sum(col("n")).over(w).cast("double")
+    val ssN = sum(col("n") * col("n")).over(w).cast("double")
+    val k = count(col("n")).over(w).cast("double")
+    val mean = sN / k
+    val vr = (ssN - sN * sN / k) / (k - lit(1.0))
+    val z = when(k >= 3 && vr > 0,
+      (col("n").cast("double") - mean) / sqrt(vr))
+    dailyCounts(s, d)
+      .withColumn("z", round(z, 4))
+      .withColumn("trailing_mean", round(mean, 4))
+      .withColumn("anomaly", coalesce(abs(col("z")) > 2.5, lit(false)))
+      .where(col("trailing_mean").isNotNull)
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n"), col("trailing_mean"), col("z"), col("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val qDqAnomalySql: String =
+    s"""WITH daily AS ($dailyCountsSql),
+       |r AS (
+       |  SELECT event_type, day, n,
+       |    CAST(sum(n) OVER w AS DOUBLE) AS s,
+       |    CAST(sum(n * n) OVER w AS DOUBLE) AS ss,
+       |    CAST(count(n) OVER w AS DOUBLE) AS k
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT event_type, day, n, s / k AS mean,
+       |    CASE WHEN k >= 3 AND (ss - s * s / k) / (k - 1.0) > 0
+       |         THEN (CAST(n AS DOUBLE) - s / k) /
+       |              sqrt((ss - s * s / k) / (k - 1.0))
+       |         END AS zv
+       |  FROM r WHERE k > 0)
+       |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+       |  round(mean, 4) AS trailing_mean, round(zv, 4) AS z,
+       |  coalesce(abs(round(zv, 4)) > 2.5, FALSE) AS anomaly
+       |FROM z ORDER BY event_type, day""".stripMargin
+
+  /** Resample-to-regular-grid with LOCF fill — the inverse companion of
+    * q_time_gaps: the same simulated outage punches holes in the daily
+    * series, a per-type calendar spine (`sequence` over the observed
+    * min..max day) restores the full grid, and `last(_, ignoreNulls)`
+    * forward-fills each hole from the last observed day, flagged
+    * `was_gap`. The spine here is DIMENSION-sized (|types| × |days|) so
+    * the explode is safe at any SF — the scale contrast with
+    * q_time_gaps' explode-free detection is deliberate and documented
+    * on both operators.
+    */
+  val qTimeResample: Q = (s, d) => {
+    val obs = dailyCounts(s, d)
+      .withColumn("dayidx", expr("datediff(day, DATE '1970-01-01')"))
+      .where(!(col("dayidx") % 9).isin(4, 5))
+    val spine = obs.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs.select(col("event_type"), col("day"), col("n")),
+        Seq("event_type", "day"), "left")
+      .withColumn("was_gap", col("n").isNull)
+      .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n_filled"), col("was_gap"))
+      .orderBy("event_type", "day")
+  }
+
+  val qTimeResampleSql: String =
+    s"""WITH daily AS ($dailyCountsSql),
+       |obs AS (
+       |  SELECT event_type, day, n FROM daily
+       |  WHERE (date_diff('day', DATE '1970-01-01', day) % 9) NOT IN (4, 5)),
+       |spine AS (
+       |  SELECT event_type,
+       |    CAST(unnest(generate_series(min(day), max(day),
+       |                                INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM obs GROUP BY event_type),
+       |j AS (
+       |  SELECT s.event_type, s.day, o.n, o.n IS NULL AS was_gap
+       |  FROM spine s LEFT JOIN obs o
+       |    ON o.event_type = s.event_type AND o.day = s.day)
+       |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       |  last_value(n IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+       |  was_gap
+       |FROM j ORDER BY event_type, day""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
@@ -582,7 +683,9 @@ object Insights {
     "q_join_pit"   -> qJoinPit,
     "q_dedup_edit" -> qDedupEdit,
     "q_agg_window_distinct" -> qAggWindowDistinct,
-    "q_dedup_incremental"   -> qDedupIncremental
+    "q_dedup_incremental"   -> qDedupIncremental,
+    "q_dq_anomaly"          -> qDqAnomaly,
+    "q_time_resample"       -> qTimeResample
   )
 
   val oracles: Map[String, String] = Map(
@@ -594,6 +697,8 @@ object Insights {
     "q_join_pit"   -> qJoinPitSql,
     "q_dedup_edit" -> qDedupEditSql,
     "q_agg_window_distinct" -> qAggWindowDistinctSql,
-    "q_dedup_incremental"   -> qDedupIncrementalSql
+    "q_dedup_incremental"   -> qDedupIncrementalSql,
+    "q_dq_anomaly"          -> qDqAnomalySql,
+    "q_time_resample"       -> qTimeResampleSql
   )
 }

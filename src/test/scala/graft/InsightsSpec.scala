@@ -227,6 +227,59 @@ class InsightsSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("q_dq_anomaly: z matches a hand recompute; self-exclusion holds") {
+    val rows = Insights.qDqAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    // recompute z for the last row of one series from its raw n values
+    val (_, rs) = byType.head
+    val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    val ns = Tables.events(spark, sf)
+      .where(col("event_type") === sorted.head.getAs[String]("event_type"))
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(_.getAs[Long]("n"))
+    val i = ns.length - 1
+    val trail = ns.slice(i - 7, i).map(_.toDouble) // 7 preceding, current excluded
+    val k = trail.length
+    val mean = trail.sum / k
+    val vr = (trail.map(x => x * x).sum - trail.sum * trail.sum / k) / (k - 1)
+    val zExpect = BigDecimal((ns(i) - mean) / math.sqrt(vr))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zGot = sorted.last.getAs[Double]("z")
+    assert(math.abs(zGot - zExpect) < 1e-9, s"$zGot vs $zExpect")
+    // flag consistency
+    rows.foreach { r =>
+      val z = Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double])
+      assert(r.getAs[Boolean]("anomaly") == z.exists(v => math.abs(v) > 2.5))
+    }
+  }
+
+  test("q_time_resample: full grid restored, gaps filled from the last " +
+      "observed day") {
+    val rows = Insights.qTimeResample(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      // grid is contiguous daily
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("day").getTime -
+            a.getAs[java.sql.Timestamp]("day").getTime == 86400000L)
+        case _ =>
+      }
+      // every gap day carries the previous day's value
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Boolean]("was_gap") =>
+          assert(b.getAs[Long]("n_filled") == a.getAs[Long]("n_filled"))
+        case _ =>
+      }
+      assert(!sorted.head.getAs[Boolean]("was_gap"),
+        "the spine starts at an observed day")
+    }
+    assert(rows.exists(_.getAs[Boolean]("was_gap")),
+      "the simulated outage must appear in the grid")
+  }
+
   test("q_stream_window_distinct: chained stateful aggs drain to the " +
       "batch distinct exactly") {
     val streamed = graft.queries.StreamingQ
