@@ -674,6 +674,49 @@ object Insights {
        |  was_gap
        |FROM j ORDER BY event_type, day""".stripMargin
 
+  /** Inline pipeline observability — `df.observe` + `Observation`: the
+    * production pattern for metering a 100 TB job WITHOUT a second
+    * scan. The CollectMetrics node accumulates its aggregates on the
+    * rows already flowing through the plan (here: row count,
+    * high-discount count, null screen, exact-decimal revenue) and
+    * delivers them to the driver when the consuming action finishes —
+    * data-quality telemetry at zero extra passes, vs. the separate
+    * aggregation query every naive pipeline runs twice. The returned
+    * row IS the metric set; the oracle recomputes the same metrics
+    * with plain SQL, so the gate proves CollectMetrics sees every row
+    * exactly once (`n_consumed` — the action's own count — is pinned
+    * to `n_rows`, the observe node's count).
+    */
+  val qObserve: Q = (s, d) => {
+    import org.apache.spark.sql.Observation
+    val obs = Observation() // fresh per invocation: one attach per query
+    val li = Tables.lineitem(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_discount") > lit(0.05), 1L).otherwise(0L))
+        .as("n_high_discount"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+        .as("n_null_shipdate"),
+      dsum(col("l_extendedprice")).as("sum_price"))
+    val consumed = li.count() // the action that fires the metrics
+    val m = obs.get
+    import s.implicits._
+    Seq((consumed, m("n_rows").asInstanceOf[Long],
+        m("n_high_discount").asInstanceOf[Long],
+        m("n_null_shipdate").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double]))
+      .toDF("n_consumed", "n_rows", "n_high_discount", "n_null_shipdate",
+        "sum_price")
+  }
+
+  val qObserveSql: String =
+    s"""SELECT count(*) AS n_consumed, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_high_discount,
+       |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_null_shipdate,
+       |  ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
@@ -685,7 +728,8 @@ object Insights {
     "q_agg_window_distinct" -> qAggWindowDistinct,
     "q_dedup_incremental"   -> qDedupIncremental,
     "q_dq_anomaly"          -> qDqAnomaly,
-    "q_time_resample"       -> qTimeResample
+    "q_time_resample"       -> qTimeResample,
+    "q_observe"             -> qObserve
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,6 +743,7 @@ object Insights {
     "q_agg_window_distinct" -> qAggWindowDistinctSql,
     "q_dedup_incremental"   -> qDedupIncrementalSql,
     "q_dq_anomaly"          -> qDqAnomalySql,
-    "q_time_resample"       -> qTimeResampleSql
+    "q_time_resample"       -> qTimeResampleSql,
+    "q_observe"             -> qObserveSql
   )
 }

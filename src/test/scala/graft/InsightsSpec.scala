@@ -280,6 +280,23 @@ class InsightsSpec extends AnyFunSuite {
       "the simulated outage must appear in the grid")
   }
 
+  test("q_observe: CollectMetrics sees every row once; re-invocation " +
+      "attaches a fresh Observation") {
+    val row = Insights.qObserve(spark, sf).head()
+    assert(row.getAs[Long]("n_consumed") == row.getAs[Long]("n_rows"))
+    val direct = Tables.lineitem(spark, sf).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_discount") > lit(0.05), 1L).otherwise(0L)).as("hd"),
+      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("sp")).head()
+    assert(row.getAs[Long]("n_rows") == direct.getAs[Long]("n"))
+    assert(row.getAs[Long]("n_high_discount") == direct.getAs[Long]("hd"))
+    assert(row.getAs[Double]("sum_price") == direct.getAs[Double]("sp"))
+    // a second invocation must not trip "Observation already attached"
+    val again = Insights.qObserve(spark, sf).head()
+    assert(again == row)
+  }
+
   test("q_stream_window_distinct: chained stateful aggs drain to the " +
       "batch distinct exactly") {
     val streamed = graft.queries.StreamingQ
