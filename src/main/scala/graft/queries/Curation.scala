@@ -81,11 +81,17 @@ object Curation {
     */
   val qJoinSetsim: Q = (s, d) => {
     import s.implicits._
+    // the typed flatMap is referenced FIVE times downstream (sizes, df,
+    // ranked, both intersection sides); Catalyst does not dedupe typed
+    // subplans, so without a persist the scan+deserialize+shingle work
+    // runs 5x inside one job — cache it once (same in-query reuse
+    // rationale as q_graph_pagerank's edge list)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => threeGrams(text).map(g => (id, g)) }
       .toDF("doc_id", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     // rarest-first rank within each doc; prefix keeps n - ceil(n/2) + 1

@@ -526,7 +526,10 @@ object Insights {
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(tmp, "_SEEDED"))
     }
+    // referenced twice (probe + its own sizes) — cache the batch's
+    // gram stream so the typed flatMap runs once per job
     val batch = grams(docs.where(col("doc_id") % 10 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = batch.alias("b")
       .join(s.read.parquet(s"$tmp/grams").hint("shuffle_hash").alias("x"),
         col("b.gram") === col("x.gram"))
