@@ -126,12 +126,17 @@ object LlmOps {
     */
   private def bandRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // every caller references the band table at least twice (bucket agg
+    // + join, or a self-join), and Catalyst does not dedupe typed
+    // subplans — persist so the minhash kernel runs once per job, not
+    // once per reference (docs×16 rows: small at any SF)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         minhashBands(text).zipWithIndex.map { case (h, b) => (id, b, h) }
       }
       .toDF("doc_id", "band_id", "band_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val qDedupNear: Q = (s, d) => {
@@ -219,6 +224,8 @@ object LlmOps {
         (0 until 4).map(c => (id, sh, c, (sh >>> (c * 16)) & 0xFFFFL))
       }
       .toDF("doc_id", "sh", "chunk_id", "chunk_val")
+      // self-joined: one simhash pass per job, not two
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunks.alias("a")
     val b = chunks.alias("b")
     a.join(b,
@@ -327,6 +334,11 @@ object LlmOps {
         twoGrams(text).map(g => (id, src, g))
       }
       .toDF("doc_id", "source", "gram")
+    // NOT persisted despite the 3x reference: measured A/B at sf0.1
+    // shows the cache write + lost pipelining into the shuffle-hash
+    // build costs more than the 2-gram recompute saves here
+    // (1.05 -> 1.65 s with a persist) — unlike the heavier minhash /
+    // simhash / 3-gram kernels, which all win
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = grams.alias("a")
     // shuffle-hash beats sort-merge here: the join key is a wide string
@@ -430,9 +442,12 @@ object LlmOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // referenced three times (sizes + both intersection sides) — one
+    // materialization of the 2-gram kernel per job
     val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => twoGrams(text).map(g => (id, g)) }
       .toDF("doc_id", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
@@ -1814,14 +1829,18 @@ object LlmOps {
 
   val qTextContamination: Q = (s, d) => {
     import s.implicits._
-    val grams = Tables.documents(s, d)
+    // filter BEFORE the typed kernel: predicates cannot push through an
+    // opaque flatMap, so filtering the gram stream after shingling would
+    // re-shingle the whole corpus for the tiny bench side too
+    def gramsOf(pred: org.apache.spark.sql.Column) = Tables.documents(s, d)
+      .where(pred)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => threeGrams(t).map(g => (id, g)) }
       .toDF("doc_id", "gram")
-    val bench = grams.where(col("doc_id") % 50 === 0)
+    val bench = gramsOf(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("gram"))
-    grams.where(col("doc_id") % 50 =!= 0)
+    gramsOf(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("overlap"))
