@@ -740,6 +740,9 @@ object LlmOps {
         }
       }
       .toDF("vec_id", "sig", "chunk_id", "chunk_val")
+      // self-joined: one RP-LSH signature pass (k×dim dots per row)
+      // per job, not two
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigChunks.alias("a")
     val b = sigChunks.alias("b")
     // the verify join must resolve the canary's id too, so it looks up
