@@ -9,17 +9,22 @@ import util._
 
 /** Time-series / experimentation / data-quality analytics wave:
   * EWMA smoothing, islands-and-gaps outage detection, Welch's t-test
-  * A/B readout, PSI distribution-drift screens, and two-level mergeable
-  * re-aggregation (the daily→monthly rollup-reuse pattern).
+  * A/B readout, PSI distribution-drift screens, two-level mergeable
+  * re-aggregation (the daily→monthly rollup-reuse pattern),
+  * point-in-time SCD2 lookup, edit-distance dedup verify,
+  * sliding-window distinct counts, incremental batch-vs-index dedup,
+  * rolling z-score anomaly screens, calendar-spine resampling with
+  * LOCF fill, and inline pipeline metering via observe/CollectMetrics.
   *
   * Reference analog: the reference delegates every analytical query to
   * Athena over its parquet lake (README.md:2); these are the
   * monitoring/experimentation queries such a lake serves, re-expressed
   * Spark-first. Cross-engine exactness is engineered per query: EWMA
-  * uses dyadic weights (exact in binary FP at every step), the t-test
-  * and re-aggregation derive from decimal-exact moments, and PSI sums
-  * per-bucket terms in DECIMAL after rounding so the one `ln` call is
-  * the only FP-library touchpoint (≤1 ulp, far below the 1e-6 gate).
+  * uses dyadic weights (exact in binary FP at every step), the t-test,
+  * anomaly, and re-aggregation math derives from integer/decimal-exact
+  * moments, and PSI sums per-bucket terms in DECIMAL after rounding so
+  * the one `ln` call is the only FP-library touchpoint (≤1 ulp, far
+  * below the 1e-6 gate).
   */
 object Insights {
 
