@@ -20,6 +20,10 @@ case class KeyCount(user_id: Long, n: Long, total: Double)
 /** TTL-fold emission: the key's running (n, total) since its last
   * reset, stamped with the batch's max event time.
   */
+case class AnomOut(event_type: String, day: java.sql.Timestamp, n: Long,
+                   trailing_mean: Double, z: Option[Double],
+                   anomaly: Boolean)
+
 case class TtlOut(user_id: Long, last_ts: java.sql.Timestamp, n: Long,
                   total: Double)
 
@@ -997,6 +1001,88 @@ object StreamingQ {
       }
     }
 
+  /** Streaming anomaly alerting — the trailing-window z-score of
+    * [[graft.queries.Insights.qDqAnomaly]] computed INCREMENTALLY as the
+    * stream arrives: one stateful fold keyed by event_type whose state
+    * is (open per-day counts, ring of the last 7 FINALIZED days). A day
+    * finalizes when the watermark passes its end — scored against the
+    * ring in strictly ascending day order (so an anomalous day never
+    * contaminates its own baseline), emitted, and pushed into the ring;
+    * an event-time timer drains the tail when a key goes quiet (the
+    * far-future sentinel fires it for every key at end of replay).
+    *
+    * Exactness: the ring carries integer counts; the handler replays
+    * the batch query's EXACT double expression tree (cast order and
+    * all) over those integers, so the streaming emission hash-matches
+    * the one SQL oracle both forms share. State is bounded: ≤ 7
+    * finalized + open-days-per-watermark-lag rows per key.
+    */
+  val qStreamAnomaly: Q = (s, d) => {
+    import s.implicits._
+    val DayMs = 86400000L
+    def score(ring: Seq[(Long, Long)], dayMs: Long, n: Long)
+        : Option[AnomOut] = {
+      val k = ring.length
+      if (k == 0) None // per-type first day: no baseline yet (batch WHERE)
+      else {
+        val sN = ring.map(_._2).sum.toDouble
+        val ssN = ring.map(t => t._2 * t._2).sum.toDouble
+        val kd = k.toDouble
+        val mean = sN / kd
+        val vr = (ssN - sN * sN / kd) / (kd - 1.0)
+        val z =
+          if (k >= 3 && vr > 0)
+            Some(round4((n.toDouble - sN / kd) / math.sqrt(vr)))
+          else None
+        Some(AnomOut("", new Timestamp(dayMs), n, round4(mean), z,
+          z.exists(v => math.abs(v) > 2.5)))
+      }
+    }
+    val fold: (String, Iterator[Ev],
+               GroupState[(Map[Long, Long], Seq[(Long, Long)])]) =>
+        Iterator[AnomOut] = (etype, rows, state) => {
+      var (open, ring) = state.getOption
+        .getOrElse((Map.empty[Long, Long], Seq.empty[(Long, Long)]))
+      rows.foreach { e =>
+        val dayMs = micros(e.ts) / 1000L / DayMs * DayMs
+        open = open.updated(dayMs, open.getOrElse(dayMs, 0L) + 1L)
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val (done, still) = open.partition { case (dayMs, _) =>
+        dayMs + DayMs <= wm }
+      val out = done.toSeq.sortBy(_._1).flatMap { case (dayMs, n) =>
+        val r = score(ring, dayMs, n).map(_.copy(event_type = etype))
+        ring = (ring :+ (dayMs, n)).takeRight(7)
+        r
+      }
+      if (still.isEmpty && state.hasTimedOut) state.remove()
+      else {
+        state.update((still, ring))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(still.keys.min + DayMs)
+      }
+      out.iterator
+    }
+    val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
+    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
+    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
+                      -1L, "wm_flush", 0.0)
+    runReplayStream(s, "graft_stream_anomaly", batches :+ Seq(sentinel)) { df =>
+      df.withWatermark("ts", "1 hour")
+        .as[Ev]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.EventTimeTimeout)(fold)
+        .toDF()
+    }.where(col("event_type") =!= "wm_flush")
+      .select(col("event_type"), col("day"), col("n"),
+        col("trailing_mean"), col("z"), col("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Per-key running state WITH A TTL — the 100 TB answer to "keyed
     * state grows forever": a key inactive past the TTL has its state
     * dropped by an event-time timeout (bounding the state store to keys
@@ -1107,7 +1193,8 @@ object StreamingQ {
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_mv"        -> qStreamMv,
     "q_stream_state_inspect" -> qStreamStateInspect,
-    "q_stream_window_distinct" -> qStreamWindowDistinct
+    "q_stream_window_distinct" -> qStreamWindowDistinct,
+    "q_stream_anomaly" -> qStreamAnomaly
   )
 
   val oracles: Map[String, String] = Map(
@@ -1129,6 +1216,9 @@ object StreamingQ {
     // the state the stream left behind must BE the batch answer
     "q_stream_state_inspect" -> qStreamStateInspectSql,
     // chained stateful aggs drain to exactly the batch distinct
-    "q_stream_window_distinct" -> qStreamWindowDistinctSql
+    "q_stream_window_distinct" -> qStreamWindowDistinctSql,
+    // the incremental fold replays the batch z-score expression tree
+    // bit-for-bit, so both forms share one oracle
+    "q_stream_anomaly" -> Insights.qDqAnomalySql
   )
 }

@@ -313,6 +313,17 @@ class InsightsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
   }
 
+  test("q_stream_anomaly: the incremental fold equals the batch z-score " +
+      "row-for-row") {
+    val streamed = graft.queries.StreamingQ
+      .entries("q_stream_anomaly")(spark, sf).collect()
+    val batch = Insights.qDqAnomaly(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a == b, s"stream row $a != batch row $b")
+    }
+  }
+
   test("plan shapes: one scan for the t-test, broadcast stats for drift," +
       " two-level agg for reagg, no cartesians anywhere") {
     val ab = plan("q_stats_ab")
