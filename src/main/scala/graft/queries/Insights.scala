@@ -725,6 +725,50 @@ object Insights {
        |  ${dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem""".stripMargin
 
+  /** Spark 4 SQL scripting — `BEGIN … DECLARE … WHILE … END` control
+    * flow executed entirely by the SQL engine (no driver-side loop in
+    * user code): a 12-iteration month loop accumulates the urgent-order
+    * totals into DECIMAL variables (exact, so the iteration order adds
+    * nothing the oracle's one-shot aggregate wouldn't), then the final
+    * SELECT is the script's result. Scripting is the orchestration
+    * layer — each statement inside is still a full declarative plan
+    * (scan, pushdown, codegen), which is why the loop body stays a
+    * plain aggregate query. The oracle computes the same totals in one
+    * statement; the hash-pass proves the scripted fold is lossless.
+    */
+  val qSqlScript: Q = (s, d) => {
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_script")
+    s.sql(
+      """BEGIN
+        |  DECLARE m INT DEFAULT 1;
+        |  DECLARE total DECIMAL(28,2) DEFAULT 0.00;
+        |  DECLARE n BIGINT DEFAULT 0;
+        |  WHILE m <= 12 DO
+        |    SET total = total + coalesce(
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM graft_orders_script
+        |       WHERE month(o_orderdate) = m
+        |         AND o_orderpriority = '1-URGENT'), 0.00);
+        |    SET n = n + coalesce(
+        |      (SELECT count(*) FROM graft_orders_script
+        |       WHERE month(o_orderdate) = m
+        |         AND o_orderpriority = '1-URGENT'), 0);
+        |    SET m = m + 1;
+        |  END WHILE;
+        |  SELECT CAST(total AS DOUBLE) AS urgent_total, n AS n_urgent,
+        |         m - 1 AS n_months;
+        |END""".stripMargin)
+  }
+
+  val qSqlScriptSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS urgent_total,
+      |  count(*) AS n_urgent,
+      |  12 AS n_months
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
@@ -737,7 +781,8 @@ object Insights {
     "q_dedup_incremental"   -> qDedupIncremental,
     "q_dq_anomaly"          -> qDqAnomaly,
     "q_time_resample"       -> qTimeResample,
-    "q_observe"             -> qObserve
+    "q_observe"             -> qObserve,
+    "q_sql_script"          -> qSqlScript
   )
 
   val oracles: Map[String, String] = Map(
@@ -752,6 +797,7 @@ object Insights {
     "q_dedup_incremental"   -> qDedupIncrementalSql,
     "q_dq_anomaly"          -> qDqAnomalySql,
     "q_time_resample"       -> qTimeResampleSql,
-    "q_observe"             -> qObserveSql
+    "q_observe"             -> qObserveSql,
+    "q_sql_script"          -> qSqlScriptSql
   )
 }

@@ -313,6 +313,18 @@ class InsightsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
   }
 
+  test("q_sql_script: the scripted month loop folds to the one-shot " +
+      "aggregate exactly") {
+    val row = Insights.qSqlScript(spark, sf).head()
+    val direct = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("t"), count(lit(1)).as("n")).head()
+    assert(row.getAs[Double]("urgent_total") == direct.getAs[Double]("t"))
+    assert(row.getAs[Long]("n_urgent") == direct.getAs[Long]("n"))
+    assert(row.getAs[Int]("n_months") == 12)
+  }
+
   test("q_stream_anomaly: the incremental fold equals the batch z-score " +
       "row-for-row") {
     val streamed = graft.queries.StreamingQ
