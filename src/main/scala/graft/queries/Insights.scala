@@ -774,6 +774,68 @@ object Insights {
       |  12 AS n_months
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** Dead-letter / quarantine ingestion — the error-handling half of
+    * every production scan: a JSON-lines feed (seeded once per sf dir;
+    * every 37th record is a deterministically truncated line) is read
+    * in PERMISSIVE mode with `columnNameOfCorruptRecord`, valid rows
+    * aggregate while malformed lines route to the quarantine count —
+    * no job failure, no silent drop. The DuckDB oracle re-reads the
+    * same bytes line-by-line and classifies with `json_valid`, so the
+    * hash-pass proves Spark's permissive parser quarantines exactly
+    * the malformed lines and loses none of the valid ones.
+    *
+    * Scale: PERMISSIVE parsing is row-local (the corrupt column is
+    * populated per-record inside the scan); the aggregate is one
+    * conditional pass. At 100 TB the quarantine side would ALSO be
+    * written out (`.where(corrupt.isNotNull).write`) for replay —
+    * the routing mechanics are what this key gates.
+    */
+  val qScanQuarantine: Q = (s, d) => {
+    val dir = graft.queries.Scratch.path("quarantine_lines", d)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 37 === 0,
+            concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":")))
+          .otherwise(concat(lit("{\"k\":"), col("o_orderkey"),
+            lit(",\"p\":"),
+            col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+            lit("}")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+    }
+    s.read
+      .schema("k LONG, p DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_valid"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull,
+          col("p").cast(DecimalType(18, 2)))).cast("double").as("sum_p"))
+  }
+
+  val qScanQuarantineSql: String = {
+    val p = graft.queries.Scratch.sqlPath("quarantine_lines")
+    s"""WITH l AS (
+       |  SELECT line FROM read_csv('$p/part-*',
+       |    columns={'line': 'VARCHAR'}, header=false,
+       |    delim='', quote='', escape='')
+       |)
+       |SELECT
+       |  CAST(sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_valid,
+       |  CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END)
+       |       AS BIGINT) AS n_quarantined,
+       |  CAST(SUM(CASE WHEN json_valid(line)
+       |           THEN CAST(line->>'$$.p' AS DECIMAL(18,2)) END)
+       |       AS DOUBLE) AS sum_p
+       |FROM l""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
@@ -787,7 +849,8 @@ object Insights {
     "q_dq_anomaly"          -> qDqAnomaly,
     "q_time_resample"       -> qTimeResample,
     "q_observe"             -> qObserve,
-    "q_sql_script"          -> qSqlScript
+    "q_sql_script"          -> qSqlScript,
+    "q_scan_quarantine"     -> qScanQuarantine
   )
 
   val oracles: Map[String, String] = Map(
@@ -803,6 +866,7 @@ object Insights {
     "q_dq_anomaly"          -> qDqAnomalySql,
     "q_time_resample"       -> qTimeResampleSql,
     "q_observe"             -> qObserveSql,
-    "q_sql_script"          -> qSqlScriptSql
+    "q_sql_script"          -> qSqlScriptSql,
+    "q_scan_quarantine"     -> qScanQuarantineSql
   )
 }

@@ -313,6 +313,22 @@ class InsightsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
   }
 
+  test("q_scan_quarantine: malformed lines route to quarantine, valid " +
+      "rows lose nothing") {
+    val row = Insights.qScanQuarantine(spark, sf).head()
+    val orders = Tables.orders(spark, sf)
+    val nCorrupt = orders.where(col("o_orderkey") % 37 === 0).count()
+    val nValid = orders.count() - nCorrupt
+    assert(row.getAs[Long]("n_valid") == nValid)
+    assert(row.getAs[Long]("n_quarantined") == nCorrupt)
+    val direct = orders.where(col("o_orderkey") % 37 =!= 0)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head.getDouble(0)
+    assert(row.getAs[Double]("sum_p") == direct)
+    // seed-once: a second invocation reads the same bytes
+    assert(Insights.qScanQuarantine(spark, sf).head() == row)
+  }
+
   test("q_sql_script: the scripted month loop folds to the one-shot " +
       "aggregate exactly") {
     val row = Insights.qSqlScript(spark, sf).head()
