@@ -779,25 +779,51 @@ object Relational {
     bucketCountForBytes(bytes)
   }
 
+  /** Bucketed-at-rest fact tables, seeded ONCE per (sf dir, bucket
+    * count): the declared operator downstream is the exchange-free
+    * JOIN, so re-writing the layout per invocation would bench the
+    * writer (same rationale as the q_scan_* seeds). The bucket count is
+    * part of the path/table tag, so a data-size change that moves
+    * [[bucketCountFor]] self-invalidates the stale layout. Across JVMs
+    * the files survive but the in-memory catalog does not — the guard
+    * re-registers the bucketed DDL over the existing files instead of
+    * rewriting them.
+    */
   private[graft] def bucketedFacts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val base = scratchDir("bucketed", d)
     val nBuckets = bucketCountFor(s, d)
-    def sink(df: DataFrame, key: String, name: String): DataFrame = {
-      val tbl = s"graft_${name}_b_" + Integer.toHexString(d.hashCode)
-      df.repartition(nBuckets, col(key))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, key).sortBy(key)
-        .option("path", s"$base/$name")
-        .saveAsTable(tbl)
+    def sink(df: DataFrame, key: String, name: String,
+             colsDdl: String): DataFrame = {
+      val tbl = s"graft_${name}_b${nBuckets}_" +
+        Integer.toHexString(d.hashCode)
+      val path = s"$base/${name}_$nBuckets"
+      if (!s.catalog.tableExists(tbl)) {
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(path, "_SUCCESS"))) {
+          s.sql(s"""CREATE TABLE $tbl ($colsDdl) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key)
+                   |INTO $nBuckets BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        } else {
+          df.repartition(nBuckets, col(key))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(nBuckets, key).sortBy(key)
+            .option("path", path)
+            .saveAsTable(tbl)
+        }
+      }
       s.table(tbl)
     }
     val o = sink(Tables.orders(s, d)
                    .select("o_orderkey", "o_orderpriority"),
-                 "o_orderkey", "orders")
+                 "o_orderkey", "orders",
+                 "o_orderkey BIGINT, o_orderpriority STRING")
     val l = sink(Tables.lineitem(s, d)
                    .select("l_orderkey", "l_extendedprice", "l_discount"),
-                 "l_orderkey", "lineitem")
+                 "l_orderkey", "lineitem",
+                 "l_orderkey BIGINT, l_extendedprice DOUBLE, " +
+                   "l_discount DOUBLE")
     (o, l)
   }
 
@@ -841,19 +867,36 @@ object Relational {
     import s.implicits._
     val base = scratchDir("dpp", d)
     val tbl = "graft_dpp_orders_" + Integer.toHexString(d.hashCode)
-    Tables.orders(s, d)
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("o_orderpriority")
-      .option("path", s"$base/orders")
-      .saveAsTable(tbl)
+    // seed the partitioned-at-rest fact once per sf dir (the declared
+    // operator is the PRUNED SCAN, not the writer); across JVMs the
+    // guard re-registers the partitioned DDL over the surviving files
+    // and recovers the partition listing
+    if (!s.catalog.tableExists(tbl)) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$base/orders", "_SUCCESS"))) {
+        s.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT,
+                 |  o_totalprice DOUBLE, o_orderpriority STRING)
+                 |USING parquet PARTITIONED BY (o_orderpriority)
+                 |LOCATION '$base/orders'""".stripMargin)
+        s.sql(s"MSCK REPAIR TABLE $tbl")
+      } else {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("o_orderpriority")
+          .option("path", s"$base/orders")
+          .saveAsTable(tbl)
+      }
+    }
     // the dim must be a STORED table (as in production): an in-memory
     // LocalRelation dim gets its filter constant-folded away, and DPP
     // only fires when the build side still carries a selective predicate
-    Seq(
-      ("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
-      ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("prio", "tier")
-      .write.mode("overwrite").parquet(s"$base/dim")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/dim", "_SUCCESS")))
+      Seq(
+        ("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
+        ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("prio", "tier")
+        .write.mode("overwrite").parquet(s"$base/dim")
     val dim = s.read.parquet(s"$base/dim")
     s.table(tbl)
       .join(broadcast(dim), col("o_orderpriority") === col("prio"))
