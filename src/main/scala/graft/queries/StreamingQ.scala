@@ -1026,52 +1026,67 @@ object StreamingQ {
     * the one SQL oracle both forms share. State is bounded: ≤ 7
     * finalized + open-days-per-watermark-lag rows per key.
     */
+  private val DayMs = 86400000L
+
+  private def anomalyScore(ring: Seq[(Long, Long)], dayMs: Long, n: Long)
+      : Option[AnomOut] = {
+    val k = ring.length
+    if (k == 0) None // per-type first day: no baseline yet (batch WHERE)
+    else {
+      val sN = ring.map(_._2).sum.toDouble
+      val ssN = ring.map(t => t._2 * t._2).sum.toDouble
+      val kd = k.toDouble
+      val mean = sN / kd
+      val vr = (ssN - sN * sN / kd) / (kd - 1.0)
+      val z =
+        if (k >= 3 && vr > 0)
+          Some(round4((n.toDouble - sN / kd) / math.sqrt(vr)))
+        else None
+      Some(AnomOut("", new Timestamp(dayMs), n, round4(mean), z,
+        z.exists(v => math.abs(v) > 2.5)))
+    }
+  }
+
+  /** The incremental anomaly fold — object-level so StreamingSpec can
+    * drive it through a hand-placed fixture (late-data drop, duplicate
+    * finalization guard) that the time-ordered replay never exercises.
+    */
+  private[graft] val anomalyFoldFn: (String, Iterator[Ev],
+      GroupState[(Map[Long, Long], Seq[(Long, Long)], Long)]) =>
+      Iterator[AnomOut] = (etype, rows, state) => {
+    var (open, ring, lastFin) = state.getOption
+      .getOrElse((Map.empty[Long, Long], Seq.empty[(Long, Long)],
+        Long.MinValue))
+    // late-data contract (same as Spark's windowed aggregates): a row
+    // whose day already finalized is DROPPED — without this guard a
+    // below-watermark straggler would re-open the day and emit it a
+    // second time with only the late count (fMGWS does not drop late
+    // rows for you; the fixture spec witnesses this path)
+    rows.foreach { e =>
+      val dayMs = micros(e.ts) / 1000L / DayMs * DayMs
+      if (dayMs > lastFin)
+        open = open.updated(dayMs, open.getOrElse(dayMs, 0L) + 1L)
+    }
+    val wm = state.getCurrentWatermarkMs()
+    val (done, still) = open.partition { case (dayMs, _) =>
+      dayMs + DayMs <= wm }
+    val out = done.toSeq.sortBy(_._1).flatMap { case (dayMs, n) =>
+      val r = anomalyScore(ring, dayMs, n).map(_.copy(event_type = etype))
+      ring = (ring :+ (dayMs, n)).takeRight(7)
+      lastFin = dayMs
+      r
+    }
+    if (still.isEmpty && state.hasTimedOut) state.remove()
+    else {
+      state.update((still, ring, lastFin))
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp(still.keys.min + DayMs)
+    }
+    out.iterator
+  }
+
   val qStreamAnomaly: Q = (s, d) => {
     import s.implicits._
-    val DayMs = 86400000L
-    def score(ring: Seq[(Long, Long)], dayMs: Long, n: Long)
-        : Option[AnomOut] = {
-      val k = ring.length
-      if (k == 0) None // per-type first day: no baseline yet (batch WHERE)
-      else {
-        val sN = ring.map(_._2).sum.toDouble
-        val ssN = ring.map(t => t._2 * t._2).sum.toDouble
-        val kd = k.toDouble
-        val mean = sN / kd
-        val vr = (ssN - sN * sN / kd) / (kd - 1.0)
-        val z =
-          if (k >= 3 && vr > 0)
-            Some(round4((n.toDouble - sN / kd) / math.sqrt(vr)))
-          else None
-        Some(AnomOut("", new Timestamp(dayMs), n, round4(mean), z,
-          z.exists(v => math.abs(v) > 2.5)))
-      }
-    }
-    val fold: (String, Iterator[Ev],
-               GroupState[(Map[Long, Long], Seq[(Long, Long)])]) =>
-        Iterator[AnomOut] = (etype, rows, state) => {
-      var (open, ring) = state.getOption
-        .getOrElse((Map.empty[Long, Long], Seq.empty[(Long, Long)]))
-      rows.foreach { e =>
-        val dayMs = micros(e.ts) / 1000L / DayMs * DayMs
-        open = open.updated(dayMs, open.getOrElse(dayMs, 0L) + 1L)
-      }
-      val wm = state.getCurrentWatermarkMs()
-      val (done, still) = open.partition { case (dayMs, _) =>
-        dayMs + DayMs <= wm }
-      val out = done.toSeq.sortBy(_._1).flatMap { case (dayMs, n) =>
-        val r = score(ring, dayMs, n).map(_.copy(event_type = etype))
-        ring = (ring :+ (dayMs, n)).takeRight(7)
-        r
-      }
-      if (still.isEmpty && state.hasTimedOut) state.remove()
-      else {
-        state.update((still, ring))
-        if (still.nonEmpty)
-          state.setTimeoutTimestamp(still.keys.min + DayMs)
-      }
-      out.iterator
-    }
     val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
     val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
     val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
@@ -1081,7 +1096,8 @@ object StreamingQ {
         .as[Ev]
         .groupByKey(_.event_type)
         .flatMapGroupsWithState(OutputMode.Append,
-                                GroupStateTimeout.EventTimeTimeout)(fold)
+                                GroupStateTimeout.EventTimeTimeout)(
+          anomalyFoldFn)
         .toDF()
     }.where(col("event_type") =!= "wm_flush")
       .select(col("event_type"), col("day"), col("n"),

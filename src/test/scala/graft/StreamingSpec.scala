@@ -486,4 +486,69 @@ class StreamingSpec extends AnyFunSuite {
       } catch { case _: Exception => }
     }
   }
+
+  /** The anomaly fold's late-data contract, which the time-ordered
+    * replay never exercises: a below-watermark straggler for an
+    * already-finalized day must be DROPPED — not re-open the day, not
+    * emit it a second time, not corrupt the trailing ring later days
+    * score against.
+    */
+  test("anomaly fold: late rows for a finalized day are dropped and " +
+       "every day emits exactly once") {
+    import graft.queries.{Ev, StreamingQ}
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anom_fix_")
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(StreamingQ.anomalyFoldFn)
+      .toDF()
+      .writeStream.format("memory").queryName("graft_anom_fixture")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Jan1 ×3, then Jan3 advances the watermark past Jan1's end
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 11:00:00"), ev(3, "2024-01-01 12:00:00"),
+        ev(4, "2024-01-03 23:00:00")))
+      q.processAllAvailable()
+      // Jan4 ×2 + Jan5: Jan1 finalizes (ring seed, no baseline row)
+      ms.addData(Seq(ev(5, "2024-01-04 08:00:00"),
+        ev(6, "2024-01-04 09:00:00"), ev(7, "2024-01-05 12:00:00")))
+      q.processAllAvailable()
+      // the STRAGGLER: Jan1 again, far below the watermark + Jan6
+      ms.addData(Seq(ev(8, "2024-01-01 09:00:00"),
+        ev(9, "2024-01-06 12:00:00")))
+      q.processAllAvailable()
+      // flush: far-future row drains Jan5/Jan6
+      ms.addData(Seq(ev(10, "2025-06-01 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_anom_fixture").collect()
+        .sortBy(_.getAs[Timestamp]("day").getTime)
+      def dayOf(s: String) = Timestamp.valueOf(s)
+      // exactly one row per day, none for the re-opened Jan1
+      assert(rows.map(_.getAs[Timestamp]("day")).toSeq == Seq(
+        dayOf("2024-01-03 00:00:00"), dayOf("2024-01-04 00:00:00"),
+        dayOf("2024-01-05 00:00:00"), dayOf("2024-01-06 00:00:00")))
+      // trailing means prove the ring was NOT corrupted by the late row:
+      // Jan3 vs {3}; Jan4 vs {3,1}; Jan5 vs {3,1,2}; Jan6 vs {3,1,2,1}
+      assert(rows.map(_.getAs[Double]("trailing_mean")).toSeq ==
+        Seq(3.0, 2.0, 2.0, 1.75))
+      // z appears from k=3 on: Jan5 z=(1-2)/1=-1; Jan6 = -0.75/sqrt(11/12)
+      val zs = rows.map(r => Option(r.getAs[Any]("z"))
+        .map(_.asInstanceOf[Double]))
+      assert(zs(0).isEmpty && zs(1).isEmpty)
+      assert(zs(2).contains(-1.0))
+      assert(zs(3).exists(z => math.abs(z - (-0.7833)) < 1e-9))
+    } finally { q.stop(); StreamingQ.rmTree(ckpt) }
+  }
 }
