@@ -287,8 +287,13 @@ object Analytics {
           (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0)))
             .as("rank"))
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-      .orderBy("node")
+    // materialize the |types|-row result eagerly so the per-invocation
+    // edge/node caches are released instead of accumulating in the session
+    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    nodes.unpersist()
+    out.orderBy("node")
   }
 
   val qGraphPagerankSql: String =

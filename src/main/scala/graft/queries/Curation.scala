@@ -122,14 +122,19 @@ object Curation {
     val inter = cand.join(ga, "doc_a")
       .join(gb, col("doc_b") === col("doc_b2") && col("gram") === col("gram_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .where(col("inter") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"),
               round(col("inter").cast("double") /
                     (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      // materialize the (dup-rate-sized) pair set eagerly so the
+      // corpus-sized gram cache can be released now instead of leaking
+      // one persisted dataset per invocation into the shared session
+      .localCheckpoint(true)
+    grams.unpersist()
+    out.orderBy("doc_a", "doc_b")
   }
 
   /** Brute-force all-pairs re-derivation (oracle-side only — 500 docs at

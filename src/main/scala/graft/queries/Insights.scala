@@ -247,8 +247,13 @@ object Insights {
       .withColumn("early",
         unix_micros(col("ts")) * lit(2L) < col("t0") + col("t1"))
       .withColumn("bucket",
+        // bin width floored at a tiny epsilon: a constant value column
+        // (v1 = v0) would otherwise divide 0/0 → NaN, which Spark's
+        // non-ANSI cast folds to a bucket while DuckDB's CAST raises —
+        // with the guard both engines put every row in bucket 0
         least(floor((col("value") - col("v0")) /
-          ((col("v1") - col("v0")) / lit(10.0))), lit(9L)).cast("long"))
+          (greatest(col("v1") - col("v0"), lit(1e-12)) / lit(10.0))),
+          lit(9L)).cast("long"))
     val hist = e.groupBy("event_type", "bucket").agg(
       sum(when(col("early"), 1L).otherwise(0L)).as("c0"),
       sum(when(!col("early"), 1L).otherwise(0L)).as("c1"))
@@ -280,7 +285,8 @@ object Insights {
       |  SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) * 2 < t0 + t1 AS early,
       |    CAST(least(floor((value - v0) /
-      |      ((v1 - v0) / CAST(10.0 AS DOUBLE))), 9) AS BIGINT) AS bucket
+      |      (greatest(v1 - v0, 1e-12) / CAST(10.0 AS DOUBLE))), 9)
+      |      AS BIGINT) AS bucket
       |  FROM events, rng),
       |hist AS (
       |  SELECT event_type, bucket,
@@ -541,7 +547,7 @@ object Insights {
       .groupBy(col("b.doc_id").as("batch_doc"),
         col("x.doc_id").as("index_doc"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(batch.groupBy("doc_id").agg(count(lit(1)).as("na"))
         .withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
       .join(s.read.parquet(s"$tmp/sizes")
@@ -551,7 +557,11 @@ object Insights {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy("batch_doc", "index_doc")
+      // materialize the (tiny) match set eagerly so the batch-gram cache
+      // is released per invocation instead of accumulating in the session
+      .localCheckpoint(true)
+    batch.unpersist()
+    out.orderBy("batch_doc", "index_doc")
   }
 
   val qDedupIncrementalSql: String =
@@ -737,9 +747,15 @@ object Insights {
     * statement; the hash-pass proves the scripted fold is lossless.
     */
   val qSqlScript: Q = (s, d) => {
+    // snapshot/restore the scripting flag (same discipline as the
+    // streaming replay harness's shuffle-partition restore) and drop the
+    // script's cached table even on a mid-script failure, so nothing
+    // leaks into the shared session
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders_script")
-    s.sql(
+    try {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_script")
+      s.sql(
       """BEGIN
         |  DECLARE m INT DEFAULT 1;
         |  DECLARE total DECIMAL(28,2) DEFAULT 0.00;
@@ -764,6 +780,17 @@ object Insights {
         |  SELECT CAST(total AS DOUBLE) AS urgent_total, n AS n_urgent,
         |         m - 1 AS n_months;
         |END""".stripMargin)
+    } finally {
+      try {
+        if (s.catalog.tableExists("graft_orders_script") &&
+            s.catalog.isCached("graft_orders_script"))
+          s.catalog.uncacheTable("graft_orders_script")
+      } catch { case _: Exception => }
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None    => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    }
   }
 
   val qSqlScriptSql: String =
@@ -786,9 +813,10 @@ object Insights {
     *
     * Scale: PERMISSIVE parsing is row-local (the corrupt column is
     * populated per-record inside the scan); the aggregate is one
-    * conditional pass. At 100 TB the quarantine side would ALSO be
-    * written out (`.where(corrupt.isNotNull).write`) for replay —
-    * the routing mechanics are what this key gates.
+    * conditional pass. The quarantine side IS written out — malformed
+    * raw records land in a dead-letter parquet dir for replay, and the
+    * gated `n_quarantined` is read back from that file, so the hash
+    * covers the write path too (both halves of production routing).
     */
   val qScanQuarantine: Q = (s, d) => {
     val dir = graft.queries.Scratch.path("quarantine_lines", d)
@@ -804,18 +832,37 @@ object Insights {
           .as("value"))
         .write.mode("overwrite").text(dir)
     }
-    s.read
+    // cached for the two consumers below; Spark additionally disallows a
+    // query whose file scan would reference ONLY the internal corrupt
+    // column (the dead-letter projection) — the documented answer is to
+    // parse once into cache and route from there
+    val parsed = s.read
       .schema("k LONG, p DOUBLE, _corrupt_record STRING")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
-      .agg(
-        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
-          .as("n_valid"),
-        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
-          .as("n_quarantined"),
-        sum(when(col("_corrupt_record").isNull,
-          col("p").cast(DecimalType(18, 2)))).cast("double").as("sum_p"))
+      .persist()
+    try {
+      // the dead-letter half: malformed lines are WRITTEN out (raw bytes
+      // preserved for replay/debug), not just counted — and the gated
+      // n_quarantined below is read back FROM the dead-letter file, so
+      // the oracle hash proves the write path captured exactly the
+      // malformed rows (lost none, duplicated none)
+      val dead = graft.queries.Scratch.path("quarantine_dead", d)
+      parsed.where(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_record"))
+        .write.mode("overwrite").parquet(dead)
+      val quarantined = s.read.parquet(dead)
+      parsed
+        .where(col("_corrupt_record").isNull)
+        .agg(
+          count(lit(1)).as("n_valid"),
+          sum(col("p").cast(DecimalType(18, 2))).cast("double").as("sum_p"))
+        .crossJoin(broadcast(
+          quarantined.agg(count(lit(1)).as("n_quarantined"))))
+        .select(col("n_valid"), col("n_quarantined"), col("sum_p"))
+        .localCheckpoint(true)
+    } finally { parsed.unpersist(); () }
   }
 
   val qScanQuarantineSql: String = {

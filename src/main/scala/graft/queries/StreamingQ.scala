@@ -1076,12 +1076,15 @@ object StreamingQ {
       lastFin = dayMs
       r
     }
-    if (still.isEmpty && state.hasTimedOut) state.remove()
-    else {
-      state.update((still, ring, lastFin))
-      if (still.nonEmpty)
-        state.setTimeoutTimestamp(still.keys.min + DayMs)
-    }
+    // on a timer-drained quiet key, KEEP the (bounded: ≤ 7 ring entries
+    // + lastFin) state rather than remove() it: a key that resumes later
+    // in the replay must score against its trailing-7 baseline and keep
+    // the late-row guard, matching the batch oracle's window — dropping
+    // the row was a latent divergence under sparse keys. No timer is
+    // re-armed while the key is quiet; the next event re-arms it.
+    state.update((still, ring, lastFin))
+    if (still.nonEmpty)
+      state.setTimeoutTimestamp(still.keys.min + DayMs)
     out.iterator
   }
 

@@ -325,13 +325,26 @@ class InsightsSpec extends AnyFunSuite {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
       .head.getDouble(0)
     assert(row.getAs[Double]("sum_p") == direct)
+    // the dead-letter half: every malformed raw record is ON DISK, and
+    // each retains the truncated prefix the permissive parser captured
+    val dead = spark.read
+      .parquet(graft.queries.Scratch.path("quarantine_dead", sf))
+    assert(dead.count() == nCorrupt)
+    assert(dead.where(col("raw_record").startsWith("{\"k\":")).count()
+      == nCorrupt)
     // seed-once: a second invocation reads the same bytes
     assert(Insights.qScanQuarantine(spark, sf).head() == row)
   }
 
   test("q_sql_script: the scripted month loop folds to the one-shot " +
       "aggregate exactly") {
+    val before = spark.conf.getOption("spark.sql.scripting.enabled")
     val row = Insights.qSqlScript(spark, sf).head()
+    // session hygiene: the scripting flag is restored and the script's
+    // CACHE TABLE never outlives the invocation
+    assert(spark.conf.getOption("spark.sql.scripting.enabled") == before)
+    assert(!(spark.catalog.tableExists("graft_orders_script") &&
+      spark.catalog.isCached("graft_orders_script")))
     val direct = Tables.orders(spark, sf)
       .where(col("o_orderpriority") === "1-URGENT")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")

@@ -551,4 +551,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(zs(3).exists(z => math.abs(z - (-0.7833)) < 1e-9))
     } finally { q.stop(); StreamingQ.rmTree(ckpt) }
   }
+
+  /** A key fully drained by its event-time timer (no open days left)
+    * must KEEP its trailing ring: when the key resumes, the new day
+    * scores against the retained 7-day baseline — a remove() there
+    * would silently reset the baseline and the late-row guard.
+    */
+  test("anomaly fold: a drained key resumes against its retained ring") {
+    import graft.queries.{Ev, StreamingQ}
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, typ: String) =
+      Ev(id, Timestamp.valueOf(t), 1L, typ, 1.0)
+    val ms = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anom_keep_")
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(StreamingQ.anomalyFoldFn)
+      .toDF()
+      .writeStream.format("memory").queryName("graft_anom_keep")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click: Jan1 + Jan2; `other` advances the watermark past both
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", "click"),
+        ev(2, "2024-01-02 10:00:00", "click"),
+        ev(3, "2024-01-03 23:00:00", "other")))
+      q.processAllAvailable()
+      // no click rows: its timer fires, Jan1+Jan2 finalize, state drains
+      ms.addData(Seq(ev(4, "2024-01-05 12:00:00", "other")))
+      q.processAllAvailable()
+      // click RESUMES after the full drain; `other` drags the wm forward
+      ms.addData(Seq(ev(5, "2024-01-10 10:00:00", "click"),
+        ev(6, "2025-06-01 00:00:00", "other")))
+      q.processAllAvailable()
+      // one more trigger so click's timer finalizes Jan10
+      ms.addData(Seq(ev(7, "2025-07-01 00:00:00", "other")))
+      q.processAllAvailable()
+      val click = spark.table("graft_anom_keep").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .sortBy(_.getAs[Timestamp]("day").getTime)
+      // Jan1 seeds the ring (no baseline row); Jan2 scores against {1};
+      // the resumed Jan10 must score against the RETAINED {1, 1} ring
+      assert(click.map(_.getAs[Timestamp]("day")).toSeq == Seq(
+        Timestamp.valueOf("2024-01-02 00:00:00"),
+        Timestamp.valueOf("2024-01-10 00:00:00")))
+      assert(click.map(_.getAs[Double]("trailing_mean")).toSeq ==
+        Seq(1.0, 1.0))
+    } finally { q.stop(); StreamingQ.rmTree(ckpt) }
+  }
 }
