@@ -79,17 +79,50 @@ object Headline {
       |ORDER BY r_name ASC, revenue DESC, n_name ASC""".stripMargin
 
   /** Sketch-based profile: approx distinct + approx quantiles — the
-    * 100 TB substitutes for their exact forms. Rows-only (sketches are
-    * not engine-portable); tolerance vs exact is unit-tested.
+    * 100 TB substitutes for their exact forms. Sketch OUTPUTS are
+    * implementation-defined (HLL++ register layout, QuantileSummaries
+    * merge order), so the gate can't hash them directly; instead the
+    * query re-checks each estimate against the data and emits a
+    * boolean "within the guaranteed error", which the DuckDB oracle
+    * pins to TRUE alongside the exact anchors (hash-compared). Same
+    * tolerance-oracle pattern as `q_agg_quantile_sketch`: a sketch
+    * regression (bad merge, off-by-rank) flips a boolean and fails the
+    * gate. `approx_count_distinct` at rsd 0.02 is checked at 3σ = 6%;
+    * `percentile_approx` at accuracy 1000 (rank error ≤ 1/1000) is
+    * re-ranked at 2x slack. One extra aggregation pass, both mergeable
+    * — still the one-pass 100 TB shape.
     */
-  val qAggApprox: Q = (s, d) =>
-    Tables.lineitem(s, d)
+  val qAggApprox: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val sk = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ad"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("ap"),
+      count(lit(1)).as("cnt"))
+    li.join(broadcast(sk), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-             .as("approx_median_price"),
-           count(lit(1)).as("cnt"))
+      .agg(
+        first(col("cnt")).as("cnt"),
+        first(col("ad")).as("ad"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L))
+          .as("le50"),
+        sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L))
+          .as("lt50"))
+      .select(
+        col("l_returnflag"), col("cnt"), col("exact_orders"),
+        (abs(col("ad") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= lit(0.06)).as("ok_distinct"),
+        (col("lt50") / col("cnt") <= lit(0.5) + lit(0.002) &&
+          col("le50") / col("cnt") >= lit(0.5) - lit(0.002)).as("ok_p50"))
       .orderBy("l_returnflag")
+  }
+
+  val qAggApproxSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS ok_distinct, TRUE AS ok_p50
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   val entries: Map[String, Q] = Map(
     "q_headline_shipping" -> qHeadlineShipping,
@@ -99,6 +132,7 @@ object Headline {
 
   val oracles: Map[String, String] = Map(
     "q_headline_shipping" -> qHeadlineShippingSql,
-    "q_headline_local_revenue" -> qHeadlineLocalRevenueSql
+    "q_headline_local_revenue" -> qHeadlineLocalRevenueSql,
+    "q_agg_approx" -> qAggApproxSql
   )
 }

@@ -357,19 +357,84 @@ object Multimodal {
       }
   }
 
-  /** Rows-only queries entry: synthesize blobs → decode → per-modality
-    * feature aggregate. The payload column is dropped before the
+  /** Per-modality feature aggregate: synthesize blobs → decode →
+    * groupBy(modality). The payload column is dropped before the
     * groupBy, so no binary bytes cross the shuffle.
+    *
+    * DuckDB-oracled via the same analytic re-derivation as
+    * [[qMultimodalDecode]] — every aggregated metric lives in the
+    * DECODED domain (frame/sample counts, mean intensities), where the
+    * generators are closed-form in doc_id. The container byte size is
+    * deliberately NOT part of the gated row: PNG length crosses deflate,
+    * whose output is compressor-implementation-defined, so no other
+    * engine can re-derive it (payload sizes stay covered by
+    * MultimodalSpec's direct assertions).
     */
   val qMultimodalFeatures: Q = (s, d) => {
     val feats = extractFeatures(syntheticMedia(s, d)).drop("checksum")
     feats.groupBy("modality")
       .agg(count(lit(1)).as("n_blobs"),
-           sum(col("n_bytes")).as("total_bytes"),
+           sum(col("n_frames").cast("long")).as("total_frames"),
            round(avg(col("mean_intensity")), 6).as("avg_intensity"),
            max(col("n_frames")).cast("long").as("max_frames"))
       .orderBy("modality")
   }
+
+  /** Analytic twin of [[qMultimodalFeatures]] — the same per-media
+    * closed forms as [[qMultimodalDecodeSql]], but carrying the
+    * UNROUNDED per-media mean into the modality-level average (the
+    * engine rounds only the final avg). All division orders mirror the
+    * decoders exactly, so the per-media doubles are bit-identical and
+    * the avg differs only by summation order (≪ the 1e-6 gate).
+    */
+  val qMultimodalFeaturesSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id % 3 AS m FROM documents
+      |), img AS (
+      |  SELECT doc_id,
+      |    SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+      |               CAST(g.i AS HUGEINT) * 1442695040888963407)
+      |              % 18446744073709551616)
+      |             // 8589934592 % 256 AS BIGINT)) AS px
+      |  FROM docs, generate_series(0, 4095) g(i)
+      |  WHERE m = 0 GROUP BY doc_id
+      |), imgf AS (
+      |  SELECT doc_id, 'image' AS modality,
+      |         px / 255.0 / 4096 AS mi, 1 AS nf
+      |  FROM img
+      |), audf AS (
+      |  SELECT doc_id, 'audio' AS modality,
+      |    CAST((1000 + (doc_id % 8) * 3000) * (2048 + (doc_id % 5) * 256)
+      |         AS DOUBLE) / (2048 + (doc_id % 5) * 256) / 32768 AS mi,
+      |    2048 + (doc_id % 5) * 256 AS nf
+      |  FROM docs WHERE m = 1
+      |), vf AS (
+      |  SELECT doc_id, f.f AS f, (f.f + 31 * doc_id) % 256 AS c,
+      |         31 + doc_id % 90 AS nf
+      |  FROM docs, generate_series(0, 119) f(f)
+      |  WHERE m = 2 AND f.f < 31 + doc_id % 90
+      |), vy AS (
+      |  SELECT doc_id,
+      |    SUM((CASE WHEN s.s <= 15 THEN s.s + 1 ELSE 31 - s.s END) *
+      |        ((c + s.s) % 256)) AS ysum
+      |  FROM vf, generate_series(0, 30) s(s) GROUP BY doc_id
+      |), vidf AS (
+      |  SELECT v.doc_id, 'video' AS modality,
+      |    CAST(y.ysum + v.ch AS DOUBLE) / (v.nf * 384) / 255 AS mi,
+      |    v.nf AS nf
+      |  FROM (SELECT doc_id, SUM(8192 + 64 * ((64 + f) % 256)) AS ch,
+      |               MAX(nf) AS nf
+      |        FROM vf GROUP BY doc_id) v
+      |  JOIN vy y USING (doc_id)
+      |), all_feats AS (
+      |  SELECT * FROM imgf UNION ALL SELECT * FROM audf
+      |  UNION ALL SELECT * FROM vidf
+      |)
+      |SELECT modality, count(*) AS n_blobs,
+      |       CAST(SUM(nf) AS BIGINT) AS total_frames,
+      |       round(avg(mi), 6) AS avg_intensity,
+      |       CAST(MAX(nf) AS BIGINT) AS max_frames
+      |FROM all_feats GROUP BY modality ORDER BY modality""".stripMargin
 
   /** REAL image resize: decode with javax.imageio, repaint onto a
     * target-sized canvas with bilinear interpolation, re-encode as PNG.
@@ -446,8 +511,13 @@ object Multimodal {
   }
 
   /** Frame-sample pipeline: videos → every-30th frame → per-media frame
-    * stats. Rows-only + MultimodalSpec assertions (stride arithmetic,
-    * determinism).
+    * stats. DuckDB-oracled analytically: the sampled count is the
+    * stride arithmetic over the closed-form frame count, each resized
+    * 16×16 plane is 256 bytes, and a sampled frame's identity is
+    * (frame_idx, gradient offset c) — the checksum seeds with the frame
+    * index and the resized plane is fully determined by
+    * c = (f + 31·doc) mod 256, so distinct checksums = distinct
+    * (idx, c) pairs (MultimodalSpec covers checksum determinism).
     */
   val qMultimodalFrames: Q = (s, d) => {
     sampleFrames(syntheticMedia(s, d), stride = 30)
@@ -457,6 +527,20 @@ object Multimodal {
            countDistinct(col("frame_checksum")).as("distinct_frames"))
       .orderBy("media_id")
   }
+
+  val qMultimodalFramesSql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, 31 + doc_id % 90 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2
+      |), frames AS (
+      |  SELECT doc_id, f.f AS frame_idx, (f.f + 31 * doc_id) % 256 AS c
+      |  FROM vids, generate_series(0, 119) f(f)
+      |  WHERE f.f < nf AND f.f % 30 = 0
+      |)
+      |SELECT doc_id AS media_id, count(*) AS n_sampled,
+      |       CAST(count(*) * 256 AS BIGINT) AS sampled_bytes,
+      |       count(DISTINCT frame_idx * 256 + c) AS distinct_frames
+      |FROM frames GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   /** Cross-engine decode gate: per media blob, the mean intensity and
     * frame count that the REAL codecs (javax.imageio PNG decode,
@@ -586,6 +670,8 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_decode"      -> qMultimodalDecodeSql,
-    "q_multimodal_frames_luma" -> qMultimodalFramesLumaSql
+    "q_multimodal_frames_luma" -> qMultimodalFramesLumaSql,
+    "q_multimodal_features"    -> qMultimodalFeaturesSql,
+    "q_multimodal_frames"      -> qMultimodalFramesSql
   )
 }

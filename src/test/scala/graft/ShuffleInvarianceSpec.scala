@@ -19,18 +19,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * Comparison is ordered — the result contract includes each query's
   * output order, which the gate's hash also depends on.
   *
-  * Known partition-layout-dependent keys, excluded with cause:
-  *  - q_agg_approx: approx_percentile/HLL sketches merge per-partition
-  *    summaries, so the *approximation* (not the contract) legitimately
-  *    varies with the partition layout; the driver records it rows-only
-  *    for the same reason, and its exact companion (q_agg_stats) is
-  *    hash-oracled and covered here.
+  * No keys are excluded: q_agg_approx used to be (its raw sketch
+  * estimates merge per-partition summaries and legitimately vary with
+  * layout), but it now emits within-guaranteed-error BOOLEANS plus
+  * exact anchors — layout-invariant by construction as long as the
+  * sketches honor their error bounds under every layout, which is
+  * exactly what this suite should be checking.
   */
 class ShuffleInvarianceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private val LayoutDependent = Set("q_agg_approx")
+  private val LayoutDependent = Set.empty[String]
 
   private def runKeys(dir: String,
                       keys: String => Boolean): Map[String, Seq[String]] =
