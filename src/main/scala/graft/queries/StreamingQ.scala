@@ -156,20 +156,23 @@ object StreamingQ {
   /** TRUE streaming session windows under the RocksDB state store — at
     * 100 TB session state is the largest keyed state in this suite, so
     * the gate entry exercises the production store, not just batch
-    * semantics. The week-batched replay of `events` feeds a watermarked
-    * session aggregate in Append mode; a far-future sentinel row (user
-    * −1, filtered from the result) advances the final watermark so every
-    * real session is finalized and emitted. The week batches arrive in
-    * time order, so no real row is ever below the watermark (same
-    * boundary argument as [[qStreamStateful]]) and the emitted sessions
-    * hash-match the batch sessionization oracle exactly.
+    * semantics — fed by a DISTRIBUTED file source ([[eventWeekFiles]]:
+    * one parquet file per calendar week, one file per micro-batch), not
+    * the driver-resident MemoryStream harness. A far-future sentinel
+    * file (user −1, filtered from the result) advances the final
+    * watermark so every real session is finalized and emitted. The week
+    * files arrive in time order, so no real row is ever below the
+    * watermark (same boundary argument as [[qStreamStateful]]) and the
+    * emitted sessions hash-match the batch sessionization oracle
+    * exactly.
     */
   val qStreamSession: Q = (s, d) => withRocksDb(s) {
-    val batches = eventWeekBatches(s, d)
-    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
-    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
-                      -1L, "wm_flush", 0.0)
-    runReplayStream(s, "graft_stream_session", batches :+ Seq(sentinel)) { df =>
+    // fed by the DISTRIBUTED week-file replay (executors read the
+    // batches; the driver only admits one file per trigger) — the
+    // far-future sentinel is the last file, so every real session
+    // finalizes exactly as in the MemoryStream form and the oracle
+    // hash is unchanged
+    runFileReplayStream(s, "graft_stream_session", d) { df =>
       df.withWatermark("ts", "30 minutes")
         .groupBy(col("user_id"),
                  session_window(col("ts"), "30 minutes").as("w"))
@@ -419,6 +422,95 @@ object StreamingQ {
       .collect()
     evs.groupBy(_._6).toSeq.sortBy(_._1.getTime)
       .map(_._2.toSeq.map(t => Ev(t._1, t._2, t._3, t._4, t._5)))
+  }
+
+  /** Week-batched replay through a DISTRIBUTED source: the events table
+    * is written ONCE per sf dir as one parquet file per Monday-truncated
+    * calendar week (ascending modification times pin the file order),
+    * plus a final far-future sentinel file; a `readStream.parquet` with
+    * `maxFilesPerTrigger=1` then replays week-by-week under
+    * `Trigger.AvailableNow`. Unlike the MemoryStream harness (whose
+    * feed is driver-resident by definition), EXECUTORS read the batch
+    * rows here — the one shape that survives a 100× scale-up, where
+    * each weekly file becomes a directory of part files and the
+    * micro-batch admission is unchanged. Seeding is once-per-dir
+    * (`_SEEDED`-guarded), same rationale as the bucketed layouts: the
+    * operator under test is the streaming aggregate, not the writer.
+    */
+  private[graft] def eventWeekFiles(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = graft.queries.Relational.scratchDir("stream_weeks", d)
+    val seeded = java.nio.file.Paths.get(dir, "_SEEDED")
+    if (!java.nio.file.Files.exists(seeded)) {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+      val weeks = ev.select(date_trunc("week", col("ts")).as("wk"))
+        .distinct().orderBy("wk").as[Timestamp].collect() // ≤ |weeks| rows
+      val maxTs = ev.agg(max(col("ts"))).as[Timestamp].head()
+      val sentinel = Ev(-1L, new Timestamp(maxTs.getTime +
+        365L * 24 * 3600 * 1000), -1L, "wm_flush", 0.0)
+      val tmp = s"$dir/_tmp"
+      val base = 1700000000000L // fixed epoch so reseeds are stable
+      def place(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        val dst = java.nio.file.Paths.get(dir, f"w$i%03d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly ascending mtimes = the replay order the file source
+        // admits (one file per trigger, oldest first)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      }
+      weeks.zipWithIndex.foreach { case (wk, i) =>
+        place(ev.where(date_trunc("week", col("ts")) === wk), i)
+      }
+      place(Seq(sentinel).toDS().toDF(), weeks.length)
+      rmTree(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.createFile(seeded)
+    }
+    dir
+  }
+
+  /** Run `build` over the week-file replay of `d`'s events as a real
+    * file-source stream (one weekly file per micro-batch, AvailableNow),
+    * results into a memory sink named `name`. State-store partition
+    * sizing and checkpoint placement mirror [[runReplayStreams]].
+    */
+  private def runFileReplayStream(s: SparkSession, name: String, d: String)
+                                 (build: DataFrame => DataFrame): DataFrame = {
+    val dir = eventWeekFiles(s, d)
+    val totalRows = Tables.events(s, d).count()
+    val parts = math.max(2, math.min(8, totalRows / 100000)).toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val ckptBase =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(ckptBase, s"graft_ckpt_${name}_")
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/w*.parquet")
+      val q = build(src)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        q.stop()
+        try rmTree(ckpt) catch { case _: Exception => }
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   /** Exact cents of a 2-decimal value — the running total accumulates
