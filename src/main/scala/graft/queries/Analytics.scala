@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import util._
 
-/** Round-14 analytics additions: URL functions + web-corpus URL
+/** Round-13 analytics additions: URL functions + web-corpus URL
   * canonicalization dedup, exact order statistics (deterministic mode,
   * exact median), sketch-based quantiles under a tolerance oracle, and
   * iterative graph analytics (weighted PageRank on the event-transition
@@ -261,6 +261,22 @@ object Analytics {
     * event-cardinality ratio.
     */
   val qGraphPagerank: Q = (s, d) => {
+    val (plan, deps) = graphPagerankPlan(s, d)
+    // materialize the |types|-row result eagerly so the per-invocation
+    // edge/node caches are released instead of accumulating in the session
+    val out = plan.localCheckpoint(true)
+    deps.foreach(_.unpersist())
+    out.orderBy("node")
+  }
+
+  /** Declarative form of [[qGraphPagerank]] before the eager checkpoint
+    * — PlanSpec asserts the persisted-edge-reuse shape on THIS plan.
+    * Callers unpersist the returned deps after materializing.
+    */
+  private[graft] def graphPagerankPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.sql.Dataset[_]]) = {
     val ev = Tables.events(s, d)
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -287,13 +303,8 @@ object Analytics {
           (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0)))
             .as("rank"))
     }
-    // materialize the |types|-row result eagerly so the per-invocation
-    // edge/node caches are released instead of accumulating in the session
-    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-      .localCheckpoint(true)
-    e.unpersist()
-    nodes.unpersist()
-    out.orderBy("node")
+    (ranks.select(col("node"), round(col("rank"), 6).as("rank")),
+     Seq(e, nodes))
   }
 
   val qGraphPagerankSql: String =
@@ -615,7 +626,132 @@ object Analytics {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Conditional aggregation surface — ANSI `FILTER` clause aggregates,
+    * `count_if`, and the boolean reducers `bool_and`/`bool_or`, all in
+    * one grouped pass. Every filtered aggregate is still a map-side
+    * combining hash aggregate (the predicate gates accumulation, it
+    * does not add a shuffle or a second scan) — the cheap way to compute
+    * N segment metrics over 100 TB is one pass with N gated
+    * accumulators, not N filtered scans. The conditional mean is derived
+    * as an explicit decimal-sum / count division so both engines perform
+    * the identical single FP division.
+    */
+  val qAggFiltered: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count_if(o_orderstatus = 'F')").as("n_finished"),
+        expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)")
+          .as("n_big_custs"),
+        expr("sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+             "FILTER (WHERE o_orderstatus = 'O')")
+          .cast("double").as("open_value"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_totalprice > 400000)").as("has_jumbo"),
+        expr("sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+             "FILTER (WHERE month(o_orderdate) <= 6)").as("h1_sum"),
+        expr("count_if(month(o_orderdate) <= 6)").as("h1_n"))
+      .withColumn("h1_avg",
+        round(col("h1_sum").cast("double") / col("h1_n"), 6))
+      .withColumn("h1_sum", col("h1_sum").cast("double"))
+      .orderBy("o_orderpriority")
+
+  val qAggFilteredSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+      |  count(DISTINCT o_custkey) FILTER (o_totalprice > 200000)
+      |    AS n_big_custs,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       FILTER (o_orderstatus = 'O') AS DOUBLE) AS open_value,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_totalprice > 400000) AS has_jumbo,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       FILTER (month(o_orderdate) <= 6) AS DOUBLE) AS h1_sum,
+      |  count(*) FILTER (month(o_orderdate) <= 6) AS h1_n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |             FILTER (month(o_orderdate) <= 6) AS DOUBLE)
+      |        / count(*) FILTER (month(o_orderdate) <= 6), 6) AS h1_avg
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Triangle counting over a mutual-top-k co-purchase graph — the
+    * standard graph-mining pipeline (build weighted co-occurrence edges
+    * → sparsify → count closed wedges) used for community density and
+    * recommendation-graph QA.
+    *
+    * Scale shape: the co-occurrence build self-joins lineitem ON
+    * l_orderkey, so candidate pairs are Σ k² per order (k ≈ 4 lines),
+    * linear in facts — never parts². Sparsification is mutual top-8
+    * (row_number over (w DESC, v ASC), then an edge survives only if
+    * each endpoint keeps the other), which caps every node's degree at
+    * 8 REGARDLESS of corpus size: the triangle join's wedge count is
+    * ≤ |V|·8², so a 100× corpus grows the triangle stage linearly in
+    * |V|, not |E|². All orderings are total (weight ties break on
+    * neighbor id), so the graph — and the count — is deterministic.
+    */
+  val qGraphTriangles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = e.select(col("u"), col("v"), col("w"))
+      .union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val byStrength = Window.partitionBy("u")
+      .orderBy(col("w").desc, col("v").asc)
+    val topk = sym.withColumn("rk", row_number().over(byStrength))
+      .where(col("rk") <= 8).select("u", "v")
+    val mutual = topk.alias("x")
+      .join(topk.alias("y"),
+        col("x.u") === col("y.v") && col("x.v") === col("y.u"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+      .where(col("u") < col("v"))
+    val tri = mutual.alias("e1")
+      .join(mutual.alias("e2"), col("e1.v") === col("e2.u"))
+      .join(mutual.alias("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"),
+              col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(20)
+  }
+
+  val qGraphTrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                     AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+      |topk AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, row_number()
+      |      OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rk
+      |    FROM sym) WHERE rk <= 8),
+      |mut AS (
+      |  SELECT x.u AS u, x.v AS v FROM topk x
+      |  JOIN topk y ON x.u = y.v AND x.v = y.u
+      |  WHERE x.u < x.v),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM mut e1
+      |  JOIN mut e2 ON e1.v = e2.u
+      |  JOIN mut e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |nodes AS (
+      |  SELECT a AS node FROM tri UNION ALL
+      |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_tri FROM nodes
+      |GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 20""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_agg_filtered"        -> qAggFiltered,
+    "q_graph_triangles"     -> qGraphTriangles,
     "q_fn_url"              -> qFnUrl,
     "q_dedup_url"           -> qDedupUrl,
     "q_agg_mode_median"     -> qAggModeMedian,
@@ -632,6 +768,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_filtered"        -> qAggFilteredSql,
+    "q_graph_triangles"     -> qGraphTrianglesSql,
     "q_fn_url"              -> qFnUrlSql,
     "q_dedup_url"           -> qDedupUrlSql,
     "q_agg_mode_median"     -> qAggModeMedianSql,

@@ -80,6 +80,24 @@ object Curation {
     * the DuckDB oracle.
     */
   val qJoinSetsim: Q = (s, d) => {
+    val (plan, deps) = joinSetsimPlan(s, d)
+    // materialize the (dup-rate-sized) pair set eagerly so the
+    // corpus-sized gram cache can be released now instead of leaking
+    // one persisted dataset per invocation into the shared session
+    val out = plan.localCheckpoint(true)
+    deps.foreach(_.unpersist())
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** Declarative form of [[qJoinSetsim]] before the eager checkpoint —
+    * PlanSpec asserts the prefix-filter join strategy on THIS plan (the
+    * checkpointed result is a bare RDD scan). Callers unpersist the
+    * returned deps after materializing.
+    */
+  private[graft] def joinSetsimPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.sql.Dataset[_]]) = {
     import s.implicits._
     // the typed flatMap is referenced FIVE times downstream (sizes, df,
     // ranked, both intersection sides); Catalyst does not dedupe typed
@@ -129,12 +147,7 @@ object Curation {
       .select(col("doc_a"), col("doc_b"),
               round(col("inter").cast("double") /
                     (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      // materialize the (dup-rate-sized) pair set eagerly so the
-      // corpus-sized gram cache can be released now instead of leaking
-      // one persisted dataset per invocation into the shared session
-      .localCheckpoint(true)
-    grams.unpersist()
-    out.orderBy("doc_a", "doc_b")
+    (out, Seq(grams))
   }
 
   /** Brute-force all-pairs re-derivation (oracle-side only — 500 docs at

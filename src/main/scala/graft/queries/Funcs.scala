@@ -230,7 +230,63 @@ object Funcs {
       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_urgent
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Bitwise family — AND/OR/XOR, shifts, popcount, plus the mergeable
+    * bitwise AGGREGATES (bit_or/bit_and/bit_xor). The aggregates are the
+    * scale-relevant part: a bitmask-per-group rollup combines map-side
+    * (commutative/associative), so flag-summarizing 100 TB of rows
+    * shuffles one word per (group, column) — the same shape the F7 GO
+    * flag decode (reference scrape.py:204-231) would need to audit flag
+    * coverage over a full lake. Shift operands are bounded (`% 1024`,
+    * shift 4) so neither engine can hit BIGINT overflow semantics.
+    */
+  val qFnBitwise: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("k_and"),
+        (col("l_orderkey").bitwiseOR(col("l_suppkey"))).as("k_or"),
+        (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("k_xor"),
+        shiftleft(col("l_partkey") % 1024, 4).as("k_shl"),
+        shiftright(col("l_orderkey"), 3).as("k_shr"),
+        bit_count(col("l_orderkey")).cast("long").as("k_pop"),
+        col("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k_and").as("sum_and"),
+        sum("k_or").as("sum_or"),
+        sum("k_xor").as("sum_xor"),
+        sum("k_shl").as("sum_shl"),
+        sum("k_shr").as("sum_shr"),
+        sum("k_pop").as("sum_pop"),
+        expr("bit_or(k_pop)").as("agg_or"),
+        expr("bit_and(k_or)").as("agg_and"),
+        expr("bit_xor(k_xor)").as("agg_xor"))
+      .orderBy("l_returnflag")
+
+  val qFnBitwiseSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    l_orderkey & l_partkey AS k_and,
+      |    l_orderkey | l_suppkey AS k_or,
+      |    xor(l_partkey, l_suppkey) AS k_xor,
+      |    (l_partkey % 1024) << 4 AS k_shl,
+      |    l_orderkey >> 3 AS k_shr,
+      |    CAST(bit_count(l_orderkey) AS BIGINT) AS k_pop
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(k_and) AS BIGINT) AS sum_and,
+      |  CAST(sum(k_or) AS BIGINT) AS sum_or,
+      |  CAST(sum(k_xor) AS BIGINT) AS sum_xor,
+      |  CAST(sum(k_shl) AS BIGINT) AS sum_shl,
+      |  CAST(sum(k_shr) AS BIGINT) AS sum_shr,
+      |  CAST(sum(k_pop) AS BIGINT) AS sum_pop,
+      |  bit_or(k_pop) AS agg_or, bit_and(k_or) AS agg_and,
+      |  bit_xor(k_xor) AS agg_xor
+      |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_fn_bitwise"    -> qFnBitwise,
     "q_fn_string"     -> qFnString,
     "q_fn_date"       -> qFnDate,
     "q_fn_math"       -> qFnMath,
@@ -241,6 +297,7 @@ object Funcs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_bitwise"    -> qFnBitwiseSql,
     "q_fn_string"     -> qFnStringSql,
     "q_fn_date"       -> qFnDateSql,
     "q_fn_math"       -> qFnMathSql,

@@ -471,6 +471,21 @@ object LlmOps {
     */
   private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     chainArtifact(s, d, "pairs") {
+      val (plan, deps) = lshVerifiedPairsPlan(s, d)
+      val out = plan.localCheckpoint(true)
+      deps.foreach(_.unpersist())
+      out
+    }
+
+  /** The declarative (uncached) form of [[lshVerifiedPairs]] plus the
+    * corpus-sized persists it uses, so PlanSpec can assert the join
+    * strategy of the REAL build plan (the memoized artifact is a
+    * checkpoint scan and shows nothing). Callers must unpersist the
+    * returned deps after materializing.
+    */
+  private[graft] def lshVerifiedPairsPlan(
+      s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.Dataset[_]]) = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val bands = bandRows(s, d)
@@ -502,10 +517,7 @@ object LlmOps {
               round(col("inter").cast("double") /
                     (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .localCheckpoint(true)
-    bands.unpersist()
-    grams.unpersist()
-    out
+    (out, Seq(bands, grams))
   }
 
   /** Near-dup CLUSTERING over the verified pair graph — the full
@@ -753,6 +765,19 @@ object LlmOps {
     * and asserts exactly it is found.
     */
   val qDedupEmbed: Q = (s, d) => {
+    val (plan, deps) = dedupEmbedPlan(s, d)
+    val out = plan.localCheckpoint(true)
+    deps.foreach(_.unpersist())
+    out.orderBy("vec_a", "vec_b")
+  }
+
+  /** Declarative form of [[qDedupEmbed]] (before the eager checkpoint
+    * that releases the signature cache) — see [[lshVerifiedPairsPlan]]
+    * for why PlanSpec needs the uncached plan.
+    */
+  private[graft] def dedupEmbedPlan(
+      s: SparkSession, d: String)
+      : (DataFrame, Seq[org.apache.spark.sql.Dataset[_]]) = {
     import s.implicits._
     val k = 32
     val chunks = 4
@@ -815,9 +840,7 @@ object LlmOps {
       .select(col("vec_a"), col("vec_b"),
               round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
       .where(col("cos_sim") >= 0.95)
-      .localCheckpoint(true)
-    sigChunks.unpersist()
-    out.orderBy("vec_a", "vec_b")
+    (out, Seq(sigChunks))
   }
 
   /** Pairwise-cosine distribution over a BOUNDED sample — the oracled

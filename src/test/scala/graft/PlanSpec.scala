@@ -162,8 +162,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dedup_lsh_verify: band-bucket equi-joins, no broadcast of corpus data") {
     withBroadcastOff {
-      val df = SparkEntry.queries("q_dedup_lsh_verify")(spark, sf)
+      // the registered key returns the memoized chain artifact (a bare
+      // checkpoint scan) — assert the REAL build plan
+      val (df, deps) = graft.queries.LlmOps.lshVerifiedPairsPlan(spark, sf)
       val p = plan(df)
+      deps.foreach(_.unpersist())
       assert(p.contains("ShuffledHashJoin"),
              "candidate generation and gram intersection hash-join on " +
              "wide keys — sorting them is pure overhead")
@@ -178,8 +181,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dedup_embed: chunk-bucket equi-join candidates, no cartesian, " +
        "canary adds no corpus pass") {
-    val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
+    val (df, deps) = graft.queries.LlmOps.dedupEmbedPlan(spark, sf)
     val p = plan(df)
+    deps.foreach(_.unpersist())
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
            "the n² vector pair space must never be planned")
@@ -385,7 +389,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_graph_pagerank: aggregated graph is persisted once, reused per iteration") {
-    val p = plan("q_graph_pagerank")
+    val (df, deps) = graft.queries.Analytics.graphPagerankPlan(spark, sf)
+    val p = plan(df)
+    deps.foreach(_.unpersist())
     assert(p.contains("InMemoryTableScan"),
            "edge table must come from the persisted InMemoryRelation, " +
              "not a rebuilt lineage per iteration")
@@ -427,7 +433,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_join_setsim: candidate generation is an equi-join on the gram key") {
-    val p = plan("q_join_setsim")
+    val (df, deps) = graft.queries.Curation.joinSetsimPlan(spark, sf)
+    val p = plan(df)
+    deps.foreach(_.unpersist())
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
            "prefix filtering must keep pair generation an equi-join")
