@@ -468,7 +468,192 @@ object Curation {
       |FROM exact WHERE rk <= 20
       |ORDER BY n_exact DESC, gram""".stripMargin
 
+  /** Bloom-filter membership pre-screen for incremental dedup — the
+    * cheap first stage of "is tonight's crawl batch already in the
+    * corpus?": build one Bloom sketch over the corpus text hashes, probe
+    * the batch, and only bloom-positive rows pay the exact text join.
+    *
+    * The probe batch is constructed deterministically from the corpus
+    * itself (both engines replay it): docs with `doc_id % 10 = 0`
+    * arrive re-worded (text + a novelty marker — guaranteed absent) and
+    * docs with `doc_id % 10 = 5` arrive verbatim (guaranteed present),
+    * so both branches of the screen are exercised.
+    *
+    * Scale shape: the sketch is sized from the corpus cardinality
+    * (~16 bits/key), builds as a mergeable partial aggregate, and ships
+    * to the probe side as ONE broadcast bitmap — the corpus is never
+    * shuffled against the batch. The exact-verify join is batch-sized
+    * on its left and bloom-survivor-sized on its right. Oracled via the
+    * tolerance pattern: exact anchors (n_batch, n_true_dups) hash-match
+    * DuckDB; the Bloom contract (no false negatives, false-positive
+    * rate within 5%) is pinned as booleans the oracle sets TRUE.
+    */
+  val qDedupBloom: Q = (s, d) => {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.classic.GraftShim
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val corpus = docs.select(col("text"))
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"),
+              concat(col("text"), lit(" fresh-crawl-2026")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 5))
+    val nKeys = math.max(4096L, corpus.count())
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(
+        GraftShim.expression(xxhash64(col("text"))),
+        Literal(nKeys), Literal(nKeys * 16)
+      ).toAggregateExpression())
+    val bf = corpus.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val might = GraftShim.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col("text")))))
+    val flagged = batch
+      .withColumn("bloom_hit", might)
+      .join(corpus.distinct().withColumn("in_corpus", lit(true)),
+            Seq("text"), "left")
+      .withColumn("is_dup", coalesce(col("in_corpus"), lit(false)))
+    flagged.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        expr("count_if(is_dup)").as("n_true_dups"),
+        // Bloom guarantees: a true member always hits…
+        expr("bool_and(NOT is_dup OR bloom_hit)").as("no_false_negatives"),
+        // …and false positives stay under the (generous) 5% rate bound
+        (expr("count_if(bloom_hit AND NOT is_dup)") <=
+          greatest(lit(1L), (expr("count_if(NOT is_dup)") * 5) / 100))
+          .as("fp_within_bound"))
+      .orderBy("lang")
+  }
+
+  val qDedupBloomSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id, lang, text || ' fresh-crawl-2026' AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 5)
+      |SELECT lang, count(*) AS n_batch,
+      |  count(c.text) AS n_true_dups,
+      |  TRUE AS no_false_negatives,
+      |  TRUE AS fp_within_bound
+      |FROM batch b
+      |LEFT JOIN (SELECT DISTINCT text FROM documents) c USING (text)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Text canonicalization + normalized-key dedup — the CCNet/C4-style
+    * pre-dedup stage: lowercase, strip non-alphanumerics, collapse
+    * whitespace, then group on the md5 of the normalized form and keep
+    * the min doc_id per group. The input plants deterministic variants
+    * (every `doc_id % 20 = 0` doc re-appears uppercased with extra
+    * punctuation/whitespace under doc_id+100000) so the normalizer's
+    * collapse is witnessed by keep=false rows, not vacuously green.
+    *
+    * Scale shape: normalization is row-local (regex in whole-stage
+    * codegen); the only exchange is the group-on-hash — identical to
+    * exact dedup. Regex classes are shared Java/RE2 semantics
+    * ([^a-z0-9 ], space runs), so both engines normalize identically.
+    */
+  val qTextNormalize: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val withVariants = docs.unionByName(
+      docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+                concat(lit("  "), upper(col("text")), lit(" !! ")).as("text")))
+    val norm = withVariants.withColumn("norm",
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+    val w = Window.partitionBy("norm_key")
+    norm.select(col("doc_id"), md5(col("norm")).as("norm_key"),
+                length(col("norm")).cast("long").as("norm_len"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  val qTextNormalizeSql: String =
+    """WITH input AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, '  ' || upper(text) || ' !! '
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM input)
+      |SELECT doc_id, md5(norm) AS norm_key,
+      |  CAST(length(norm) AS BIGINT) AS norm_len,
+      |  count(*) OVER (PARTITION BY norm) AS dup_count,
+      |  doc_id = min(doc_id) OVER (PARTITION BY norm) AS keep
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Int8 scalar quantization of the embedding table — the compression
+    * step ANN serving layers run before indexing: per-dimension min/max
+    * → 256-level codes → reconstruction-error audit per label.
+    *
+    * Scale shape: the per-dimension stats aggregate is bounded by the
+    * dimensionality (64 rows), broadcast back to the element stream —
+    * the corpus-sized side never shuffles. Cross-engine exactness:
+    * float→double casts are exact, every derived value is a short
+    * chain of identically-written IEEE ops, codes are exact integers,
+    * and the error sum is rounded-then-DECIMAL (order-free). The
+    * degenerate constant-dimension case divides by a guarded width
+    * (greatest(hi-lo, 1e-30)) in both engines.
+    */
+  val qEmbedQuantize: Q = (s, d) => {
+    val elems = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = elems.groupBy("pos")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .withColumn("width", greatest(col("hi") - col("lo"), lit(1e-30)))
+    elems.join(broadcast(stats), "pos")
+      .withColumn("code",
+        least(lit(255L), floor((col("v") - col("lo")) / col("width") * 256)
+          .cast("long")))
+      .withColumn("deq",
+        col("lo") + (col("code").cast("double") + 0.5) * col("width") / 256.0)
+      .withColumn("err", abs(col("v") - col("deq")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum("code").as("sum_codes"),
+        round(
+          sum(round(col("err"), 9).cast(DecimalType(24, 9))).cast("double") /
+            count(lit(1)), 9).as("mean_abs_err"))
+      .orderBy("label")
+  }
+
+  val qEmbedQuantizeSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT pos, min(v) AS lo, max(v) AS hi,
+      |         greatest(max(v) - min(v), 1e-30) AS width
+      |  FROM el GROUP BY pos),
+      |q AS (
+      |  SELECT label,
+      |    least(255, CAST(floor((v - lo) / width * 256) AS BIGINT)) AS code,
+      |    lo, width, v
+      |  FROM el JOIN st USING (pos)),
+      |e AS (
+      |  SELECT label, code,
+      |    abs(v - (lo + (CAST(code AS DOUBLE) + 0.5) * width / 256.0)) AS err
+      |  FROM q)
+      |SELECT label, count(*) AS n_vals,
+      |  CAST(sum(code) AS BIGINT) AS sum_codes,
+      |  round(CAST(SUM(CAST(round(err, 9) AS DECIMAL(24,9))) AS DOUBLE)
+      |        / count(*), 9) AS mean_abs_err
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_dedup_bloom"            -> qDedupBloom,
+    "q_text_normalize"         -> qTextNormalize,
+    "q_embed_quantize"         -> qEmbedQuantize,
     "q_join_setsim"            -> qJoinSetsim,
     "q_cluster_kmeans"         -> qClusterKmeans,
     "q_sample_weighted"        -> qSampleWeighted,
@@ -477,6 +662,9 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_bloom"            -> qDedupBloomSql,
+    "q_text_normalize"         -> qTextNormalizeSql,
+    "q_embed_quantize"         -> qEmbedQuantizeSql,
     "q_join_setsim"            -> qJoinSetsimSql,
     "q_cluster_kmeans"         -> qClusterKmeansSql,
     "q_sample_weighted"        -> qSampleWeightedSql,

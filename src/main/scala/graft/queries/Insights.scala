@@ -883,7 +883,107 @@ object Insights {
        |FROM l""".stripMargin
   }
 
+  /** Chi-squared independence test between event type and day-of-week —
+    * the categorical-drift cousin of [[qStatsAb]]: is traffic mix
+    * independent of weekday? One grouped pass builds the contingency
+    * cells; everything after runs on the AGGREGATED |types|×7 table, so
+    * at 100 TB the statistical machinery costs nothing beyond the first
+    * rollup (and the cells are eagerly checkpointed once, not rebuilt
+    * for each marginal). Cross-engine exactness: cell counts and
+    * marginals are integers; each expected value is the single
+    * expression CAST(r AS DOUBLE)*c/tot evaluated identically by both
+    * engines; per-cell terms are rounded to 6 dp and summed in DECIMAL
+    * so addition order cannot matter.
+    */
+  val qStatsChisq: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType => Dec}
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // |types|×7 rows; one events scan, 4 readers
+    val r = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val c = cells.groupBy("dow").agg(sum("o").as("c"))
+    val g = cells.agg(sum("o").as("tot"),
+                      countDistinct("event_type").as("nt"),
+                      countDistinct("dow").as("nd"))
+    cells.join(r, "event_type").join(c, "dow").crossJoin(broadcast(g))
+      .withColumn("e", col("r").cast("double") * col("c") / col("tot"))
+      .groupBy("event_type")
+      .agg(
+        min(col("r")).as("n"),
+        sum(round((col("o") - col("e")) * (col("o") - col("e")) / col("e"),
+                  6).cast(Dec(18, 6))).cast("double").as("chi2_part"),
+        min((col("nt") - 1) * (col("nd") - 1)).as("dof"))
+      .orderBy("event_type")
+  }
+
+  val qStatsChisqSql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |         dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+      |         count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      |      FROM cells GROUP BY 1),
+      |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |g AS (SELECT CAST(sum(o) AS BIGINT) AS tot,
+      |             count(DISTINCT event_type) AS nt,
+      |             count(DISTINCT dow) AS nd FROM cells),
+      |t AS (
+      |  SELECT cells.event_type, cells.o,
+      |         CAST(r.r AS DOUBLE) * c.c / g.tot AS e,
+      |         r.r AS r, g.nt AS nt, g.nd AS nd
+      |  FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+      |  CROSS JOIN g)
+      |SELECT event_type, min(r) AS n,
+      |  CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+      |                AS DECIMAL(18,6))) AS DOUBLE) AS chi2_part,
+      |  min((nt - 1) * (nd - 1)) AS dof
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Day-of-week seasonality profile over the daily series — per
+    * (event_type, weekday): total volume, observed days, and the
+    * seasonal index (weekday mean ÷ type-wide daily mean). Both means
+    * and the index are single divisions over integer-exact sums written
+    * identically in both engines, so no tolerance is needed. Everything
+    * downstream of the [[dailyCounts]] rollup is |types|×7-sized.
+    */
+  val qTimeSeasonality: Q = (s, d) => {
+    val daily = dailyCounts(s, d)
+    val byDow = daily.withColumn("dow", dayofweek(col("day")))
+      .groupBy("event_type", "dow")
+      .agg(sum("n").as("n_dow"), count(lit(1)).as("days"))
+    val byType = daily.groupBy("event_type")
+      .agg(sum("n").as("n_type"), count(lit(1)).as("days_type"))
+    byDow.join(byType, "event_type")
+      .select(col("event_type"), col("dow"), col("n_dow"), col("days"),
+        round((col("n_dow").cast("double") / col("days")) /
+              (col("n_type").cast("double") / col("days_type")), 6)
+          .as("seasonal_idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  val qTimeSeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |by_dow AS (
+      |  SELECT event_type, dayofweek(day) + 1 AS dow,
+      |         CAST(sum(n) AS BIGINT) AS n_dow, count(*) AS days
+      |  FROM daily GROUP BY 1, 2),
+      |by_type AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type,
+      |         count(*) AS days_type
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, dow, n_dow, days,
+      |  round((CAST(n_dow AS DOUBLE) / days) /
+      |        (CAST(n_type AS DOUBLE) / days_type), 6) AS seasonal_idx
+      |FROM by_dow JOIN by_type USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_stats_chisq" -> qStatsChisq,
+    "q_time_seasonality" -> qTimeSeasonality,
     "q_win_ewma"   -> qWinEwma,
     "q_time_gaps"  -> qTimeGaps,
     "q_stats_ab"   -> qStatsAb,
@@ -901,6 +1001,8 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_chisq" -> qStatsChisqSql,
+    "q_time_seasonality" -> qTimeSeasonalitySql,
     "q_win_ewma"   -> qWinEwmaSql,
     "q_time_gaps"  -> qTimeGapsSql,
     "q_stats_ab"   -> qStatsAbSql,

@@ -244,4 +244,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val mass = out.values.sum
     assert(mass > 0.15 && mass <= 1.0 + 1e-9)
   }
+
+  test("q_graph_triangles: counts are closed wedges of a degree-capped graph") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qGraphTriangles(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture graph must close at least one triangle")
+    // every participation count is a positive multiple of a whole
+    // triangle's contribution to one node
+    rows.foreach(r => assert(r.getAs[Long]("n_tri") >= 1L))
+    // output ordering is the deterministic (n_tri DESC, node ASC) total
+    val pairs = rows.map(r => (r.getAs[Long]("n_tri"), r.getAs[Long]("node")))
+    assert(pairs.sameElements(pairs.sortBy { case (n, v) => (-n, v) }))
+    // the filtered-aggregate surface: booleans and anchors agree with a
+    // direct computation
+    val f = Analytics.qAggFiltered(spark, sf).collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("nf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_finished") == direct(r.getString(0)),
+             "count_if must equal the explicit conditional sum")
+      assert(r.getAs[Boolean]("all_positive"))
+    }
+  }
 }

@@ -138,4 +138,56 @@ class CurationSpec extends AnyFunSuite {
     assert(sel > all,
       s"w=n_chars sample mean ($sel) should exceed corpus mean ($all)")
   }
+
+  test("q_dedup_bloom: verbatim re-crawls all flagged, novel docs all pass") {
+    val rows = Curation.qDedupBloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nBatch = rows.map(_.getAs[Long]("n_batch")).sum
+    val nDups = rows.map(_.getAs[Long]("n_true_dups")).sum
+    // batch construction: doc_id%10==0 are novel, %10==5 verbatim dups
+    val docs = Tables.documents(spark, sf)
+    val expDups = docs.where(col("doc_id") % 10 === 5).count()
+    val expNovel = docs.where(col("doc_id") % 10 === 0).count()
+    assert(nDups == expDups, "every verbatim re-crawl must verify as dup")
+    assert(nBatch == expDups + expNovel)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_false_negatives"),
+             s"${r.getString(0)}: bloom missed a true member")
+      assert(r.getAs[Boolean]("fp_within_bound"),
+             s"${r.getString(0)}: bloom fp rate above bound")
+    }
+  }
+
+  test("q_text_normalize: planted case/punct/whitespace variants collapse") {
+    val rows = Curation.qTextNormalize(spark, sf).collect()
+    val planted = rows.filter(_.getAs[Long]("doc_id") >= 100000L)
+    assert(planted.nonEmpty, "variant construction must plant rows")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("dup_count") == 2L,
+             s"variant ${r.getAs[Long]("doc_id")} did not collapse onto its source")
+      assert(!r.getAs[Boolean]("keep"),
+             "the higher-id variant must lose the keep decision")
+    }
+    // originals keep their groups
+    assert(rows.filter(_.getAs[Long]("doc_id") < 100000L)
+               .forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("q_embed_quantize: 256-level codes bound reconstruction error by half a step") {
+    import spark.implicits._
+    val rows = Curation.qEmbedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // max step/2 over all dims bounds the per-label mean |err|
+    val elems = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val maxWidth = elems.groupBy("pos")
+      .agg((max("v") - min("v")).as("w"))
+      .agg(max("w")).head.getDouble(0)
+    val bound = maxWidth / 256.0 / 2.0 + 1e-9
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_abs_err") <= bound,
+             s"label ${r.get(0)}: mean err above half-step bound $bound")
+    }
+  }
 }

@@ -416,4 +416,33 @@ class InsightsSpec extends AnyFunSuite {
       !incr.contains("BroadcastNestedLoopJoin"),
       "the index probe must be a gram equi-join")
   }
+
+  test("q_stats_chisq: parts are non-negative, dof matches the table shape") {
+    val rows = Insights.qStatsChisq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val nt = ev.select("event_type").distinct().count()
+    val nd = ev.select(dayofweek(col("ts"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_part") >= 0.0)
+      assert(r.getAs[Long]("dof") == (nt - 1) * (nd - 1))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // row totals partition the events
+    assert(rows.map(_.getAs[Long]("n")).sum == ev.count())
+  }
+
+  test("q_time_seasonality: per-type volume-weighted index averages to 1") {
+    val rows = Insights.qTimeSeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      // Σ_dow days·(idx·typeMean) = Σ n_dow  ⇒  Σ days·idx = Σ days
+      // up to the 6-dp rounding of idx
+      val days = rs.map(_.getAs[Long]("days").toDouble)
+      val idx = rs.map(_.getAs[Double]("seasonal_idx"))
+      val lhs = days.zip(idx).map { case (a, b) => a * b }.sum
+      assert(math.abs(lhs - days.sum) < 1e-3,
+             s"$t: weighted seasonal indices must average to 1")
+    }
+  }
 }
