@@ -749,7 +749,105 @@ object Analytics {
       |SELECT node, count(*) AS n_tri FROM nodes
       |GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 20""".stripMargin
 
+  /** BFS shortest hops over a top-2 neighbor graph of nations. Two
+    * stages with different scale characters, deliberately separated:
+    * (1) the EDGE DERIVATION — customer nation → supplier nation trade
+    * counts via orders⋈customer and lineitem⋈supplier — is the 100 TB
+    * part: broadcast dimension joins, one (src,dst)-keyed aggregate,
+    * then a per-src top-2 window (rank by count desc, dst asc — a total
+    * order) that sparsifies the dense trade matrix into a k-NN graph;
+    * (2) BFS from nation 0 then iterates on the AGGREGATED ≤ 2·|nations|
+    * edge list — each round is one join + min-aggregate (frontier
+    * relaxation), terminating when a round discovers no new node.
+    * Unreached nations report hops = −1.
+    *
+    * The driver-side loop check counts a ≤ |nations|-row frame per
+    * round — the same bounded-iteration contract as
+    * [[qGraphPagerank]]'s node count; the firehose is never collected.
+    * Oracle: DuckDB recursive CTE to the same fixpoint (hop-capped so
+    * cycles terminate), min-hops per node.
+    */
+  val qGraphBfs: Q = (s, d) => {
+    val cn = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("src"))
+    val sn = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("dst"))
+    val trade = cn.join(sn, col("o_orderkey") === col("l_orderkey"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val edges = trade
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cnt").desc, col("dst").asc)))
+      .where(col("rk") <= 2)
+      .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("node"))
+    var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 0L
+    var growing = true
+    while (growing && hop < 25) {
+      hop += 1
+      // relax: neighbors of the current frontier not yet reached
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").cast("long").as("node"))
+        .distinct()
+        .join(dist.select(col("node").as("seen")),
+              col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(hop).as("hops"))
+        .localCheckpoint(true) // ≤ |nations| rows; bounds the loop's plan
+      if (next.isEmpty) growing = false
+      else {
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    val out = nations.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hops"), lit(-1L)).as("hops"))
+      .orderBy("node")
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  val qGraphBfsSql: String =
+    """WITH RECURSIVE cn AS (
+      |  SELECT o_orderkey, c_nationkey AS src
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |sn AS (
+      |  SELECT l_orderkey, s_nationkey AS dst
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |trade AS (
+      |  SELECT src, dst, count(*) AS cnt
+      |  FROM cn JOIN sn ON o_orderkey = l_orderkey
+      |  WHERE src <> dst GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src
+      |                         ORDER BY cnt DESC, dst ASC) AS rk
+      |    FROM trade) WHERE rk <= 2),
+      |bfs AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+      |  UNION
+      |  SELECT CAST(e.dst AS BIGINT), bfs.hops + 1
+      |  FROM bfs JOIN edges e ON e.src = bfs.node
+      |  WHERE bfs.hops < 25),
+      |sp AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node)
+      |SELECT CAST(n_nationkey AS BIGINT) AS node,
+      |  coalesce(sp.hops, -1) AS hops
+      |FROM nation LEFT JOIN sp ON sp.node = n_nationkey
+      |ORDER BY node""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_graph_bfs"           -> qGraphBfs,
     "q_agg_filtered"        -> qAggFiltered,
     "q_graph_triangles"     -> qGraphTriangles,
     "q_fn_url"              -> qFnUrl,
@@ -768,6 +866,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_graph_bfs"           -> qGraphBfsSql,
     "q_agg_filtered"        -> qAggFilteredSql,
     "q_graph_triangles"     -> qGraphTrianglesSql,
     "q_fn_url"              -> qFnUrlSql,

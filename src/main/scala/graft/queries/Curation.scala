@@ -650,7 +650,300 @@ object Curation {
       |        / count(*), 9) AS mean_abs_err
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------- paragraph-level dedup
+
+  /** CCNet-style sub-document dedup (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets"): documents are cut into
+    * non-overlapping 8-token blocks, each block is kept only at its
+    * FIRST corpus occurrence (ordered by doc_id, then block position),
+    * and the per-source report shows how much of each source survives —
+    * the unit-level dedup that removes boilerplate exact doc-level
+    * dedup cannot see.
+    *
+    * At 100 TB: block generation is map-side (HOF slice over the token
+    * array, no kernel state); first-occurrence selection is ONE window
+    * hash-partitioned by block value (high cardinality, even spread —
+    * a block shared by m docs costs m rows, never m²); the rollup is a
+    * ~|sources| aggregate. Same shuffle count as exact dedup, applied
+    * at block grain.
+    */
+  val qTextParaDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("ts", filter(split(col("text"), " "), x => length(x) > 0))
+      .withColumn("nblk", ceil(size(col("ts")) / lit(8.0)).cast("int"))
+      .where(col("nblk") > 0)
+    val blocks = docs.select(
+      col("doc_id"), col("source"),
+      posexplode(transform(
+        sequence(lit(0), col("nblk") - 1),
+        i => concat_ws(" ", slice(col("ts"), i * 8 + 1, lit(8))))))
+      .withColumnRenamed("pos", "blk_idx")
+      .withColumnRenamed("col", "block")
+    val w = Window.partitionBy("block").orderBy("doc_id", "blk_idx")
+    blocks
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("blocks_total"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("blocks_kept"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .select(
+        col("source"), col("blocks_total"), col("blocks_kept"), col("n_docs"),
+        round(lit(1.0) - col("blocks_kept").cast("double") /
+              col("blocks_total").cast("double"), 6).as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  val qTextParaDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), blk AS (
+      |  SELECT doc_id, source, (i - 1) AS blk_idx,
+      |    array_to_string(list_slice(ts, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')
+      |      AS block
+      |  FROM toks,
+      |    UNNEST(generate_series(1,
+      |      CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS g(i)
+      |  WHERE len(ts) > 0
+      |), r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY block
+      |                       ORDER BY doc_id, blk_idx) AS rn
+      |  FROM blk)
+      |SELECT source, count(*) AS blocks_total,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS blocks_kept,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  ROUND(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS dup_ratio
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------- containment detect
+
+  /** Asymmetric n-gram containment (Broder's containment coefficient):
+    * for candidate pairs sharing a token 2-gram within a source,
+    * C(A→B) = |grams A ∩ grams B| / |grams A|. Catches the
+    * small-doc-embedded-in-large-doc duplication that symmetric Jaccard
+    * scores low (the intersection is tiny next to the union but covers
+    * most of the small doc) — the quote/excerpt detector of a dedup
+    * pass. Pairs where either direction ≥ 0.6 survive.
+    *
+    * At 100 TB: identical candidate topology to [[LlmOps.qDedupJaccard]]
+    * (within-source gram join, shuffle-hash, no all-pairs stage) — at
+    * scale the join runs over LSH candidates; only the scoring formula
+    * differs, which is the point: one candidate infrastructure, many
+    * verification metrics.
+    */
+  val qTextContainment: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        LlmOps.twoGrams(text).map(g => (id, src, g))
+      }
+      .toDF("doc_id", "source", "gram")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = grams.alias("a")
+    val b = grams.hint("shuffle_hash").alias("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+      .where(col("inter") * 10 >= least(col("na"), col("nb")) * 6)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("inter").cast("double") / col("na"), 6).as("c_ab"),
+              round(col("inter").cast("double") / col("nb"), 6).as("c_ba"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qTextContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1)))
+      |    AS g(i)
+      |  WHERE len(ts) >= 1
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b
+      |    ON a.source = b.source AND a.gram = b.gram
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS c_ab,
+      |  ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS c_ba
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE i * 10 >= least(sa.n, sb.n) * 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- mixture planning
+
+  /** Data-mixture planner: given target language shares (the mixture
+    * spec of a pretraining run), compute per-language sampling rates
+    * against the measured token counts — rate = min(1, share·T / Lₗ) —
+    * and the token budget each language contributes after sampling.
+    * This is the table a mixture-weighted sampler (q_sample_balance /
+    * q_sample_temperature) is parameterized from.
+    *
+    * Exactness: token counts are exact integers; the rate is one
+    * literal·double multiply and one divide on identical operands in
+    * both engines, rounded to 6 dp far from its decision boundary.
+    *
+    * At 100 TB: one combiner-collapsed aggregate over the corpus, then
+    * arithmetic on ~|languages| rows against one broadcast total.
+    */
+  val qSelectMixture: Q = (s, d) => {
+    val share = map(
+      lit("en"), lit(0.50), lit("zh"), lit(0.15), lit("de"), lit(0.12),
+      lit("fr"), lit(0.12), lit("es"), lit(0.11))
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("lang_tokens"))
+    val tot = perLang.agg(sum("lang_tokens").as("total_tokens"))
+    perLang
+      .crossJoin(broadcast(tot))
+      .withColumn("target_share", coalesce(element_at(share, col("lang")),
+                                           lit(0.0)))
+      .withColumn("rate", round(
+        least(lit(1.0), col("target_share") * col("total_tokens")
+          .cast("double") / col("lang_tokens").cast("double")), 6))
+      .select(
+        col("lang"), col("n_docs"), col("lang_tokens"), col("target_share"),
+        col("rate"),
+        floor(col("rate") * col("lang_tokens").cast("double")).cast("long")
+          .as("sampled_tokens"))
+      .orderBy("lang")
+  }
+
+  val qSelectMixtureSql: String =
+    """WITH per AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0))) AS BIGINT) AS lang_tokens
+      |  FROM documents GROUP BY lang
+      |), tot AS (SELECT sum(lang_tokens) AS total_tokens FROM per),
+      |w AS (
+      |  SELECT lang, n_docs, lang_tokens,
+      |    CAST(CASE lang WHEN 'en' THEN 0.50 WHEN 'zh' THEN 0.15
+      |              WHEN 'de' THEN 0.12 WHEN 'fr' THEN 0.12
+      |              WHEN 'es' THEN 0.11 ELSE 0.0 END AS DOUBLE) AS target_share
+      |  FROM per)
+      |SELECT lang, n_docs, lang_tokens, target_share,
+      |  ROUND(least(1.0, target_share * CAST(total_tokens AS DOUBLE)
+      |        / CAST(lang_tokens AS DOUBLE)), 6) AS rate,
+      |  CAST(floor(ROUND(least(1.0, target_share *
+      |        CAST(total_tokens AS DOUBLE) / CAST(lang_tokens AS DOUBLE)),
+      |        6) * CAST(lang_tokens AS DOUBLE)) AS BIGINT)
+      |    AS sampled_tokens
+      |FROM w, tot ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------- curation funnel
+
+  /** Curation-funnel report — the per-stage attrition table every
+    * training-data pipeline publishes: docs surviving each cumulative
+    * filter (length ≥ 200 chars → ≥ 40 tokens → unique-token ratio
+    * ≥ 1/2), with per-stage and cumulative drop counts. Filters are
+    * evaluated as cumulative boolean flags in ONE scan and one global
+    * aggregate — never one pass per stage — then pivoted to stage rows.
+    *
+    * Exactness: the repetition filter compares 2·nuniq ≥ ntok in
+    * integers, so no division sits near a threshold.
+    *
+    * At 100 TB: one scan, one single-row aggregate (every flag sum
+    * combines map-side), and a 4-row driver-side shape — adding a stage
+    * costs one more sum, not another corpus pass.
+    */
+  val qCurationFunnel: Q = (s, d) => {
+    val flagged = Tables.documents(s, d)
+      .withColumn("ts", filter(split(col("text"), " "), x => length(x) > 0))
+      .select(
+        col("n_chars"),
+        size(col("ts")).cast("long").as("ntok"),
+        size(array_distinct(col("ts"))).cast("long").as("nuniq"))
+      .select(
+        (col("n_chars") >= 200).as("f1"),
+        (col("n_chars") >= 200 && col("ntok") >= 40).as("f2"),
+        (col("n_chars") >= 200 && col("ntok") >= 40 &&
+          col("nuniq") * 2 >= col("ntok")).as("f3"))
+    val agg = flagged.agg(
+      count(lit(1)).as("s0"),
+      sum(col("f1").cast("long")).as("s1"),
+      sum(col("f2").cast("long")).as("s2"),
+      sum(col("f3").cast("long")).as("s3"))
+    agg.select(explode(array(
+        struct(lit(1L).as("stage"), lit("len_ge_200").as("filter_name"),
+               col("s0").as("docs_in"), col("s1").as("docs_out")),
+        struct(lit(2L).as("stage"), lit("tokens_ge_40").as("filter_name"),
+               col("s1").as("docs_in"), col("s2").as("docs_out")),
+        struct(lit(3L).as("stage"), lit("uniq_ratio_ge_half").as("filter_name"),
+               col("s2").as("docs_in"), col("s3").as("docs_out"))))
+        .as("st"))
+      .select(
+        col("st.stage").as("stage"), col("st.filter_name").as("filter_name"),
+        col("st.docs_in").as("docs_in"), col("st.docs_out").as("docs_out"),
+        (col("st.docs_in") - col("st.docs_out")).as("dropped"),
+        round((col("st.docs_in") - col("st.docs_out")).cast("double") /
+              col("st.docs_in").cast("double"), 6).as("drop_ratio"))
+      .orderBy("stage")
+  }
+
+  val qCurationFunnelSql: String =
+    """WITH f AS (
+      |  SELECT n_chars,
+      |    len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+      |      AS ntok,
+      |    len(list_distinct(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0))) AS nuniq
+      |  FROM documents
+      |), a AS (
+      |  SELECT count(*) AS s0,
+      |    CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(sum(CASE WHEN n_chars >= 200 AND ntok >= 40
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN n_chars >= 200 AND ntok >= 40
+      |                   AND nuniq * 2 >= ntok
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      |  FROM f
+      |), st AS (
+      |  SELECT 1 AS stage, 'len_ge_200' AS filter_name, s0 AS docs_in,
+      |         s1 AS docs_out FROM a
+      |  UNION ALL SELECT 2, 'tokens_ge_40', s1, s2 FROM a
+      |  UNION ALL SELECT 3, 'uniq_ratio_ge_half', s2, s3 FROM a)
+      |SELECT CAST(stage AS BIGINT) AS stage, filter_name, docs_in, docs_out,
+      |  docs_in - docs_out AS dropped,
+      |  ROUND(CAST(docs_in - docs_out AS DOUBLE) / docs_in, 6)
+      |    AS drop_ratio
+      |FROM st ORDER BY stage""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_text_para_dedup"        -> qTextParaDedup,
+    "q_text_containment"       -> qTextContainment,
+    "q_select_mixture"         -> qSelectMixture,
+    "q_curation_funnel"        -> qCurationFunnel,
     "q_dedup_bloom"            -> qDedupBloom,
     "q_text_normalize"         -> qTextNormalize,
     "q_embed_quantize"         -> qEmbedQuantize,
@@ -662,6 +955,10 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_para_dedup"        -> qTextParaDedupSql,
+    "q_text_containment"       -> qTextContainmentSql,
+    "q_select_mixture"         -> qSelectMixtureSql,
+    "q_curation_funnel"        -> qCurationFunnelSql,
     "q_dedup_bloom"            -> qDedupBloomSql,
     "q_text_normalize"         -> qTextNormalizeSql,
     "q_embed_quantize"         -> qEmbedQuantizeSql,

@@ -285,7 +285,94 @@ object Funcs {
       |  bit_xor(k_xor) AS agg_xor
       |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Regex family — extract / replace / match / extract_all, the query-
+    * time face of the ETL's E3 record extraction (reference
+    * extractor.py:52 pulls game ids with a regex; these are the same
+    * primitives applied lake-side). Patterns stay in the ASCII subset
+    * where Java regex (Spark) and RE2 (DuckDB) agree: character
+    * classes, anchors, `\b` on ASCII words, a single capture group.
+    *
+    * At 100 TB: all four are row-local projections inside whole-stage
+    * codegen — the grouped rollup is the only exchange, on a 5-row key.
+    */
+  val qFnRegex: Q = (s, d) => {
+    val joined = Tables.orders(s, d).join(Tables.customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+    joined
+      .select(
+        regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("prio_word"),
+        regexp_extract(col("c_name"), "#(\\d+)$", 1).cast("long").as("cust_num"),
+        col("o_orderpriority").rlike("^[12]-").cast("long").as("is_hot"),
+        size(regexp_extract_all(col("c_mktsegment"), lit("[AEIOU]"), lit(0)))
+          .cast("long").as("seg_vowels"))
+      .groupBy("prio_word")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("cust_num").as("sum_cust"),
+        sum("is_hot").as("n_hot"),
+        sum("seg_vowels").as("sum_vowels"))
+      .orderBy("prio_word")
+  }
+
+  val qFnRegexSql: String =
+    """SELECT regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio_word,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(regexp_extract(c_name, '#(\d+)$', 1) AS BIGINT))
+      |    AS BIGINT) AS sum_cust,
+      |  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[12]-')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+      |  CAST(sum(len(regexp_extract_all(c_mktsegment, '[AEIOU]')))
+      |    AS BIGINT) AS sum_vowels
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Lateral explode family — `posexplode_outer` over a per-row token
+    * array, then a re-aggregation by token position. The null branch
+    * (docs hashed into the `n_chars % 97 = 0` stripe get a NULL array)
+    * lands in bucket −1, witnessing the OUTER semantics: a plain
+    * explode would silently drop those rows.
+    *
+    * At 100 TB: Spark's GenerateExec streams the exploded rows straight
+    * into the partial aggregate — no materialized token table, one
+    * exchange on the 9-value bucket key. This generate→reaggregate
+    * shape is how token-position stats are computed over a corpus too
+    * large to store tokenized.
+    */
+  val qFnExplode: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn(
+      "arr",
+      when(col("n_chars") % 97 === 0, lit(null))
+        .otherwise(filter(split(col("text"), " "), x => length(x) > 0)))
+    docs
+      .select(col("doc_id"), posexplode_outer(col("arr")))
+      .groupBy(coalesce(pmod(col("pos"), lit(8)), lit(-1L)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("col"))).as("sum_chars"),
+        count_distinct(col("col")).as("n_words"))
+      .orderBy("bucket")
+  }
+
+  val qFnExplodeSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents WHERE n_chars % 97 <> 0
+      |), pe AS (
+      |  SELECT doc_id, (i - 1) % 8 AS bucket, ts[i] AS word
+      |  FROM toks, UNNEST(generate_series(1, len(ts))) AS g(i)
+      |  UNION ALL
+      |  SELECT doc_id, -1 AS bucket, NULL AS word
+      |  FROM documents WHERE n_chars % 97 = 0
+      |)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(sum(length(word)) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT word) AS n_words
+      |FROM pe GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_fn_regex"      -> qFnRegex,
+    "q_fn_explode"    -> qFnExplode,
     "q_fn_bitwise"    -> qFnBitwise,
     "q_fn_string"     -> qFnString,
     "q_fn_date"       -> qFnDate,
@@ -297,6 +384,8 @@ object Funcs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_regex"      -> qFnRegexSql,
+    "q_fn_explode"    -> qFnExplodeSql,
     "q_fn_bitwise"    -> qFnBitwiseSql,
     "q_fn_string"     -> qFnStringSql,
     "q_fn_date"       -> qFnDateSql,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -981,7 +982,241 @@ object Insights {
       |FROM by_dow JOIN by_type USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
 
+  /** Per-type OLS trend line (slope / intercept / R²) of daily event
+    * value against time — the "is this metric drifting" readout, fit
+    * from the five mergeable sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) rather than a solver.
+    *
+    * Exactness: x is an integer day index and y a 2-decimal value, so
+    * every sufficient statistic is an exact DECIMAL sum; the closed-form
+    * slope/intercept/R² are computed from single casts of those exact
+    * sums with an identical expression tree in both engines — every
+    * double op sees bit-identical operands, so `round(…, 6)` cannot
+    * straddle a boundary.
+    *
+    * At 100 TB: the statistics combine map-side (one hash aggregate,
+    * one exchange on the 5-value type key); the fit itself touches 5
+    * rows. This moment-merge shape is also how the fit incrementalizes:
+    * per-partition moments union with yesterday's without refitting.
+    */
+  val qStatsRegression: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+      col("value").cast(DecimalType(18, 2)).as("y"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum("y").cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(28, 2))).cast("double").as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(28, 4))).cast("double").as("syy"))
+    m.select(
+        col("event_type"),
+        col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+               (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val qStatsRegressionSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      |  FROM (SELECT event_type,
+      |          CAST(date_diff('day', DATE '2024-01-01',
+      |                         CAST(ts AS DATE)) AS BIGINT) AS x,
+      |          CAST(value AS DECIMAL(18,2)) AS y
+      |        FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+      |        6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `click` and
+    * `view` value distributions — the standard "did this distribution
+    * shift" test a feature-drift monitor runs between cohorts.
+    *
+    * D = max_x |F₁(x) − F₂(x)| is computed on the GROUPED value domain:
+    * one aggregate collapses the rows to (value, n₁, n₂), a window
+    * ordered by value forms both ECDFs cumulatively, and the max runs
+    * over |c₁·n₂ − c₂·n₁| in exact BIGINT arithmetic — the single
+    * division by n₁·n₂ happens once, on identical integers, in both
+    * engines.
+    *
+    * At 100 TB: the row table collapses to ≤ |distinct values| rows
+    * (bounded at 49 002 by the 2-decimal domain) before the window ever
+    * runs, so the unpartitioned ECDF window is over a bounded series —
+    * same shape as the PSI drift screen's bucket table, not a sort of
+    * the firehose.
+    */
+  val qStatsKs: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("value").cast(DecimalType(18, 2)).as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = e.select(
+      sum("d1").over(w).as("c1"),
+      sum("d2").over(w).as("c2"))
+    val tot = ecdf.agg(max("c1").as("n1"), max("c2").as("n2"))
+    ecdf
+      .crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("dnum"))
+      .select(
+        col("n1"), col("n2"),
+        round(col("dnum").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 6).as("ks_d"))
+  }
+
+  val qStatsKsSql: String =
+    """WITH g AS (
+      |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d2
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), ecdf AS (
+      |  SELECT
+      |    CAST(sum(d1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(d2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c2
+      |  FROM g
+      |), tot AS (
+      |  SELECT max(c1) AS n1, max(c2) AS n2 FROM ecdf
+      |)
+      |SELECT n1, n2,
+      |  ROUND(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) /
+      |        CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+      |FROM ecdf, tot GROUP BY n1, n2""".stripMargin
+
+  /** Functional-dependency audit — for each candidate FD X → Y, how many
+    * X-groups carry more than one distinct Y (and how many rows sit in
+    * the violating groups). One holding FD (nationkey → regionkey) and
+    * one expected-violated FD (custkey → orderpriority) so both verdicts
+    * are exercised; this is the profiling step that decides whether a
+    * column is safe to denormalize or must stay keyed.
+    *
+    * At 100 TB: each FD is one map-side-combined aggregate on its LHS
+    * key plus a ~|X| rollup — no joins, no row movement beyond the
+    * grouped exchange; candidate FDs audit in one pass each.
+    */
+  val qDqFd: Q = (s, d) => {
+    def audit(df: DataFrame, fd: String, lhs: String, rhs: String) =
+      df.groupBy(col(lhs))
+        .agg(count(lit(1)).as("rows"),
+             count_distinct(col(rhs)).as("nrhs"))
+        .agg(
+          count(lit(1)).as("lhs_groups"),
+          sum(when(col("nrhs") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum(when(col("nrhs") > 1, col("rows")).otherwise(0L))
+            .as("violating_rows"),
+          max("nrhs").as("max_distinct_rhs"))
+        .select(lit(fd).as("fd"), col("lhs_groups"), col("violating_groups"),
+                col("violating_rows"), col("max_distinct_rhs"))
+    audit(Tables.nation(s, d), "nationkey->regionkey",
+          "n_nationkey", "n_regionkey")
+      .unionAll(audit(Tables.orders(s, d), "custkey->orderpriority",
+                      "o_custkey", "o_orderpriority"))
+      .orderBy("fd")
+  }
+
+  val qDqFdSql: String =
+    """WITH a AS (
+      |  SELECT n_nationkey AS k, count(*) AS rows_,
+      |         count(DISTINCT n_regionkey) AS nrhs
+      |  FROM nation GROUP BY 1
+      |), b AS (
+      |  SELECT o_custkey AS k, count(*) AS rows_,
+      |         count(DISTINCT o_orderpriority) AS nrhs
+      |  FROM orders GROUP BY 1
+      |), u AS (
+      |  SELECT 'nationkey->regionkey' AS fd, count(*) AS lhs_groups,
+      |    CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_groups,
+      |    CAST(sum(CASE WHEN nrhs > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+      |      AS violating_rows,
+      |    max(nrhs) AS max_distinct_rhs
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 'custkey->orderpriority', count(*),
+      |    CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN nrhs > 1 THEN rows_ ELSE 0 END) AS BIGINT),
+      |    max(nrhs)
+      |  FROM b)
+      |SELECT * FROM u ORDER BY fd""".stripMargin
+
+  /** k-anonymity screen over customer quasi-identifiers
+    * (mktsegment, nationkey, acctbal rounded to the thousand): per
+    * segment, the equivalence-class census a privacy review reads —
+    * class count, smallest class, and how many classes / rows fall
+    * below k = 5 (re-identifiable under the QI combination).
+    *
+    * At 100 TB: one aggregate on the QI tuple, one ~|segments| rollup;
+    * the QI class table is the (bounded) join key domain, never the row
+    * table. This is the same two-level census as the FD audit, keyed on
+    * a composite.
+    */
+  val qDqKanon: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(
+        col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_k"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min("sz").as("min_class"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
+        sum("sz").as("n_rows"))
+      .orderBy("c_mktsegment")
+
+  val qDqKanonSql: String =
+    """WITH cls AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+      |    count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, count(*) AS n_classes, min(sz) AS min_class,
+      |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_k,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_stats_regression" -> qStatsRegression,
+    "q_stats_ks"    -> qStatsKs,
+    "q_dq_fd"       -> qDqFd,
+    "q_dq_kanon"    -> qDqKanon,
     "q_stats_chisq" -> qStatsChisq,
     "q_time_seasonality" -> qTimeSeasonality,
     "q_win_ewma"   -> qWinEwma,
@@ -1001,6 +1236,10 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_regression" -> qStatsRegressionSql,
+    "q_stats_ks"    -> qStatsKsSql,
+    "q_dq_fd"       -> qDqFdSql,
+    "q_dq_kanon"    -> qDqKanonSql,
     "q_stats_chisq" -> qStatsChisqSql,
     "q_time_seasonality" -> qTimeSeasonalitySql,
     "q_win_ewma"   -> qWinEwmaSql,

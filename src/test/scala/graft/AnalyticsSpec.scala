@@ -268,4 +268,42 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("all_positive"))
     }
   }
+
+  test("q_graph_bfs hops match a driver-side BFS over the same top-2 graph") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Analytics.qGraphBfs(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+    assert(rows(0L) == 0L, "source node is at distance 0")
+    // independent edge derivation + classic queue BFS on the driver
+    val cn = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("src"))
+    val sn = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("dst"))
+    val edges = cn.join(sn, col("o_orderkey") === col("l_orderkey"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cnt").desc, col("dst").asc)))
+      .where(col("rk") <= 2)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val queue = scala.collection.mutable.Queue(0L)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      edges.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue += v }
+      }
+    }
+    val nations = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    nations.foreach { n =>
+      assert(rows(n) == dist.getOrElse(n, -1L),
+             s"nation $n: iterative-join BFS must equal queue BFS")
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Curation
+import graft.queries.{Curation, LlmOps}
 
 /** Curation operators: prefix-filtered exact set-similarity join,
   * distributed k-means, weighted reservoir sampling. The DuckDB oracle
@@ -188,6 +188,98 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Double]("mean_abs_err") <= bound,
              s"label ${r.get(0)}: mean err above half-step bound $bound")
+    }
+  }
+
+  test("q_text_para_dedup: kept blocks across sources = distinct block values") {
+    import spark.implicits._
+    val rows = Curation.qTextParaDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent Scala re-derivation of the block inventory
+    val blocks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (_, text) =>
+        text.split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" "))
+      }
+    assert(rows.map(_.getAs[Long]("blocks_total")).sum == blocks.length.toLong,
+           "block census must cover every non-empty doc")
+    // exactly one keeper per distinct block value, summed over sources
+    assert(rows.map(_.getAs[Long]("blocks_kept")).sum ==
+           blocks.distinct.length.toLong,
+           "keep-first must retain each distinct block exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("blocks_kept") >= 1L)
+      assert(r.getAs[Long]("blocks_kept") <= r.getAs[Long]("blocks_total"))
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("q_text_containment scores match a per-pair Scala recompute") {
+    import spark.implicits._
+    val rows = Curation.qTextContainment(spark, sf).collect()
+    val gramSets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> LlmOps.twoGrams(t).toSet }.toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val inter = (gramSets(a) & gramSets(b)).size.toDouble
+      val cab = inter / gramSets(a).size
+      val cba = inter / gramSets(b).size
+      assert(math.abs(r.getAs[Double]("c_ab") - cab) < 1e-6)
+      assert(math.abs(r.getAs[Double]("c_ba") - cba) < 1e-6)
+      assert(math.max(cab, cba) >= 0.6, "pair must clear the threshold")
+    }
+    // completeness: no qualifying pair within a source is missed
+    val bySource = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val want = bySource.values.flatMap { ids =>
+      for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+        ga = gramSets(ids(i)); gb = gramSets(ids(j))
+        inter = (ga & gb).size.toDouble
+        if inter / math.min(ga.size, gb.size) >= 0.6
+      } yield (ids(i), ids(j))
+    }.toSet
+    val got = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == want, "containment join must find exactly the brute-force pairs")
+  }
+
+  test("q_select_mixture: rates cap at 1 and budgets never exceed supply") {
+    val rows = Curation.qSelectMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("lang_tokens")).sum.toDouble
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("sampled_tokens") <= r.getAs[Long]("lang_tokens"))
+      // rate = 1 exactly when the language is under-represented vs target
+      val unconstrained = r.getAs[Double]("target_share") * total /
+        r.getAs[Long]("lang_tokens")
+      if (unconstrained >= 1.0 + 1e-9) assert(rate == 1.0)
+      else assert(math.abs(rate - unconstrained) < 1e-5)
+    }
+  }
+
+  test("q_curation_funnel: stages chain and attrition is monotone") {
+    val rows = Curation.qCurationFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Long]("docs_in") ==
+           Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next.getAs[Long]("docs_in") == prev.getAs[Long]("docs_out"),
+               "stage input must be the previous stage's output")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dropped") ==
+             r.getAs[Long]("docs_in") - r.getAs[Long]("docs_out"))
+      assert(r.getAs[Long]("docs_out") <= r.getAs[Long]("docs_in"))
     }
   }
 }

@@ -78,4 +78,48 @@ class FunctionsSpec extends AnyFunSuite {
                            r.getInt(3).toLong)).sorted.toSeq
     assert(got == want)
   }
+
+  test("q_fn_regex: extracted clerk numbers reconcile with the join keys") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Funcs.qFnRegex(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("prio_word")).toSet ==
+           Set("URGENT", "HIGH", "MEDIUM", "NOT SPECIFIED", "LOW"))
+    // c_name is 'Customer#<custkey zero-padded>', so the regex-extracted
+    // number must reconcile exactly with sum(o_custkey) per priority word
+    val want = Tables.orders(spark, sf)
+      .groupBy(regexp_replace(col("o_orderpriority"), "^[0-9]-", "")
+        .as("p"))
+      .agg(sum("o_custkey").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (s, n) = want(r.getAs[String]("prio_word"))
+      assert(r.getAs[Long]("sum_cust") == s, "regex-extracted key sum")
+      assert(r.getAs[Long]("n") == n)
+      // only 1-/2- priorities are hot, and then every row in the group is
+      val hot = Set("URGENT", "HIGH")(r.getAs[String]("prio_word"))
+      assert(r.getAs[Long]("n_hot") == (if (hot) n else 0L))
+    }
+  }
+
+  test("q_fn_explode: outer semantics keep the null-array docs in bucket -1") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Funcs.qFnExplode(spark, sf).collect()
+    val byBucket = rows.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    val docs = Tables.documents(spark, sf)
+    val nNull = docs.where(col("n_chars") % 97 === 0).count()
+    if (nNull > 0)
+      assert(byBucket(-1L) == nNull,
+        "every null-array doc must survive the outer explode")
+    // token mass conservation: buckets 0..7 hold exactly the tokens of
+    // the non-null docs
+    val nTok = docs.where(col("n_chars") % 97 =!= 0)
+      .select(sum(size(filter(split(col("text"), " "),
+        x => length(x) > 0))).cast("long"))
+      .first().getLong(0)
+    assert(byBucket.collect { case (k, v) if k >= 0 => v }.sum == nTok)
+  }
 }

@@ -445,4 +445,86 @@ class InsightsSpec extends AnyFunSuite {
              s"$t: weighted seasonal indices must average to 1")
     }
   }
+
+  test("q_stats_regression matches a driver-side OLS refit per type") {
+    val rows = Insights.qStatsRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pts = Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("double").as("x"),
+        col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = pts(t).map(_.getAs[Double]("x"))
+      val ys = pts(t).map(_.getAs[Double]("value"))
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4,
+             s"$t slope")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$t r2 in [0,1]")
+      // intercept consistency with the refit line through the centroid
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getAs[Double]("intercept") - intercept) < 1e-3,
+             s"$t intercept")
+    }
+  }
+
+  test("q_stats_ks matches a driver-side two-sample KS recompute") {
+    val Array(row) = Insights.qStatsKs(spark, sf).collect()
+    val vals = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+    val a = vals.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val b = vals.filter(_.getString(0) == "view").map(_.getDouble(1)).sorted
+    assert(row.getAs[Long]("n1") == a.length.toLong)
+    assert(row.getAs[Long]("n2") == b.length.toLong)
+    // brute-force D over the pooled value domain
+    val domain = (a ++ b).distinct.sorted
+    val d = domain.map { v =>
+      val f1 = a.count(_ <= v).toDouble / a.length
+      val f2 = b.count(_ <= v).toDouble / b.length
+      math.abs(f1 - f2)
+    }.max
+    assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6)
+  }
+
+  test("q_dq_fd: the key FD holds, the non-key FD is violated") {
+    val rows = Insights.qDqFd(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nk = rows("nationkey->regionkey")
+    assert(nk.getAs[Long]("violating_groups") == 0L,
+           "nationkey is a key of nation — its FD cannot be violated")
+    assert(nk.getAs[Long]("max_distinct_rhs") == 1L)
+    val co = rows("custkey->orderpriority")
+    // sf0.001 has ~10x more orders than customers: priorities collide
+    assert(co.getAs[Long]("violating_groups") > 0L,
+           "custkey->orderpriority must be violated on this data")
+    assert(co.getAs[Long]("violating_rows") >= co.getAs[Long]("violating_groups") * 2,
+           "each violating group holds at least two rows")
+  }
+
+  test("q_dq_kanon: class census partitions the customer table") {
+    val rows = Insights.qDqKanon(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
+           "class sizes must partition the table")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_class") >= 1L)
+      assert(r.getAs[Long]("rows_at_risk") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("classes_below_k") <= r.getAs[Long]("n_classes"))
+      // every below-k class holds fewer than 5 rows
+      assert(r.getAs[Long]("rows_at_risk") <
+             5L * math.max(1L, r.getAs[Long]("classes_below_k")) +
+             (if (r.getAs[Long]("classes_below_k") == 0) 1L else 0L))
+    }
+  }
 }

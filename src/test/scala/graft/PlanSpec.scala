@@ -468,7 +468,10 @@ class PlanSpec extends AnyFunSuite {
     val bnljAllowed = Set("q_sim_topk", "q_sim_ann_ivf", "q_sim_knn_join_ivf",
                           "q_text_tfidf", "q_text_perplexity", "q_text_pmi",
                           // 1-row global min/max stats broadcast
-                          "q_dq_drift")
+                          "q_dq_drift",
+                          // 1-row totals broadcast (chi² grand total, KS
+                          // sample sizes, mixture token total)
+                          "q_stats_chisq", "q_stats_ks", "q_select_mixture")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
