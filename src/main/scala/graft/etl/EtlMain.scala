@@ -9,14 +9,32 @@ import org.apache.spark.sql.SparkSession
   * (reference random_pailist.py) for the first date found.
   */
 object EtlMain {
+  /** Total bytes under the log dir — one metadata walk (~1-2 s for a
+    * 200k-file corpus, cheap next to the pipeline's own listing).
+    */
+  private def corpusBytes(logDir: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(logDir))
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
   def main(rawArgs: Array[String]): Unit = {
-    // The DSv2 path (spark.read.format("mjlog") → Pipeline.runV2) is the
-    // DEFAULT: it won 5 of 6 interleaved round-12 pairings and every
-    // phase-isolated probe (THROUGHPUT.md). --typed selects the
-    // binaryFile+flatMap path; --v2 is accepted for compatibility.
-    val useV2 = !rawArgs.contains("--typed")
+    // Engine AUTO-SELECT by corpus size (THROUGHPUT.md decision rule,
+    // round 14): below 32 MB the fixed source machinery dominates and
+    // the typed binaryFile path holds the measured minima (same 32 MB
+    // threshold as runImpl's interpreted-mode switch); at or above it
+    // the DSv2 path wins the adjacent-pair majorities at 10k/50k games,
+    // holds the 200k floor (63.0 s vs 78.7 s, r14), and wins every
+    // phase-isolated scan+parse probe ~2x. --typed / --v2 force a path.
     val args = rawArgs.filterNot(_.startsWith("--"))
-    require(args.length >= 2, "usage: EtlMain [--typed] <logDir> <outDir> [nWalls]")
+    require(args.length >= 2, "usage: EtlMain [--typed|--v2] <logDir> <outDir> [nWalls]")
+    val useV2 =
+      if (rawArgs.contains("--typed")) false
+      else if (rawArgs.contains("--v2")) true
+      else corpusBytes(args(0)) >= (32L << 20)
+    println(s"[etl] engine: ${if (useV2) "mjlog v2" else "typed"}" +
+      (if (rawArgs.exists(_.startsWith("--"))) " (forced)" else " (auto)"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -186,8 +186,16 @@ object Pipeline {
     // 14 MB / 2000-file corpus bin-packs into 1-2 scan tasks and the
     // parse serializes onto 1-2 of the 32 cores
     spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+    // pack-granularity knobs, overridable for ops tuning and the
+    // THROUGHPUT.md bin-pack experiments: minPartitionNum drives
+    // bytesPerCore in the split policy (both the binaryFile scan and
+    // the mjlog DSv2 packer honor it), so raising it shrinks packs —
+    // more, smaller scan tasks to absorb per-file parse-cost variance
     spark.conf.set("spark.sql.files.minPartitionNum",
-      (spark.sparkContext.defaultParallelism * 2).toString)
+      sys.env.getOrElse("SPARK_GRAFT_MINPARTS",
+        (spark.sparkContext.defaultParallelism * 2).toString))
+    sys.env.get("SPARK_GRAFT_MAXPART").foreach(v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v))
     val (parsedSource, smallInput) = source
     val prevCodegen = spark.conf.getOption("spark.sql.codegen.wholeStage")
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")

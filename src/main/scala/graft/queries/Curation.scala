@@ -939,7 +939,239 @@ object Curation {
       |    AS drop_ratio
       |FROM st ORDER BY stage""".stripMargin
 
+  // --------------------------------------------- stratified sampling
+
+  /** Exact-k stratified sample: exactly 20 documents per language,
+    * selected by the deterministic multiplicative hash (same engine-
+    * independent uniform as [[qSampleWeighted]]) — the fixed-budget
+    * per-stratum draw an eval-set builder uses, vs q_sample_balance's
+    * rate thinning (unbounded k) and q_sample_weighted's global
+    * weighted k.
+    *
+    * At 100 TB: `row_number ≤ k` over (lang, hkey) plans with a partial
+    * WindowGroupLimit below the exchange (the q_sample_reservoir
+    * shape) — each map task forwards at most k rows per stratum, so
+    * the shuffle carries O(k·|strata|·tasks), never the corpus.
+    */
+  val qSampleStratified: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("hkey",
+        pmod(col("doc_id").cast(DecimalType(38, 0)) * lit(2654435761L),
+             lit(1L << 31)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  val qSampleStratifiedSql: String =
+    """SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      (CAST(doc_id AS HUGEINT) * 2654435761) % 2147483648,
+      |      doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  // ------------------------------------------------------- winnowing
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash all token 4-grams, slide a window of w = 5
+    * consecutive hashes, keep the minimum hash of each window
+    * (rightmost on ties); the distinct kept positions are the doc's
+    * fingerprints. Guarantees: any shared run of ≥ w+k−1 tokens shares
+    * a fingerprint, and the density is ~2/(w+1) regardless of doc size.
+    *
+    * Engine-independence without a common numeric hash: the "hash" is
+    * md5 hex — fixed-width, so LEXICOGRAPHIC order is a total,
+    * engine-identical order — and the rightmost-tiebreak rides the same
+    * string (hash ∥ zero-padded reversed position), so ONE window MIN
+    * computes (min hash, max position) in both engines.
+    *
+    * At 100 TB: gram hashing is map-side; the per-doc window is one
+    * doc-keyed exchange (docs are self-contained); the fingerprint
+    * census one more bounded aggregate. No cross-doc stage at all —
+    * cross-doc matching then joins fingerprint tables, which are
+    * 2/(w+1) the gram volume.
+    */
+  val qTextWinnowing: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val gs =
+          if (toks.length == 0) Array.empty[String]
+          else if (toks.length < 4) Array(toks.mkString(" "))
+          else toks.sliding(4).map(_.mkString(" ")).toArray
+        gs.iterator.zipWithIndex.map { case (g, i) => (id, i, g) }
+      }
+      .toDF("doc_id", "pos", "gram")
+      .withColumn("key", concat(md5(col("gram")), lpad(
+        (lit(99999) - col("pos")).cast("string"), 5, "0")))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    val sizes = Window.partitionBy("doc_id")
+    val sel = grams
+      .withColumn("n", count(lit(1)).over(sizes))
+      .withColumn("wmin", min("key").over(w))
+      // window anchors: one per position up to n-w (or just pos 0 for
+      // short docs) — each selects its frame's (min hash, max pos)
+      .where(col("pos") <= greatest(col("n") - 5, lit(0)))
+      .select(col("doc_id"), col("n"),
+              (lit(99999) - substring(col("wmin"), 33, 5).cast("long"))
+                .as("fp_pos"))
+    sel.groupBy("doc_id")
+      .agg(max("n").as("n_grams"),
+           count_distinct(col("fp_pos")).as("n_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+              round(col("n_fp").cast("double") /
+                    col("n_grams").cast("double"), 6).as("density"))
+      .orderBy("doc_id")
+  }
+
+  val qTextWinnowingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CASE WHEN len(ts) < 4 THEN array_to_string(ts, ' ')
+      |         ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |              ts[i+3] END AS gram
+      |  FROM toks,
+      |    UNNEST(generate_series(1, greatest(len(ts) - 3, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), keyed AS (
+      |  SELECT doc_id, pos,
+      |    md5(gram) || lpad(CAST(99999 - pos AS VARCHAR), 5, '0') AS key,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM grams
+      |), sel AS (
+      |  SELECT doc_id, n,
+      |    99999 - CAST(substring(min(key) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING),
+      |      33, 5) AS BIGINT) AS fp_pos,
+      |    pos
+      |  FROM keyed
+      |)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
+      |  count(DISTINCT fp_pos) AS n_fp,
+      |  ROUND(CAST(count(DISTINCT fp_pos) AS DOUBLE) / max(n), 6)
+      |    AS density
+      |FROM sel WHERE pos <= greatest(n - 5, 0)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * assign embeddings to clusters, then within each cluster prune
+    * members whose cosine to the cluster LEADER (smallest vec_id — the
+    * deterministic representative) exceeds τ = 0.9. Leader comparison
+    * keeps the in-cluster stage LINEAR in members (the published
+    * all-pairs-within-cluster variant is quadratic; with k ∝ N cluster
+    * sizes are bounded and either works — the leader form is what this
+    * corpus's cluster sizes warrant).
+    *
+    * Exactness: dot products and norms are 64-term double sums rounded
+    * to 6 dp before the one division (the [[qClusterKmeans]] contract),
+    * so both engines compare identical cosines against τ.
+    *
+    * At 100 TB: one assignment pass (broadcast centroids, map-side
+    * distance partials), one broadcast of the ≤ k leader vectors, one
+    * linear cosine pass — the corpus shuffles once, on cluster id.
+    */
+  val qDedupSemantic: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+    // init centroids: the 8 smallest vec_ids (engine-independent), one
+    // assignment pass — the kmeans seeding contract
+    val init = emb.select("vec_id").orderBy("vec_id").limit(8)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
+    val c0 = ex.join(init, "vec_id")
+      .select(col("cid"), col("pos"), col("v").as("c"))
+    val assigned = ex.join(broadcast(c0), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(round(sum((col("v") - col("c")) * (col("v") - col("c"))), 6)
+             .as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    // leader = smallest vec_id per cluster; broadcast its vector
+    val leaders = assigned.groupBy("cid").agg(min("vec_id").as("leader"))
+    val lvec = leaders.join(ex.withColumnRenamed("vec_id", "leader"), "leader")
+      .select(col("cid"), col("pos"), col("v").as("lv"))
+    val cos = ex.join(assigned, "vec_id")
+      .join(broadcast(lvec), Seq("cid", "pos"))
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(round(sum(col("v") * col("lv")), 6).as("dot"),
+           round(sum(col("v") * col("v")), 6).as("na"),
+           round(sum(col("lv") * col("lv")), 6).as("nb"))
+      .select(col("cid"), col("vec_id"),
+              round(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos"))
+    cos.join(leaders, "cid")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+           max("leader").as("leader"),
+           sum(when(col("vec_id") =!= col("leader") &&
+                    col("cos") >= 0.9, 1L).otherwise(0L)).as("n_pruned"),
+           round(sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+             count(lit(1)), 6).as("avg_cos"))
+      .orderBy("cid")
+  }
+
+  val qDedupSemanticSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS v
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |), init AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+      |), c0 AS (
+      |  SELECT init.cid, ex.pos, ex.v AS c FROM ex JOIN init USING (vec_id)
+      |), d1 AS (
+      |  SELECT ex.vec_id, c0.cid,
+      |         ROUND(SUM((ex.v - c0.c) * (ex.v - c0.c)), 6) AS d2
+      |  FROM ex JOIN c0 ON ex.pos = c0.pos GROUP BY 1, 2
+      |), asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), ldr AS (
+      |  SELECT cid, min(vec_id) AS leader FROM asg GROUP BY cid
+      |), lvec AS (
+      |  SELECT ldr.cid, ex.pos, ex.v AS lv
+      |  FROM ldr JOIN ex ON ex.vec_id = ldr.leader
+      |), cos AS (
+      |  SELECT asg.cid, ex.vec_id,
+      |    ROUND(ROUND(SUM(ex.v * lvec.lv), 6) /
+      |          sqrt(ROUND(SUM(ex.v * ex.v), 6) *
+      |               ROUND(SUM(lvec.lv * lvec.lv), 6)), 6) AS cos
+      |  FROM ex JOIN asg USING (vec_id)
+      |  JOIN lvec ON lvec.cid = asg.cid AND lvec.pos = ex.pos
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cos.cid, count(*) AS n_members, max(ldr.leader) AS leader,
+      |  CAST(sum(CASE WHEN cos.vec_id <> ldr.leader AND cos.cos >= 0.9
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |  ROUND(CAST(SUM(CAST(cos.cos AS DECIMAL(18,6))) AS DOUBLE)
+      |        / COUNT(*), 6) AS avg_cos
+      |FROM cos JOIN ldr USING (cid)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_sample_stratified"      -> qSampleStratified,
+    "q_text_winnowing"         -> qTextWinnowing,
+    "q_dedup_semantic"         -> qDedupSemantic,
     "q_text_para_dedup"        -> qTextParaDedup,
     "q_text_containment"       -> qTextContainment,
     "q_select_mixture"         -> qSelectMixture,
@@ -955,6 +1187,9 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified"      -> qSampleStratifiedSql,
+    "q_text_winnowing"         -> qTextWinnowingSql,
+    "q_dedup_semantic"         -> qDedupSemanticSql,
     "q_text_para_dedup"        -> qTextParaDedupSql,
     "q_text_containment"       -> qTextContainmentSql,
     "q_select_mixture"         -> qSelectMixtureSql,

@@ -1116,6 +1116,125 @@ object Insights {
       |        CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
       |FROM ecdf, tot GROUP BY n1, n2""".stripMargin
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the `click` and `view`
+    * value distributions — the rank-based location test that
+    * complements [[qStatsKs]]'s shape test and [[qStatsAb]]'s
+    * parametric t-test. Tie-corrected normal approximation.
+    *
+    * Exactness: ranks are computed on the GROUPED value domain — a
+    * value with c rows after B predecessors holds average rank
+    * B + (c+1)/2, a dyadic half that doubles carry exactly — so the
+    * rank sum, U, the tie term Σ(t³−t), and every variance input are
+    * exact; both engines feed identical doubles through one identical
+    * sqrt/divide tail.
+    *
+    * At 100 TB: same shape as the KS screen — one combiner-collapsed
+    * aggregate bounds the row table to ≤ |distinct values| (≤ 49 002
+    * here), one window over that bounded series, one single-row reduce.
+    */
+  val qStatsMannWhitney: Q = (s, d) => {
+    val g = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("value").cast(DecimalType(18, 2)).as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d2"))
+      .withColumn("c", col("d1") + col("d2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("b", coalesce(sum("c").over(w), lit(0L)))
+    ranked
+      .agg(
+        sum("d1").as("n1"),
+        sum("d2").as("n2"),
+        // rank sum of sample 1, doubled to stay integral: Σ d1·(2B+c+1)
+        sum(col("d1") * (col("b") * 2 + col("c") + 1)).as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .select(
+        col("n1"), col("n2"),
+        ((col("r1x2").cast("double") / 2.0) -
+          (col("n1") * (col("n1") + 1)).cast("double") / 2.0).as("u1"),
+        col("ties"))
+      .select(
+        col("n1"), col("n2"), round(col("u1"), 6).as("u1"),
+        round(
+          (col("u1") - (col("n1") * col("n2")).cast("double") / 2.0) /
+          sqrt((col("n1") * col("n2")).cast("double") / 12.0 *
+            ((col("n1") + col("n2") + 1).cast("double") -
+             col("ties").cast("double") /
+               ((col("n1") + col("n2")).cast("double") *
+                (col("n1") + col("n2") - 1).cast("double")))), 6)
+          .as("z"))
+  }
+
+  val qStatsMannWhitneySql: String =
+    """WITH g AS (
+      |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d2
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), r AS (
+      |  SELECT d1, d2, d1 + d2 AS c,
+      |    coalesce(CAST(sum(d1 + d2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS b
+      |  FROM g
+      |), a AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2,
+      |    CAST(sum(d1 * (b * 2 + c + 1)) AS BIGINT) AS r1x2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM r
+      |), u AS (
+      |  SELECT n1, n2, ties,
+      |    (CAST(r1x2 AS DOUBLE) / 2.0) -
+      |      CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1
+      |  FROM a)
+      |SELECT n1, n2, ROUND(u1, 6) AS u1,
+      |  ROUND((u1 - CAST(n1 * n2 AS DOUBLE) / 2.0) /
+      |    sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+      |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+      |       CAST(ties AS DOUBLE) /
+      |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+      |    6) AS z
+      |FROM u""".stripMargin
+
+  /** Freshness / staleness report per event type — the latest event
+    * timestamp, its lag behind the global high-water mark in exact
+    * integer minutes, and a staleness flag at the 24 h SLA. The DQ
+    * check every ingestion dashboard runs first.
+    *
+    * At 100 TB: one map-combined max per type plus a broadcast of the
+    * one-row global max — the row table is scanned once and never
+    * shuffled (the per-type maxes are the exchange).
+    */
+  val qDqFreshness: Q = (s, d) => {
+    val perType = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last_us"))
+    val tot = perType.agg(max("last_us").as("hw_us"))
+    perType
+      .crossJoin(broadcast(tot))
+      .select(
+        col("event_type"), col("n"),
+        timestamp_micros(col("last_us")).as("last_ts"),
+        expr("(hw_us - last_us) div 60000000").as("lag_minutes"),
+        (col("hw_us") - col("last_us") > lit(86400000000L)).as("stale"))
+      .orderBy("event_type")
+  }
+
+  val qDqFreshnessSql: String =
+    """WITH p AS (
+      |  SELECT event_type, count(*) AS n,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |  FROM events GROUP BY 1
+      |), t AS (SELECT max(last_us) AS hw_us FROM p)
+      |SELECT event_type, n, make_timestamp(last_us) AS last_ts,
+      |  (hw_us - last_us) // 60000000 AS lag_minutes,
+      |  hw_us - last_us > 86400000000 AS stale
+      |FROM p, t ORDER BY event_type""".stripMargin
+
   /** Functional-dependency audit — for each candidate FD X → Y, how many
     * X-groups carry more than one distinct Y (and how many rows sit in
     * the violating groups). One holding FD (nationkey → regionkey) and
@@ -1214,6 +1333,8 @@ object Insights {
 
   val entries: Map[String, Q] = Map(
     "q_stats_regression" -> qStatsRegression,
+    "q_stats_mannwhitney" -> qStatsMannWhitney,
+    "q_dq_freshness" -> qDqFreshness,
     "q_stats_ks"    -> qStatsKs,
     "q_dq_fd"       -> qDqFd,
     "q_dq_kanon"    -> qDqKanon,
@@ -1237,6 +1358,8 @@ object Insights {
 
   val oracles: Map[String, String] = Map(
     "q_stats_regression" -> qStatsRegressionSql,
+    "q_stats_mannwhitney" -> qStatsMannWhitneySql,
+    "q_dq_freshness" -> qDqFreshnessSql,
     "q_stats_ks"    -> qStatsKsSql,
     "q_dq_fd"       -> qDqFdSql,
     "q_dq_kanon"    -> qDqKanonSql,

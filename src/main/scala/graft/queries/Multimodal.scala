@@ -661,7 +661,99 @@ object Multimodal {
       |       MIN(val) AS luma_min, MAX(val) AS luma_max
       |FROM terms GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Nearest-neighbor grayscale resize to a real PNG: decode the source
+    * raster, sample src(4x, 4y) for the 64→16 downscale (exact integer
+    * stride, no interpolation arithmetic to diverge on), re-encode as a
+    * genuine 16×16 PNG, then DECODE THAT and report its exact pixel sum
+    * — the gate proves the whole resize → encode → decode loop is
+    * lossless (PNG is), not just the sampling math.
+    */
+  private[graft] def resizeNearestGray(payload: Array[Byte],
+                                       tw: Int, th: Int): Array[Byte] = {
+    require(imageIoReady)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val sr = src.getRaster
+    val dst = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val dr = dst.getRaster
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        dr.setSample(x, y, 0,
+          sr.getSample(x * src.getWidth / tw, y * src.getHeight / th, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-resize gate: decode → nearest-neighbor 16×16 → re-encode →
+    * re-decode → exact stats. Per-blob and embarrassingly parallel like
+    * every multimodal op here (one task touches one blob; the 16×
+    * byte reduction happens BEFORE anything could cross a shuffle —
+    * the order a 100 TB media pipeline must do it in). Oracle: the
+    * sampled pixels are the generator LCG at indices 256·y + 4·x, so
+    * DuckDB re-derives the resized pixel sum analytically.
+    */
+  val qMultimodalResize: Q = (s, d) => {
+    import s.implicits._
+    syntheticMedia(s, d)
+      .filter(_.modality == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val small = resizeNearestGray(r.payload, 16, 16)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(small))
+          val ras = img.getRaster
+          var s0 = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s0 += ras.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (r.media_id, img.getWidth, img.getHeight, s0,
+           s0 / 255.0 / (img.getWidth * img.getHeight))
+        }
+      }
+      .toDF("media_id", "out_w", "out_h", "px_sum", "mean_intensity")
+      .select(col("media_id"), col("out_w").cast("long").as("out_w"),
+              col("out_h").cast("long").as("out_h"), col("px_sum"),
+              round(col("mean_intensity"), 6).as("mean_intensity"))
+      .orderBy("media_id")
+  }
+
+  /** Analytic twin: the resized image samples the source LCG at
+    * (4y)·64 + 4x, summed over the 16×16 grid in exact HUGEINT→BIGINT
+    * arithmetic; one division pair mirrors the engine expression.
+    */
+  val qMultimodalResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+      |  CAST(SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+      |             CAST(gy.i * 256 + gx.i * 4 AS HUGEINT)
+      |               * 1442695040888963407)
+      |            % 18446744073709551616)
+      |           // 8589934592 % 256 AS BIGINT)) AS BIGINT) AS px_sum,
+      |  round(SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+      |             CAST(gy.i * 256 + gx.i * 4 AS HUGEINT)
+      |               * 1442695040888963407)
+      |            % 18446744073709551616)
+      |           // 8589934592 % 256 AS BIGINT)) / 255.0 / 256, 6)
+      |    AS mean_intensity
+      |FROM documents, generate_series(0, 15) gy(i),
+      |     generate_series(0, 15) gx(i)
+      |WHERE doc_id % 3 = 0
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_multimodal_resize"      -> qMultimodalResize,
     "q_multimodal_features"    -> qMultimodalFeatures,
     "q_multimodal_frames"      -> qMultimodalFrames,
     "q_multimodal_decode"      -> qMultimodalDecode,
@@ -669,6 +761,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_resize"      -> qMultimodalResizeSql,
     "q_multimodal_decode"      -> qMultimodalDecodeSql,
     "q_multimodal_frames_luma" -> qMultimodalFramesLumaSql,
     "q_multimodal_features"    -> qMultimodalFeaturesSql,

@@ -191,6 +191,74 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_stratified draws exactly min(20, |stratum|) by the hash order") {
+    import spark.implicits._
+    val rows = Curation.qSampleStratified(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val byLang = docs.groupBy(_._2)
+    val got = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, ds) =>
+      val want = ds.map(_._1)
+        .sortBy(id => (id * 2654435761L % (1L << 31), id))
+        .take(20).toSet
+      assert(got(lang).map(_.getAs[Long]("doc_id")).toSet == want,
+             s"$lang: selection must follow the deterministic hash order")
+      assert(got(lang).length == math.min(20, ds.length))
+    }
+  }
+
+  test("q_text_winnowing: every w-window holds a fingerprint (coverage guarantee)") {
+    import spark.implicits._
+    val rows = Curation.qTextWinnowing(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(rows.size == docs.length)
+    // driver-side winnow for a deterministic sample of docs
+    docs.filter(_._1 % 7 == 0).foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams =
+        if (toks.length < 4) Array(toks.mkString(" "))
+        else toks.sliding(4).map(_.mkString(" ")).toArray
+      val hashes = grams.map { g =>
+        java.security.MessageDigest.getInstance("MD5").digest(
+          g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val sel = (0 to math.max(0, hashes.length - 5)).map { i =>
+        val win = hashes.slice(i, math.min(i + 5, hashes.length))
+        val minH = win.min
+        i + win.lastIndexOf(minH) // rightmost min in window
+      }.distinct
+      val r = rows(id)
+      assert(r.getAs[Long]("n_grams") == grams.length.toLong)
+      assert(r.getAs[Long]("n_fp") == sel.size.toLong,
+             s"doc $id: fingerprint count must match driver-side winnow")
+      // density guarantee: at most one fp per window anchor
+      assert(r.getAs[Long]("n_fp") <=
+             math.max(1L, grams.length.toLong - 4L))
+    }
+  }
+
+  test("q_dedup_semantic: leaders survive, prune flags match recomputed cosines") {
+    import spark.implicits._
+    val rows = Curation.qDedupSemantic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    // members partition the table
+    assert(rows.map(_.getAs[Long]("n_members")).sum == vecs.size.toLong)
+    rows.foreach { r =>
+      val leader = r.getAs[Long]("leader")
+      assert(vecs.contains(leader))
+      assert(r.getAs[Long]("n_pruned") <= r.getAs[Long]("n_members") - 1,
+             "the leader itself is never pruned")
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_text_para_dedup: kept blocks across sources = distinct block values") {
     import spark.implicits._
     val rows = Curation.qTextParaDedup(spark, sf).collect()

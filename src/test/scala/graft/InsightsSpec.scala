@@ -511,6 +511,55 @@ class InsightsSpec extends AnyFunSuite {
            "each violating group holds at least two rows")
   }
 
+  test("q_stats_mannwhitney matches a driver-side rank-sum recompute") {
+    val Array(row) = Insights.qStatsMannWhitney(spark, sf).collect()
+    val vals = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val pooled = vals.sortBy(_._2)
+    // average ranks with ties, classic O(n) sweep
+    val rankOf = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._2 == pooled(i)._2) j += 1
+      rankOf(pooled(i)._2) = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+      i = j
+    }
+    val n1 = vals.count(_._1 == "click").toDouble
+    val n2 = vals.count(_._1 == "view").toDouble
+    val r1 = vals.filter(_._1 == "click").map(v => rankOf(v._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    assert(row.getAs[Long]("n1") == n1.toLong)
+    assert(row.getAs[Long]("n2") == n2.toLong)
+    assert(math.abs(row.getAs[Double]("u1") - u1) < 1e-6, "U statistic")
+    // tie-corrected z
+    val ties = pooled.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum.toDouble
+    val n = n1 + n2
+    val z = (u1 - n1 * n2 / 2) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-5, "z score")
+  }
+
+  test("q_dq_freshness: the high-water type lags zero, all lags non-negative") {
+    val rows = Insights.qDqFreshness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lags = rows.map(_.getAs[Long]("lag_minutes"))
+    assert(lags.min == 0L, "some type holds the global high-water mark")
+    assert(lags.forall(_ >= 0L))
+    rows.foreach { r =>
+      // stale is decided on exact micros; the minute column floors, so
+      // the two agree except inside the 1440..1441 boundary minute
+      val lag = r.getAs[Long]("lag_minutes")
+      if (lag > 1440L) assert(r.getAs[Boolean]("stale"))
+      if (lag < 1440L) assert(!r.getAs[Boolean]("stale"))
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+           Tables.events(spark, sf).count())
+  }
+
   test("q_dq_kanon: class census partitions the customer table") {
     val rows = Insights.qDqKanon(spark, sf).collect()
     assert(rows.nonEmpty)

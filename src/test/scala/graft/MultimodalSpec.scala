@@ -155,4 +155,25 @@ class MultimodalSpec extends AnyFunSuite {
              r.getAs[Long]("n_sampled") * 256) // 16×16 resized luma planes
     }
   }
+
+  test("q_multimodal_resize: NN 16x16 survives the encode/decode loop exactly") {
+    val rows = Multimodal.qMultimodalResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("out_w") == 16L && r.getAs[Long]("out_h") == 16L)
+      // re-derive the expected pixel sum straight from the generator:
+      // the resized image samples src(4x, 4y) = LCG(doc, 256y + 4x)
+      val id = r.getAs[Long]("media_id")
+      var want = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val mix = id * 6364136223846793005L +
+          (y.toLong * 4 * 64 + x * 4) * 1442695040888963407L
+        want += ((mix >>> 33) & 0xFF)
+      }
+      assert(r.getAs[Long]("px_sum") == want,
+             s"media $id: resize+reencode+decode must be lossless")
+      assert(math.abs(r.getAs[Double]("mean_intensity") -
+                      want / 255.0 / 256) < 1e-6)
+    }
+  }
 }

@@ -470,8 +470,10 @@ class PlanSpec extends AnyFunSuite {
                           // 1-row global min/max stats broadcast
                           "q_dq_drift",
                           // 1-row totals broadcast (chi² grand total, KS
-                          // sample sizes, mixture token total)
-                          "q_stats_chisq", "q_stats_ks", "q_select_mixture")
+                          // sample sizes, mixture token total, freshness
+                          // high-water mark)
+                          "q_stats_chisq", "q_stats_ks", "q_select_mixture",
+                          "q_dq_freshness")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
