@@ -846,7 +846,52 @@ object Analytics {
       |FROM nation LEFT JOIN sp ON sp.node = n_nationkey
       |ORDER BY node""".stripMargin
 
+  /** Count–min sketch frequency estimates (Cormode & Muthukrishnan) —
+    * the mergeable heavy-hitter summary that completes the sketch
+    * family (HLL distinct, KLL quantiles, Bloom membership, approx
+    * top-k already gated). The sketch is built DISTRIBUTED
+    * (`df.stat.countMinSketch` tree-aggregates per-partition sketches;
+    * cell-wise sums are commutative, so the merged sketch — and every
+    * estimate — is partitioning-independent), then the bounded key set
+    * (25 nations) is probed on the driver against exact counts.
+    *
+    * Tolerance-oracle contract (the q_agg_quantile_sketch pattern):
+    * the gated row carries the exact count and the published-bound
+    * booleans — est ≥ exact (CMS never under-counts) and
+    * est ≤ exact + ε·N with ε = 0.001 at depth ln(1/δ), δ = 0.001 —
+    * which DuckDB re-derives as exact counts + TRUE. The estimates
+    * themselves are deterministic (fixed seed) and spec-asserted.
+    *
+    * At 100 TB: the sketch is ~KB per partition and merges in one
+    * treeReduce — frequency telemetry without a groupBy of the
+    * firehose; per-key probes are O(depth).
+    */
+  val qAggCms: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val n = cust.count()
+    val sketch = cust.stat.countMinSketch(
+      col("c_nationkey").cast("long"), eps = 0.001, confidence = 0.999,
+      seed = 42)
+    val exact = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bound = math.ceil(0.001 * n).toLong
+    exact.toSeq.sortBy(_._1)
+      .map { case (k, ex) =>
+        val est = sketch.estimateCount(java.lang.Long.valueOf(k.toLong))
+        (k.toLong, ex, est >= ex, est <= ex + bound)
+      }
+      .toDF("nationkey", "n_exact", "ok_lower", "ok_upper")
+  }
+
+  val qAggCmsSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  count(*) AS n_exact, TRUE AS ok_lower, TRUE AS ok_upper
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_agg_cms"             -> qAggCms,
     "q_graph_bfs"           -> qGraphBfs,
     "q_agg_filtered"        -> qAggFiltered,
     "q_graph_triangles"     -> qGraphTriangles,
@@ -866,6 +911,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_cms"             -> qAggCmsSql,
     "q_graph_bfs"           -> qGraphBfsSql,
     "q_agg_filtered"        -> qAggFilteredSql,
     "q_graph_triangles"     -> qGraphTrianglesSql,

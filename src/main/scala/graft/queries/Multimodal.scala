@@ -725,7 +725,12 @@ object Multimodal {
       .toDF("media_id", "out_w", "out_h", "px_sum", "mean_intensity")
       .select(col("media_id"), col("out_w").cast("long").as("out_w"),
               col("out_h").cast("long").as("out_h"), col("px_sum"),
-              round(col("mean_intensity"), 6).as("mean_intensity"))
+              // UNROUNDED: both engines divide the same exact integer by
+              // the same two literals, so the doubles are bit-identical;
+              // a 6-dp round would re-introduce the one divergence (a
+              // half-tie like 33966/65280 = .5203125 rounds HALF_UP in
+              // the JVM, half-even in DuckDB)
+              col("mean_intensity"))
       .orderBy("media_id")
   }
 
@@ -741,11 +746,11 @@ object Multimodal {
       |               * 1442695040888963407)
       |            % 18446744073709551616)
       |           // 8589934592 % 256 AS BIGINT)) AS BIGINT) AS px_sum,
-      |  round(SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
+      |  SUM(CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005 +
       |             CAST(gy.i * 256 + gx.i * 4 AS HUGEINT)
       |               * 1442695040888963407)
       |            % 18446744073709551616)
-      |           // 8589934592 % 256 AS BIGINT)) / 255.0 / 256, 6)
+      |           // 8589934592 % 256 AS BIGINT)) / 255.0 / 256
       |    AS mean_intensity
       |FROM documents, generate_series(0, 15) gy(i),
       |     generate_series(0, 15) gx(i)

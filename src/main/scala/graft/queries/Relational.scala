@@ -703,6 +703,46 @@ object Relational {
       |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
       |FROM events e ORDER BY e.event_id""".stripMargin
 
+  /** As-of join WITH A STALENESS TOLERANCE — the feature-store lookup
+    * contract: the latest order at most T old at event time, or
+    * NULL (a feature older than its TTL must not leak into training).
+    * Same user-keyed equi-join + per-event ranked window as
+    * [[qJoinAsof]]; the tolerance is one more residual predicate riding
+    * the join, so the plan (and its 100 TB shape — one user_id
+    * exchange, interval residual, windowed top-1) is unchanged, which
+    * is the point: TTL semantics cost nothing over plain as-of.
+    * T = 9131 days (~25 y) because the synthetic epochs sit decades
+    * apart (events 2024, orders 1995–2001): this lands the TTL inside
+    * the actual gap distribution, so the gate exercises BOTH outcomes
+    * (~98% fresh, ~2% nulled at sf0.01) rather than a degenerate
+    * all-NULL column.
+    */
+  val qJoinAsofTolerance: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
+    val j = e.join(o,
+      col("user_id") === col("o_custkey") &&
+      col("o_orderdate") <= col("ts") &&
+      col("o_orderdate") >= col("ts") - expr("INTERVAL 9131 DAYS"), "left")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc_nulls_last,
+               col("o_orderkey").desc_nulls_last)
+    j.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("fresh_order"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofToleranceSql: String =
+    """SELECT e.event_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |    WHERE o.o_custkey = e.user_id
+      |      AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      |      AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 9131 DAY
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+      |    AS fresh_order
+      |FROM events e ORDER BY e.event_id""".stripMargin
+
   /** The same as-of semantics through the native operator
     * (graft.plans.AsOfJoinExec): hash-cluster + sort both sides, one
     * forward merge, no row fanout. Shares q_join_asof's oracle — the
@@ -1679,6 +1719,7 @@ object Relational {
     "q_join_theta_range" -> qJoinThetaRange,
     "q_join_range_banded" -> qJoinRangeBanded,
     "q_join_asof"        -> qJoinAsof,
+    "q_join_asof_tolerance" -> qJoinAsofTolerance,
     "q_join_asof_native" -> qJoinAsofNative,
     "q_join_multiway"    -> qJoinMultiway,
     "q_join_bucketed"    -> qJoinBucketed,
@@ -1734,6 +1775,7 @@ object Relational {
     "q_join_theta_range" -> qJoinThetaRangeSql,
     "q_join_range_banded" -> qJoinThetaRangeSql,
     "q_join_asof"        -> qJoinAsofSql,
+    "q_join_asof_tolerance" -> qJoinAsofToleranceSql,
     "q_join_asof_native" -> qJoinAsofSql,
     "q_join_multiway"    -> qJoinMultiwaySql,
     "q_join_bucketed"    -> qJoinBucketedSql,

@@ -613,7 +613,45 @@ object Windows {
       |                AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Trailing 24 h per-user rolling stats via a TIME-range frame — the
+    * time-based complement to [[qWinRangeFrame]]'s numeric range: each
+    * event sees the count and exact decimal sum of its user's events in
+    * the preceding day, expressed as a RANGE frame over epoch
+    * microseconds (integers, so both engines bound the frame
+    * identically; an INTERVAL frame would hit each engine's own
+    * timestamp frame arithmetic).
+    *
+    * At 100 TB: one user_id exchange; RANGE frames evaluate with a
+    * sliding two-pointer over each partition's sorted run — no
+    * per-row rescan, no self-join against a time spine.
+    */
+  val qWinRangeTime: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+              unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-86400000000L + 1, 0)
+    e.select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_24h"))
+      .orderBy("event_id")
+  }
+
+  val qWinRangeTimeSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_24h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_24h
+      |FROM (SELECT event_id, user_id, value,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_win_range_time"  -> qWinRangeTime,
     "q_attribution"     -> qAttribution,
     "q_win_dist"        -> qWinDist,
     "q_win_rank"        -> qWinRank,
@@ -631,6 +669,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_win_range_time"  -> qWinRangeTimeSql,
     "q_attribution"     -> qAttributionSql,
     "q_win_dist"        -> qWinDistSql,
     "q_win_rank"        -> qWinRankSql,

@@ -269,6 +269,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_cms: estimates deterministic, one-sided, and inside the published bound") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qAggCms(spark, sf).collect()
+    assert(rows.length ==
+           Tables.customer(spark, sf).select("c_nationkey").distinct().count().toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok_lower"), "CMS never under-counts")
+      assert(r.getAs[Boolean]("ok_upper"),
+             s"nation ${r.get(0)}: estimate above the eps*N bound")
+    }
+    // determinism: the fixed-seed sketch probes identically across runs
+    val again = Analytics.qAggCms(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q_graph_bfs hops match a driver-side BFS over the same top-2 graph") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -85,4 +85,43 @@ class AsOfJoinSpec extends AnyFunSuite {
       (3L, -1L),  // key 20 exists but t2=60 > 50 -> no match
       (4L, -1L))) // key 30 absent
   }
+
+  test("as-of with tolerance nulls exactly the matches older than the TTL") {
+    val plain = Relational.qJoinAsof(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val tol = Relational.qJoinAsofTolerance(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(plain.keySet == tol.keySet)
+    // driver-side truth in epoch micros (UTC session; avoids java.time
+    // vs java.sql row accessor differences)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect()
+    val dayUs = 86400000000L
+    var nulledByTtl = 0
+    var freshKept = 0
+    events.foreach { r =>
+      val (eid, uid, ets) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = orders.getOrElse(uid, Array.empty)
+        .filter { case (_, _, od) => od <= ets }
+      val best = cands.sortBy { case (_, ok, od) => (od, ok) }.lastOption
+      assert(plain(eid) == best.map(_._2), s"event $eid plain asof")
+      val fresh = best.filter { case (_, _, od) => od >= ets - 9131 * dayUs }
+      assert(tol(eid) == fresh.map(_._2), s"event $eid tolerance asof")
+      if (best.isDefined && fresh.isEmpty) nulledByTtl += 1
+      if (fresh.isDefined) freshKept += 1
+    }
+    // non-degeneracy: the TTL must land inside the gap distribution —
+    // some matches survive AND some are nulled
+    assert(nulledByTtl > 0, "the TTL must actually null some stale matches")
+    assert(freshKept > 0, "the TTL must actually keep some fresh matches")
+  }
 }

@@ -55,4 +55,24 @@ class AttributionSpec extends AnyFunSuite {
       case ((p, a), (np, na, _)) => (p + np, a + na) }
     assert(ta > 0 && ta < tp)
   }
+
+  test("q_win_range_time trailing-24h counts match a driver-side sweep") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Windows.qWinRangeTime(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_24h")).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._2)
+    // brute-force trailing window for a deterministic user sample
+    byUser.keys.filter(_ % 17 == 0).foreach { u =>
+      val us = byUser(u)
+      us.foreach { case (eid, _, t) =>
+        val want = us.count { case (_, _, t2) =>
+          t2 <= t && t2 > t - 86400000000L }
+        assert(got(eid) == want.toLong, s"event $eid of user $u")
+      }
+    }
+  }
 }
