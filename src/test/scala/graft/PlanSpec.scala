@@ -108,13 +108,13 @@ class PlanSpec extends AnyFunSuite {
            s"the 5-row count table must broadcast:\n$p")
     // the only acceptable exchanges: the counts aggregation (tiny) and
     // the final presentation sort — never a hash repartition of docs
-    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+    assert(!"hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
            s"corpus rows must not shuffle on doc_id for a filter:\n$p")
   }
 
   test("q_merge_upsert: one key shuffle feeds the latest-wins window") {
     val p = plan("q_merge_upsert")
-    val n = "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size
+    val n = "hashpartitioning\\(o_orderkey".r.findAllIn(p).size
     assert(n <= 1,
            s"union + window must shuffle the merge key at most once:\n$p")
   }
@@ -459,6 +459,34 @@ class PlanSpec extends AnyFunSuite {
            "per-language sketches must fold map-side — only sketches cross the wire")
     assert(p.contains("TakeOrderedAndProject"),
            "the exact top-20 must be a distributed top-k, not a global sort")
+  }
+
+  test("q_sample_stratified: per-stratum k filter plans the partial WindowGroupLimit") {
+    val p = plan("q_sample_stratified")
+    val idxPartialLimit = p.indexOf("WindowGroupLimit")
+    val idxExchange = p.indexOf("Exchange")
+    assert(idxPartialLimit >= 0 && idxPartialLimit > idxExchange,
+           s"rn <= 20 must push down as WindowGroupLimit:\n${p.take(800)}")
+    assert(p.contains("row_number(), 20, Partial"),
+           s"the map-side limit must be the Partial mode:\n${p.take(1200)}")
+  }
+
+  test("q_text_winnowing: per-doc windows share one doc-keyed exchange") {
+    val p = plan("q_text_winnowing")
+    // the gram count, window min, and anchor filter all partition by
+    // doc_id — one exchange serves every window
+    // formatted mode prints the partitioning argument on its own line —
+    // count the argument spelling, not "Exchange hashpartitioning(..."
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+           s"winnowing must shuffle the gram table exactly once:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_semantic: centroids and leader vectors broadcast, corpus never all-pairs") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("BroadcastExchange"),
+           "the constant-size centroid/leader sides must broadcast")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("no CartesianProduct anywhere; nested-loop joins only for constant-size sides") {
