@@ -480,7 +480,8 @@ object StreamingQ {
     * results into a memory sink named `name`. State-store partition
     * sizing and checkpoint placement mirror [[runReplayStreams]].
     */
-  private def runFileReplayStream(s: SparkSession, name: String, d: String)
+  private def runFileReplayStream(s: SparkSession, name: String, d: String,
+                                  filesPerTrigger: Int = 1)
                                  (build: DataFrame => DataFrame): DataFrame = {
     val dir = eventWeekFiles(s, d)
     val totalRows = Tables.events(s, d).count()
@@ -496,7 +497,7 @@ object StreamingQ {
         .createTempDirectory(ckptBase, s"graft_ckpt_${name}_")
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(s"$dir/w*.parquet")
       val q = build(src)
         .writeStream.format("memory").queryName(name)
@@ -1182,11 +1183,13 @@ object StreamingQ {
 
   val qStreamAnomaly: Q = (s, d) => {
     import s.implicits._
-    val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
-    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
-    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
-                      -1L, "wm_flush", 0.0)
-    runReplayStream(s, "graft_stream_anomaly", batches :+ Seq(sentinel)) { df =>
+    // DISTRIBUTED replay (the q_stream_session path): executors read the
+    // weekly parquet files — 3 weeks per micro-batch to mirror the old
+    // MemoryStream grouping — and the seeded far-future sentinel file
+    // drains the final watermark, firing every key's tail timer. The
+    // driver only admits files; nothing corpus-sized is collected.
+    runFileReplayStream(s, "graft_stream_anomaly", d,
+                        filesPerTrigger = 3) { df =>
       df.withWatermark("ts", "1 hour")
         .as[Ev]
         .groupByKey(_.event_type)
