@@ -890,7 +890,93 @@ object Analytics {
       |  count(*) AS n_exact, TRUE AS ok_lower, TRUE AS ok_upper
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-brand skyline (Pareto frontier) over (price asc, size desc) —
+    * the multi-objective "best tradeoffs" query. Two stages, both
+    * declarative: (1) collapse parts to max size per (brand, price) —
+    * one combiner-collapsed aggregate, since among equal-price parts
+    * only the largest can be non-dominated; (2) a brand-partitioned
+    * cumulative-max window over ascending price keeps exactly the
+    * points whose size strictly exceeds every cheaper point's.
+    *
+    * At 100 TB: the aggregate reduces the corpus to ≤ |brand × price|
+    * rows (price grids are bounded in practice), and the frontier
+    * window partitions by brand — parallel across brands, never a
+    * global single-partition sort. The oracle replays the identical
+    * two stages; a NOT EXISTS dominance formulation would be O(n²) and
+    * is exactly what this shape avoids.
+    */
+  val qSkyline: Q = (s, d) => {
+    val pp = Tables.part(s, d)
+      .groupBy(col("p_brand").as("brand"),
+               col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("size"))
+    val w = Window.partitionBy("brand").orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pp.withColumn("prevmax", max(col("size")).over(w))
+      .where(col("prevmax").isNull || col("size") > col("prevmax"))
+      .select(col("brand"), col("price"), col("size").cast("long").as("size"))
+      .orderBy("brand", "price")
+  }
+
+  val qSkylineSql: String =
+    """WITH pp AS (
+      |  SELECT p_brand AS brand, p_retailprice AS price,
+      |         max(p_size) AS size
+      |  FROM part GROUP BY 1, 2
+      |), f AS (
+      |  SELECT brand, price, size,
+      |    max(size) OVER (PARTITION BY brand ORDER BY price ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM pp
+      |)
+      |SELECT brand, price, CAST(size AS BIGINT) AS size FROM f
+      |WHERE prevmax IS NULL OR size > prevmax
+      |ORDER BY brand, price""".stripMargin
+
+  /** Event-type transition matrix — the per-user behavioral bigram
+    * (Markov chain estimate) a sequence model's data audit starts
+    * from: lead(event_type) over each user's time-ordered stream,
+    * then (src, dst) counts and the row-normalized transition
+    * probability. ONE user_id exchange serves the ordering window; the
+    * pair count is a combiner-collapsed aggregate on a ≤ |types|² key
+    * space, and the normalizing window runs over that bounded matrix,
+    * not the firehose. (ts, event_id) is a total order, so lead() is
+    * engine-deterministic.
+    */
+  val qSeqTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("src"), col("ts"),
+              col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy("src")
+    pairs
+      .select(col("src"), col("dst"), col("n"),
+              round(col("n").cast("double") / sum(col("n")).over(norm), 6)
+                .as("p"))
+      .orderBy("src", "dst")
+  }
+
+  val qSeqTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+      |  FROM events
+      |), pairs AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT src, dst, n,
+      |  ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+      |FROM pairs ORDER BY src, dst""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_skyline"             -> qSkyline,
+    "q_seq_transitions"     -> qSeqTransitions,
     "q_agg_cms"             -> qAggCms,
     "q_graph_bfs"           -> qGraphBfs,
     "q_agg_filtered"        -> qAggFiltered,
@@ -911,6 +997,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skyline"             -> qSkylineSql,
+    "q_seq_transitions"     -> qSeqTransitionsSql,
     "q_agg_cms"             -> qAggCmsSql,
     "q_graph_bfs"           -> qGraphBfsSql,
     "q_agg_filtered"        -> qAggFilteredSql,

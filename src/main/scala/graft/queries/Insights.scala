@@ -1331,7 +1331,125 @@ object Insights {
       |  CAST(sum(sz) AS BIGINT) AS n_rows
       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benford first-digit audit — the classic fabricated-data screen:
+    * the distribution of leading significant digits of order totals
+    * against Benford's law log10(1 + 1/d). The digit is extracted from
+    * the INTEGER cents string (round(x*100) then first character), not
+    * from floor(log10(x)) — log10 sits a ULP below integers at exact
+    * powers of ten and the two engines could disagree on the digit of
+    * 999.999…; an integer's decimal string is engine-identical.
+    * One scan, digit-keyed combiner aggregate (≤ 9 groups), total via
+    * a 1-row broadcast. The op REPORTS divergence (obs vs expected
+    * freq + the chi-squared contribution); this synthetic data is
+    * visibly non-Benford, which is exactly what the audit should say.
+    */
+  val qDqBenford: Q = (s, d) => {
+    val digits = Tables.orders(s, d)
+      .where(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(total)) // 1-row total — constant-size build
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6)
+          .as("obs_freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_freq"),
+        round(pow(col("n_obs").cast("double") / col("n_total") -
+                  log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+              log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("chisq_term"))
+      .orderBy("digit")
+  }
+
+  val qDqBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice > 0
+      |), tot AS (SELECT count(*) AS n_total FROM d)
+      |SELECT digit, count(*) AS n_obs,
+      |  ROUND(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+      |    AS obs_freq,
+      |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+      |  ROUND(pow(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot)
+      |            - log10(1.0 + 1.0 / digit), 2)
+      |        / log10(1.0 + 1.0 / digit), 6) AS chisq_term
+      |FROM d GROUP BY digit ORDER BY digit""".stripMargin
+
+  /** Source-vs-derived reconciliation — the migration/audit join: does
+    * the stored order total equal the total re-derived from its line
+    * items (extendedprice·(1−discount)·(1+tax), 2-dp-rounded exact
+    * decimal sum)? FULL OUTER join of the orders table against the
+    * lineitem rollup, each row classified match / mismatch /
+    * missing_lineitem / missing_order at a 1-cent tolerance, then a
+    * bounded per-status aggregate of counts and total absolute drift.
+    *
+    * At 100 TB: one orderkey exchange per side feeding a co-partitioned
+    * full outer merge; the classification is row-local and the final
+    * aggregate is 4 groups. This synthetic data's totals are NOT
+    * lineitem-derived, so the audit reports what is true: all
+    * non-orphan orders mismatch, with the drift quantified.
+    */
+  val qDqReconcile: Q = (s, d) => {
+    // every money/rate column is a true 2-dp quantity stored as double,
+    // so casting to decimal recovers it EXACTLY in both engines and the
+    // whole derivation runs in exact decimal arithmetic — no round()
+    // anywhere mid-pipeline (a round on the double products diverged 5
+    // cents at sf0.01: Spark rounds the shortest decimal repr, DuckDB
+    // the binary value). Only the final 4-row sums round, at 2 dp, so
+    // the double cast stays exact far past sf1.
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rate = org.apache.spark.sql.types.DecimalType(4, 2)
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(dec2)
+               * (lit(1).cast(rate) - col("l_discount").cast(rate))
+               * (lit(1).cast(rate) + col("l_tax").cast(rate)))
+             .as("derived"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec2).as("stored"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        when(col("l_orderkey").isNull, lit("missing_lineitem"))
+          .when(col("o_orderkey").isNull, lit("missing_order"))
+          .when(abs(col("stored") - col("derived")) <= 0.01, lit("match"))
+          .otherwise(lit("mismatch")).as("status"),
+        abs(coalesce(col("stored"), lit(0).cast(dec2)) -
+            coalesce(col("derived"), lit(0).cast(dec2))).as("adiff"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("adiff")), 2).cast("double").as("sum_absdiff"))
+      .orderBy("status")
+  }
+
+  val qDqReconcileSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS derived
+      |  FROM lineitem GROUP BY 1
+      |), j AS (
+      |  SELECT
+      |    CASE WHEN li.l_orderkey IS NULL THEN 'missing_lineitem'
+      |         WHEN o.o_orderkey IS NULL THEN 'missing_order'
+      |         WHEN abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.derived)
+      |              <= 0.01 THEN 'match'
+      |         ELSE 'mismatch' END AS status,
+      |    abs(coalesce(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)
+      |        - coalesce(li.derived, 0)) AS adiff
+      |  FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+      |)
+      |SELECT status, count(*) AS n,
+      |  CAST(ROUND(SUM(adiff), 2) AS DOUBLE) AS sum_absdiff
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_dq_benford"  -> qDqBenford,
+    "q_dq_reconcile" -> qDqReconcile,
     "q_stats_regression" -> qStatsRegression,
     "q_stats_mannwhitney" -> qStatsMannWhitney,
     "q_dq_freshness" -> qDqFreshness,
@@ -1357,6 +1475,8 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_benford"  -> qDqBenfordSql,
+    "q_dq_reconcile" -> qDqReconcileSql,
     "q_stats_regression" -> qStatsRegressionSql,
     "q_stats_mannwhitney" -> qStatsMannWhitneySql,
     "q_dq_freshness" -> qDqFreshnessSql,

@@ -959,6 +959,96 @@ object LlmOps {
       |       ROUND(sqrt(MAX(cn2)), 6) AS centroid_norm
       |FROM cs GROUP BY label ORDER BY label""".stripMargin
 
+  /** Distributed Gram matrix of the embedding table — the one-pass
+    * precursor to PCA/whitening/covariance audits of an embedding
+    * space. A typed [[graft.functions.GraftFunctions.GramAgg]] folds
+    * each vector's upper-triangle outer product into a d(d+1)/2-cell
+    * integer buffer (per-pair products rounded to 6 dp, accumulated in
+    * exact micro-units), so partials combine map-side and the exchange
+    * carries ONE ~16 KB buffer per task — never a row-pair expansion.
+    * The d² result is a model constant (64×65/2 = 2080 cells), so
+    * materializing it driver-side is bounded, same contract as the PQ
+    * codebook collect.
+    *
+    * At 100 TB: cost is one scan + d²/2 multiply-adds per row; shuffle
+    * volume is O(tasks · d²) bytes, independent of corpus size. The
+    * oracle re-derives every cell by unnesting both sides in DuckDB —
+    * O(n·d²) rows there, fine at gate scale, and the reason the
+    * distributed form exists.
+    */
+  val qEmbedGram: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val agg = new graft.functions.GraftFunctions.GramAgg(dim)
+    val micros: Seq[Long] = emb.select(col("embedding")).as[Seq[Float]]
+      .select(agg.toColumn).head() // d(d+1)/2 longs — bounded
+    val rows = { // upper triangle, row-major: k -> (i, j)
+      val b = Seq.newBuilder[(Long, Long, Double)]
+      var k = 0
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          b += ((i.toLong, j.toLong,
+                 java.math.BigDecimal.valueOf(micros(k), 6).doubleValue()))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      b.result()
+    }
+    rows.toDF("i", "j", "gram").orderBy("i", "j")
+  }
+
+  val qEmbedGramSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+      |)
+      |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+      |  CAST(SUM(CAST(ROUND(a.x * b.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS gram
+      |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-dimension distribution audit of the embedding space — the
+    * dimension-collapse / dead-axis screen an embedding QA pass runs
+    * before training: n, mean (6-dp-rounded elements, decimal-summed),
+    * min, max per coordinate. posexplode then ONE dim-keyed aggregate;
+    * partials combine map-side, the exchange carries ≤ d rows per
+    * task. d is a model constant, so the result is bounded at any
+    * corpus size.
+    */
+  val qEmbedDimStats: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+              round(col("col").cast("double"), 6).as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           (sum(col("x").cast(dec6)).cast("double") / count(lit(1)))
+             .as("mean_x"),
+           min(col("x")).as("min_x"),
+           max(col("x")).as("max_x"))
+      .orderBy("dim")
+  }
+
+  val qEmbedDimStatsSql: String =
+    """WITH el AS (
+      |  SELECT g.i AS dim,
+      |         ROUND(CAST(embedding[g.i + 1] AS DOUBLE), 6) AS x
+      |  FROM embeddings,
+      |       UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+      |)
+      |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_x,
+      |  min(x) AS min_x, max(x) AS max_x
+      |FROM el GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- similarity
 
   /** HOF formulation of cosine: per-element double widening, index-order
@@ -2836,6 +2926,8 @@ object LlmOps {
     "q_dedup_embed"      -> qDedupEmbed,
     "q_dedup_embed_stats" -> qDedupEmbedStats,
     "q_embed_centroids"  -> qEmbedCentroids,
+    "q_embed_gram"       -> qEmbedGram,
+    "q_embed_dim_stats"  -> qEmbedDimStats,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
@@ -2903,6 +2995,8 @@ object LlmOps {
     "q_sim_pq_adc"    -> qSimPqAdcSql,
     "q_sim_pq_codes"  -> qSimPqCodesSql,
     "q_dedup_embed_stats" -> qDedupEmbedStatsSql,
-    "q_embed_centroids" -> qEmbedCentroidsSql
+    "q_embed_centroids" -> qEmbedCentroidsSql,
+    "q_embed_gram"      -> qEmbedGramSql,
+    "q_embed_dim_stats" -> qEmbedDimStatsSql
   )
 }

@@ -321,4 +321,35 @@ class AnalyticsSpec extends AnyFunSuite {
              s"nation $n: iterative-join BFS must equal queue BFS")
     }
   }
+
+  test("q_skyline: frontier is exactly the non-dominated (price,size) set per brand") {
+    import org.apache.spark.sql.functions._
+    val frontier = Analytics.qSkyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val parts = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2).toLong))
+    def dominated(brand: String, price: Double, size: Long): Boolean =
+      parts.exists { case (b, p, s) =>
+        b == brand && p <= price && s >= size && (p < price || s > size) }
+    // every frontier point exists in the data and is non-dominated
+    frontier.foreach { case (b, p, s) =>
+      assert(parts.contains((b, p, s)), s"($b,$p,$s) not a real part point")
+      assert(!dominated(b, p, s), s"($b,$p,$s) is dominated")
+    }
+    // completeness: every non-dominated point is on the frontier
+    val want = parts.distinct.filterNot { case (b, p, s) => dominated(b, p, s) }
+    assert(frontier.toSet == want.toSet)
+  }
+
+  test("q_seq_transitions: probabilities sum to 1 per source type") {
+    val rows = Analytics.qSeqTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      val psum = ts.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$src rows sum to $psum")
+    }
+  }
 }

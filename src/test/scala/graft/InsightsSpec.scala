@@ -576,4 +576,42 @@ class InsightsSpec extends AnyFunSuite {
              (if (r.getAs[Long]("classes_below_k") == 0) 1L else 0L))
     }
   }
+
+  test("q_dq_benford: digits 1-9, observed freqs sum to 1, Benford freqs exact") {
+    val rows = Insights.qDqBenford(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val fsum = rows.map(_.getAs[Double]("obs_freq")).sum
+    assert(math.abs(fsum - 1.0) < 1e-4, s"obs freqs sum to $fsum")
+    rows.foreach { r =>
+      val d = r.getLong(0).toDouble
+      val want = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("benford_freq") == want)
+      assert(r.getAs[Double]("chisq_term") >= 0.0)
+    }
+  }
+
+  test("q_dq_reconcile: statuses partition the full outer row space") {
+    import org.apache.spark.sql.functions._
+    val rows = Insights.qDqReconcile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("sum_absdiff")))
+      .toMap
+    assert(rows.keySet.subsetOf(
+      Set("match", "mismatch", "missing_lineitem", "missing_order")))
+    // a match contributes at most 1 cent of drift per row; a mismatch
+    // strictly more than the tolerance in total
+    rows.get("match").foreach { case (n, s) => assert(s <= 0.01 * n) }
+    rows.get("mismatch").foreach { case (n, s) => assert(s > 0.01 * n) }
+    // total row count = orders ∪ lineitem orderkeys (full outer)
+    val nOrders = Tables.orders(spark, sf).count()
+    val liKeys = Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val oKeys = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_orderkey"))).head().getLong(0)
+    val joint = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(rows.values.map(_._1).sum == nOrders + (liKeys - joint))
+  }
 }

@@ -632,4 +632,41 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(again == rows)
   }
+
+  test("q_embed_gram: one-pass aggregator matches a driver-side outer-product fold") {
+    import org.apache.spark.sql.functions._
+    val got = LlmOps.qEmbedGram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = vecs.head.length
+    assert(got.size == dim * (dim + 1) / 2)
+    // brute-force the same rounded-micros accumulation on the driver
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (v <- vecs; i <- 0 until dim; j <- i until dim) {
+      val m = java.math.BigDecimal.valueOf(v(i).toDouble * v(j).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      val k = (i.toLong, j.toLong)
+      want(k) = want.getOrElse(k, 0L) + m
+    }
+    want.foreach { case (k, micros) =>
+      assert(got(k) == java.math.BigDecimal.valueOf(micros, 6).doubleValue(),
+             s"cell $k")
+    }
+    // the diagonal of a near-unit-norm space sums to ~n per trace
+    val trace = (0 until dim).map(i => got((i.toLong, i.toLong))).sum
+    assert(math.abs(trace - vecs.length) < 0.01 * vecs.length)
+  }
+
+  test("q_embed_dim_stats: per-dimension rows cover every coordinate") {
+    val rows = LlmOps.qEmbedDimStats(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("mean_x") &&
+             r.getAs[Double]("mean_x") <= r.getAs[Double]("max_x"))
+    }
+  }
 }

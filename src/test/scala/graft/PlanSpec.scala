@@ -501,7 +501,9 @@ class PlanSpec extends AnyFunSuite {
                           // sample sizes, mixture token total, freshness
                           // high-water mark)
                           "q_stats_chisq", "q_stats_ks", "q_select_mixture",
-                          "q_dq_freshness")
+                          "q_dq_freshness",
+                          // 1-row digit-census total broadcast
+                          "q_dq_benford")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
