@@ -976,13 +976,23 @@ object LlmOps {
     * O(n·d²) rows there, fine at gate scale, and the reason the
     * distributed form exists.
     */
-  val qEmbedGram: Q = (s, d) => {
+  /** One distributed pass → the d(d+1)/2 upper-triangle micro-unit
+    * cells. Shared by [[qEmbedGram]] (which reports the matrix) and
+    * [[qEmbedPca]] (which eigen-solves it driver-side).
+    */
+  private def gramMicros(s: SparkSession, d: String): (Int, Seq[Long]) = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val agg = new graft.functions.GraftFunctions.GramAgg(dim)
     val micros: Seq[Long] = emb.select(col("embedding")).as[Seq[Float]]
       .select(agg.toColumn).head() // d(d+1)/2 longs — bounded
+    (dim, micros)
+  }
+
+  val qEmbedGram: Q = (s, d) => {
+    import s.implicits._
+    val (dim, micros) = gramMicros(s, d)
     val rows = { // upper triangle, row-major: k -> (i, j)
       val b = Seq.newBuilder[(Long, Long, Double)]
       var k = 0
@@ -1013,6 +1023,75 @@ object LlmOps {
       |    AS gram
       |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** First-principal-component projection — the dimensionality-
+    * reduction step the Gram matrix exists for. Three stages, each at
+    * its natural scale: (1) the DISTRIBUTED one-pass Gram fold
+    * ([[gramMicros]] — exact integer cells, so the matrix is
+    * bit-identical on every run/partitioning); (2) a DRIVER-side power
+    * iteration on the d×d model-constant matrix (50 fixed iterations
+    * from a fixed start, pure IEEE +,*,/,sqrt — deterministic; the
+    * 6-dp-rounded vector is the contract, not "the true eigenvector");
+    * (3) a MAP-ONLY distributed projection of every embedding onto the
+    * broadcast-literal direction — no join, no shuffle, the final sort
+    * is presentation only.
+    *
+    * The rounded direction is ALSO written to a [[Scratch]] parquet so
+    * the DuckDB oracle projects the same corpus onto the same 64
+    * numbers — everything downstream of the Spark-only kernel is
+    * re-derived from the exact bytes the run used.
+    *
+    * At 100 TB: one Gram pass (O(tasks·d²) shuffle bytes) + one scan
+    * for the projection. The d×d eigen-solve is a model constant —
+    * never distributed work.
+    */
+  val qEmbedPca: Q = (s, d) => {
+    import s.implicits._
+    val (dim, micros) = gramMicros(s, d)
+    val a = Array.ofDim[Double](dim, dim)
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = java.math.BigDecimal.valueOf(micros(k), 6).doubleValue()
+      a(i)(j) = v; a(j)(i) = v; k += 1
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until 50) {
+      val av = Array.tabulate(dim) { i =>
+        var sum = 0.0
+        var j = 0
+        while (j < dim) { sum += a(i)(j) * v(j); j += 1 }
+        sum
+      }
+      val n = math.sqrt(av.map(x => x * x).sum)
+      v = av.map(_ / n)
+    }
+    val v6 = v.map(x => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // handoff: the oracle projects onto exactly these 64 numbers
+    v6.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("i", "vi").coalesce(1).write.mode("overwrite")
+      .parquet(graft.queries.Scratch.path("pca_v", d))
+    val dot = aggregate(
+      zip_with(col("embedding"), lit(v6),
+               (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), round(dot, 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedPcaSql: String =
+    s"""WITH v AS (
+      |  SELECT i, vi FROM '${Scratch.sqlPath("pca_v")}/*.parquet'
+      |), el AS (
+      |  SELECT vec_id, label, g.i AS i,
+      |         CAST(embedding[g.i + 1] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+      |)
+      |SELECT el.vec_id, el.label, ROUND(SUM(el.x * v.vi), 6) AS pc1
+      |FROM el JOIN v ON el.i = v.i
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** Per-dimension distribution audit of the embedding space — the
     * dimension-collapse / dead-axis screen an embedding QA pass runs
@@ -2928,6 +3007,7 @@ object LlmOps {
     "q_embed_centroids"  -> qEmbedCentroids,
     "q_embed_gram"       -> qEmbedGram,
     "q_embed_dim_stats"  -> qEmbedDimStats,
+    "q_embed_pca"        -> qEmbedPca,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
@@ -2997,6 +3077,7 @@ object LlmOps {
     "q_dedup_embed_stats" -> qDedupEmbedStatsSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_gram"      -> qEmbedGramSql,
-    "q_embed_dim_stats" -> qEmbedDimStatsSql
+    "q_embed_dim_stats" -> qEmbedDimStatsSql,
+    "q_embed_pca"       -> qEmbedPcaSql
   )
 }

@@ -659,6 +659,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(trace - vecs.length) < 0.01 * vecs.length)
   }
 
+  test("q_embed_pca: projection captures at least any single axis's energy") {
+    val pc = LlmOps.qEmbedPca(spark, sf).collect()
+      .map(_.getAs[Double]("pc1"))
+    val gram = LlmOps.qEmbedGram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dim = 64
+    // sum of squared projections = v'Av; a dominant direction must beat
+    // the best coordinate axis (whose energy is the max diagonal cell)
+    val energy = pc.map(x => x * x).sum
+    val maxDiag = (0 until dim).map(i => gram((i.toLong, i.toLong))).max
+    assert(energy >= maxDiag - 0.01,
+           s"pc1 energy $energy below best axis $maxDiag")
+    // determinism: fixed start + fixed iteration count
+    val again = LlmOps.qEmbedPca(spark, sf).collect()
+      .map(_.getAs[Double]("pc1"))
+    assert(pc.toSeq == again.toSeq)
+  }
+
   test("q_embed_dim_stats: per-dimension rows cover every coordinate") {
     val rows = LlmOps.qEmbedDimStats(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
