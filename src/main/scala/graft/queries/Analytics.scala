@@ -520,6 +520,66 @@ object Analytics {
       |  TRUE AS ok_est
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch-based audience OVERLAP — |A ∩ B| from three HLL sketches
+    * by inclusion–exclusion (est_A + est_B − est_A∪B), per order
+    * priority: the set-intersection question ("how many customers are
+    * in both the early and the late cohort?") answered without ever
+    * co-shuffling the two cohorts. All three sketches build in ONE
+    * grouped pass over orders (conditional sketch_agg per cohort);
+    * union is a sketch merge, never a data join. HLL registers are
+    * per-bucket maxima, so every estimate is insertion-order-free —
+    * deterministic across partitionings.
+    *
+    * Contract ([[qAggHllMerge]]'s tolerance pattern): the gated row
+    * carries exact cohort/intersection counts (hash-compared) plus
+    * booleans "estimate within ±7% of exact" — inclusion–exclusion
+    * compounds three ~1% sketch errors, and a broken union misses by
+    * far more. At 100 TB: sketches are KB-sized mergeable partials;
+    * the exact counts exist only for the gate.
+    */
+  val qAggHllIntersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val mid = lit("1998-07-01").cast("timestamp")
+    val inA = col("o_orderdate") < mid
+    val inB = col("o_orderdate") >= mid
+    val sk = o.groupBy("o_orderpriority")
+      .agg(
+        hll_sketch_estimate(
+          hll_sketch_agg(when(inA, col("o_custkey")))).as("est_a"),
+        hll_sketch_estimate(
+          hll_sketch_agg(when(inB, col("o_custkey")))).as("est_b"),
+        hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"))).as("est_u"),
+        countDistinct(when(inA, col("o_custkey"))).as("exact_a"),
+        countDistinct(when(inB, col("o_custkey"))).as("exact_b"),
+        countDistinct(col("o_custkey")).as("exact_u"))
+      .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+      .withColumn("exact_i", col("exact_a") + col("exact_b") - col("exact_u"))
+    sk.select(col("o_orderpriority"), col("exact_a"), col("exact_b"),
+        col("exact_i"),
+        (abs(col("est_a") - col("exact_a")) <= lit(0.07) * col("exact_a"))
+          .as("ok_a"),
+        (abs(col("est_b") - col("exact_b")) <= lit(0.07) * col("exact_b"))
+          .as("ok_b"),
+        (abs(col("est_i") - col("exact_i")) <=
+          lit(0.07) * greatest(col("exact_i"), lit(1L))).as("ok_i"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qAggHllIntersectSql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      |                      THEN o_custkey END) AS exact_a,
+      |  count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+      |                      THEN o_custkey END) AS exact_b,
+      |  count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      |                      THEN o_custkey END)
+      |    + count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+      |                          THEN o_custkey END)
+      |    - count(DISTINCT o_custkey) AS exact_i,
+      |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_i
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic exact-k stratified sample — k docs per language,
     * chosen by multiplicative-hash order (same decimal-exact hash as
     * q_sample_balance, so membership is row-for-row reproducible across
@@ -975,6 +1035,7 @@ object Analytics {
       |FROM pairs ORDER BY src, dst""".stripMargin
 
   val entries: Map[String, Q] = Map(
+    "q_agg_hll_intersect"   -> qAggHllIntersect,
     "q_skyline"             -> qSkyline,
     "q_seq_transitions"     -> qSeqTransitions,
     "q_agg_cms"             -> qAggCms,
@@ -997,6 +1058,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_hll_intersect"   -> qAggHllIntersectSql,
     "q_skyline"             -> qSkylineSql,
     "q_seq_transitions"     -> qSeqTransitionsSql,
     "q_agg_cms"             -> qAggCmsSql,

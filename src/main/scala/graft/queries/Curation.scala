@@ -1034,6 +1034,83 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (the rsync/LBFS family, stateless
+    * variant): a chunk boundary falls after every token 4-gram whose
+    * hash lands in a fixed 1/16 slice of the hash space — so chunk
+    * boundaries move WITH the content, and an insertion early in a
+    * document only re-chunks its own neighborhood (the property
+    * fixed-size chunking lacks, and the reason dedup stores chunk by
+    * content). No min/max chunk clamp: the clamped variant's boundary
+    * depends on the previous boundary (inherently sequential); the
+    * stateless rule keeps every position's verdict independent — the
+    * form that parallelizes.
+    *
+    * Engine-independence rides [[qTextWinnowing]]'s recipe: the hash
+    * is md5 hex, the boundary test a first-character compare — no
+    * numeric hash conversion to diverge. Per doc: chunk id = running
+    * count of PRIOR boundaries (one doc-keyed window), then chunk
+    * lengths and the per-doc census. One doc_id exchange serves the
+    * window and both rollups.
+    */
+  val qTextCdcChunk: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val gs =
+          if (toks.length == 0) Array.empty[String]
+          else if (toks.length < 4) Array(toks.mkString(" "))
+          else toks.sliding(4).map(_.mkString(" ")).toArray
+        gs.iterator.zipWithIndex.map { case (g, i) => (id, i, g) }
+      }
+      .toDF("doc_id", "pos", "gram")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grams
+      .withColumn("bnd",
+        when(substring(md5(col("gram")), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("clen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           round(sum(col("clen")).cast("double") / count(lit(1)), 6)
+             .as("mean_len"),
+           max(col("clen")).as("max_len"))
+      .orderBy("doc_id")
+  }
+
+  val qTextCdcChunkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CASE WHEN len(ts) < 4 THEN array_to_string(ts, ' ')
+      |         ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |              ts[i+3] END AS gram
+      |  FROM toks,
+      |    UNNEST(generate_series(1, greatest(len(ts) - 3, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), cid AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(sum(CASE WHEN substring(md5(gram), 1, 1) = '0'
+      |                      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk
+      |  FROM grams
+      |), cl AS (
+      |  SELECT doc_id, chunk, count(*) AS clen FROM cid GROUP BY 1, 2
+      |)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  ROUND(CAST(sum(clen) AS DOUBLE) / count(*), 6) AS mean_len,
+      |  max(clen) AS max_len
+      |FROM cl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qTextWinnowingSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1171,6 +1248,7 @@ object Curation {
   val entries: Map[String, Q] = Map(
     "q_sample_stratified"      -> qSampleStratified,
     "q_text_winnowing"         -> qTextWinnowing,
+    "q_text_cdc_chunk"         -> qTextCdcChunk,
     "q_dedup_semantic"         -> qDedupSemantic,
     "q_text_para_dedup"        -> qTextParaDedup,
     "q_text_containment"       -> qTextContainment,
@@ -1189,6 +1267,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q_sample_stratified"      -> qSampleStratifiedSql,
     "q_text_winnowing"         -> qTextWinnowingSql,
+    "q_text_cdc_chunk"         -> qTextCdcChunkSql,
     "q_dedup_semantic"         -> qDedupSemanticSql,
     "q_text_para_dedup"        -> qTextParaDedupSql,
     "q_text_containment"       -> qTextContainmentSql,

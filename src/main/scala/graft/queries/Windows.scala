@@ -650,7 +650,112 @@ object Windows {
       |             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** U-shaped (position-based) multi-touch attribution, purchase
+    * grain — the multi-touch complement to [[qAttribution]]'s
+    * last-touch: every click in the purchase's trailing 24 h shares
+    * the credit 40/20/40 (first/middle/last; 100% solo, 50/50 for a
+    * pair). Plan: purchases join clicks on user + time-window residual
+    * (one user_id exchange, same shape as the as-of family), then ONE
+    * purchase-keyed window ranks the touches and a purchase-grain
+    * aggregate emits the endpoints and credits. Credits are row-local
+    * rounds — no cross-row double accumulation to drift.
+    *
+    * At 100 TB: the join fans out purchases × their window clicks
+    * (bounded by touches-per-day per user, a behavioral constant, not
+    * a data-volume multiplier); everything downstream of the one
+    * exchange is windowed + aggregated in the same partitioning.
+    */
+  val qAttributionPositional: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"), col("value"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+              col("ts").as("pts"), col("value"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"),
+              col("ts").as("cts"))
+    val j = p.join(c,
+      col("pu") === col("cu") && col("cts") <= col("pts") &&
+      unix_micros(col("pts")) - unix_micros(col("cts")) <= lit(86400000000L))
+    val w = Window.partitionBy("pid").orderBy("cts", "cid")
+    val wn = Window.partitionBy("pid")
+    // credits in EXACT decimal arithmetic: value is a true 2-dp
+    // quantity, the weights are decimal literals, so half-ties (odd
+    // cents × 0.5 = x.xx5 — every other pair!) land on an exact
+    // decimal both engines round away-from-zero identically. Doubles
+    // here diverged: Spark rounds the shortest repr, DuckDB the binary.
+    // The middle share is reported as its exact POOL + touch count, not
+    // pool/(n−2) — a division would reintroduce non-terminating
+    // decimals and the double-rounding knife edge.
+    val dec2 = DecimalType(18, 2)
+    val vdec = max(col("value")).cast(dec2)
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val forty = lit(new java.math.BigDecimal("0.4"))
+    val fifth = lit(new java.math.BigDecimal("0.2"))
+    j.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("pid")
+      .agg(
+        max(col("n")).as("n_touches"),
+        max(when(col("rn") === 1, col("cid"))).as("first_click"),
+        max(when(col("rn") === col("n"), col("cid"))).as("last_click"),
+        round(when(max(col("n")) === 1, vdec)
+          .when(max(col("n")) === 2, vdec * half)
+          .otherwise(vdec * forty), 2).cast("double").as("first_credit"),
+        round(when(max(col("n")) === 1, lit(0).cast(dec2))
+          .when(max(col("n")) === 2, vdec * half)
+          .otherwise(vdec * forty), 2).cast("double").as("last_credit"),
+        round(when(max(col("n")) >= 3, vdec * fifth)
+          .otherwise(lit(0).cast(dec2)), 2).cast("double").as("mid_pool"))
+      .orderBy("pid")
+  }
+
+  val qAttributionPositionalSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         value
+      |  FROM events WHERE event_type IN ('click','purchase')
+      |), p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts, value FROM ev
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, event_id AS cid, ts AS cts FROM ev
+      |  WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT p.pid, p.value, c.cid, c.cts,
+      |    row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY p.pid) AS n
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+      |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 86400000000
+      |)
+      |SELECT pid, CAST(max(n) AS BIGINT) AS n_touches,
+      |  max(CASE WHEN rn = 1 THEN cid END) AS first_click,
+      |  max(CASE WHEN rn = n THEN cid END) AS last_click,
+      |  CAST(ROUND(CASE
+      |    WHEN max(n) = 1 THEN CAST(max(value) AS DECIMAL(18,2))
+      |    WHEN max(n) = 2 THEN CAST(max(value) AS DECIMAL(18,2))
+      |                         * CAST(0.5 AS DECIMAL(2,1))
+      |    ELSE CAST(max(value) AS DECIMAL(18,2))
+      |         * CAST(0.4 AS DECIMAL(2,1)) END, 2) AS DOUBLE)
+      |    AS first_credit,
+      |  CAST(ROUND(CASE
+      |    WHEN max(n) = 1 THEN CAST(0 AS DECIMAL(18,2))
+      |    WHEN max(n) = 2 THEN CAST(max(value) AS DECIMAL(18,2))
+      |                         * CAST(0.5 AS DECIMAL(2,1))
+      |    ELSE CAST(max(value) AS DECIMAL(18,2))
+      |         * CAST(0.4 AS DECIMAL(2,1)) END, 2) AS DOUBLE)
+      |    AS last_credit,
+      |  CAST(ROUND(CASE WHEN max(n) >= 3
+      |    THEN CAST(max(value) AS DECIMAL(18,2))
+      |         * CAST(0.2 AS DECIMAL(2,1))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END, 2) AS DOUBLE) AS mid_pool
+      |FROM j GROUP BY pid ORDER BY pid""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_attribution_positional" -> qAttributionPositional,
     "q_win_range_time"  -> qWinRangeTime,
     "q_attribution"     -> qAttribution,
     "q_win_dist"        -> qWinDist,
@@ -669,6 +774,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution_positional" -> qAttributionPositionalSql,
     "q_win_range_time"  -> qWinRangeTimeSql,
     "q_attribution"     -> qAttributionSql,
     "q_win_dist"        -> qWinDistSql,

@@ -343,6 +343,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(frontier.toSet == want.toSet)
   }
 
+  test("q_agg_hll_intersect: inclusion-exclusion identity and bounds hold") {
+    val rows = Analytics.qAggHllIntersect(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok_a") && r.getAs[Boolean]("ok_b") &&
+             r.getAs[Boolean]("ok_i"),
+             s"${r.get(0)}: sketch estimate outside the 7% bound")
+      // intersection can never exceed either cohort
+      assert(r.getAs[Long]("exact_i") <=
+             math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b")))
+    }
+    // determinism: HLL registers are per-bucket maxima — order-free
+    val again = Analytics.qAggHllIntersect(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q_seq_transitions: probabilities sum to 1 per source type") {
     val rows = Analytics.qSeqTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

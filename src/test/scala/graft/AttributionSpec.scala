@@ -56,6 +56,34 @@ class AttributionSpec extends AnyFunSuite {
     assert(ta > 0 && ta < tp)
   }
 
+  test("q_attribution_positional: U-shaped credits reconstruct the purchase value") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Windows.qAttributionPositional(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val values = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var sawMulti = false
+    rows.foreach { r =>
+      val (pid, n) = (r.getLong(0), r.getLong(1))
+      val v = values(pid)
+      val total = r.getAs[Double]("first_credit") +
+                  r.getAs[Double]("last_credit") +
+                  r.getAs[Double]("mid_pool")
+      // 40/20/40 (or 100 / 50+50) reassembles the value up to the three
+      // independent 2-dp rounds
+      assert(math.abs(total - v) <= 0.03, s"purchase $pid: $total vs $v")
+      if (n >= 3) {
+        sawMulti = true
+        assert(r.getLong(2) != r.getLong(3), s"$pid first==last with n=$n")
+      }
+      if (n == 1) assert(r.getAs[Double]("last_credit") == 0.0)
+    }
+    assert(sawMulti, "fixture must exercise the n>=3 credit split")
+  }
+
   test("q_win_range_time trailing-24h counts match a driver-side sweep") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -350,4 +350,58 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("docs_out") <= r.getAs[Long]("docs_in"))
     }
   }
+
+  test("q_text_cdc_chunk: boundaries are content-defined — a prefix edit leaves later chunks intact") {
+    import org.apache.spark.sql.functions._
+    // the defining CDC property (vs fixed-size chunking): prepending
+    // tokens shifts positions but the boundary VERDICT of every
+    // untouched 4-gram is unchanged, so all chunks after the first
+    // boundary survive the edit byte-for-byte
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunks(toks: Array[String]): Seq[Seq[String]] = {
+      val grams = toks.sliding(4).map(_.mkString(" ")).toArray
+      val out = Seq.newBuilder[Seq[String]]
+      var start = 0
+      grams.zipWithIndex.foreach { case (g, i) =>
+        if (md5hex(g).startsWith("0")) { // boundary AFTER this gram
+          out += toks.slice(start, i + 1).toSeq
+          start = i + 1
+        }
+      }
+      if (start < grams.length) out += toks.slice(start, grams.length).toSeq
+      out.result()
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).limit(8).collect().map(_.getString(0))
+    var verified = 0
+    docs.foreach { text =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length >= 40) {
+        val orig = chunks(toks)
+        val edited = chunks(Array("zz1", "zz2", "zz3") ++ toks)
+        if (orig.length >= 3) {
+          // every original chunk from the second onward must reappear
+          val later = orig.drop(1).map(_.mkString(" ")).toSet
+          val after = edited.map(_.mkString(" ")).toSet
+          assert(later.subsetOf(after),
+                 s"content-defined boundaries must survive a prefix edit")
+          verified += 1
+        }
+      }
+    }
+    assert(verified > 0, "fixture docs too short to exercise the property")
+    // and the operator agrees with the driver-side chunker on counts
+    val got = Curation.qTextCdcChunk(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+    all.take(30).foreach { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (toks.length >= 4)
+        assert(got(r.getLong(0)) == chunks(toks).length.toLong,
+               s"doc ${r.getLong(0)} chunk count")
+    }
+  }
 }

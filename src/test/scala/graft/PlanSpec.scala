@@ -482,6 +482,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_attribution_positional: user-keyed equi-join, one purchase exchange for both windows") {
+    val p = plan("q_attribution_positional")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+           "the 24h window must ride the user equi-join as a residual")
+    assert("hashpartitioning\\(pid".r.findAllIn(p).size == 1,
+           s"rank + count windows and the rollup share one purchase exchange:\n${p.take(1200)}")
+  }
+
+  test("q_text_cdc_chunk: one doc exchange serves the boundary window and both rollups") {
+    val p = plan("q_text_cdc_chunk")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+           s"chunking must shuffle the gram table exactly once:\n${p.take(1200)}")
+  }
+
   test("q_dedup_semantic: centroids and leader vectors broadcast, corpus never all-pairs") {
     val p = plan("q_dedup_semantic")
     assert(p.contains("BroadcastExchange"),
