@@ -1034,7 +1034,95 @@ object Analytics {
       |  ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
       |FROM pairs ORDER BY src, dst""".stripMargin
 
+  /** Exact weighted median per group, TWO-PHASE — the form that
+    * survives 100 TB where the obvious spelling (a corpus-wide sorted
+    * window per group) cannot: with 3 return flags, a per-group window
+    * is 3-way parallelism and a full sort of the fact table.
+    * Phase 1 buckets prices to a fixed grid and reduces the corpus to
+    * a (flag × bucket) weight histogram — combiner-collapsed, a few
+    * hundred rows; the prefix-sum window runs over THAT. Phase 2
+    * rescans only the boundary bucket's rows (a broadcast semi-join
+    * filter, ~1/bucket_count of the corpus), resolving the exact
+    * median inside it with the prior-bucket cumulative carried in.
+    * All weights are integers and the halving test is `cum*2 >= tot`,
+    * so there is no floating arithmetic to diverge — the oracle is
+    * the one-window spelling and must agree exactly.
+    */
+  val qAggWeightedMedian: Q = (s, d) => {
+    val w = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+              col("l_extendedprice").as("v"),
+              col("l_quantity").cast("long").as("wt"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    val hist = w.groupBy("flag", "bucket")
+      .agg(sum(col("wt")).as("bwt"))
+    val wPrefix = Window.partitionBy("flag").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("flag")
+    val boundary = hist
+      .withColumn("cum", sum(col("bwt")).over(wPrefix))
+      .withColumn("tot", sum(col("bwt")).over(wTot))
+      .where(col("cum") * 2 >= col("tot") &&
+             (col("cum") - col("bwt")) * 2 < col("tot"))
+      .select(col("flag"), col("bucket"),
+              (col("cum") - col("bwt")).as("prior"), col("tot"))
+    val wIn = Window.partitionBy("flag").orderBy(col("v"), col("wt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(broadcast(boundary), Seq("flag", "bucket"))
+      .withColumn("cum", col("prior") + sum(col("wt")).over(wIn))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("flag")
+      .agg(min(col("v")).as("wmedian"),
+           max(col("tot")).as("total_weight"))
+      .orderBy("flag")
+  }
+
+  val qAggWeightedMedianSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem
+      |), c AS (
+      |  SELECT flag, v, wt,
+      |    sum(wt) OVER (PARTITION BY flag ORDER BY v, wt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(wt) OVER (PARTITION BY flag) AS tot
+      |  FROM w
+      |)
+      |SELECT flag, min(v) AS wmedian, CAST(max(tot) AS BIGINT)
+      |  AS total_weight
+      |FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Deterministic contiguous surrogate-ID assignment — the
+    * `monotonically_increasing_id` replacement when ids must be DENSE
+    * and REPRODUCIBLE: range-partition by the key, sort within
+    * partitions, then `zipWithIndex` — which runs the classic
+    * distributed prefix-sum (one count job over the partitions, then
+    * per-partition offsets), so NO single-partition global window and
+    * no corpus-wide sort-merge to one task. The id is the global rank
+    * regardless of where the sampled range boundaries fall. This is
+    * the one operator family where an RDD primitive is the right tool:
+    * Spark exposes no Dataset-level zipWithIndex, and the window
+    * spelling (the oracle) serializes on one partition.
+    */
+  val qAssignIds: Q = (s, d) => {
+    import s.implicits._
+    val keys = Tables.orders(s, d).select(col("o_orderkey"))
+      .repartitionByRange(32, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    keys.as[Long].rdd.zipWithIndex()
+      .toDF("o_orderkey", "row_id")
+      .orderBy("o_orderkey")
+  }
+
+  val qAssignIdsSql: String =
+    """SELECT o_orderkey,
+      |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_agg_weighted_median" -> qAggWeightedMedian,
+    "q_assign_ids"          -> qAssignIds,
     "q_agg_hll_intersect"   -> qAggHllIntersect,
     "q_skyline"             -> qSkyline,
     "q_seq_transitions"     -> qSeqTransitions,
@@ -1058,6 +1146,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_weighted_median" -> qAggWeightedMedianSql,
+    "q_assign_ids"          -> qAssignIdsSql,
     "q_agg_hll_intersect"   -> qAggHllIntersectSql,
     "q_skyline"             -> qSkylineSql,
     "q_seq_transitions"     -> qSeqTransitionsSql,

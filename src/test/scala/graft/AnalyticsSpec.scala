@@ -343,6 +343,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(frontier.toSet == want.toSet)
   }
 
+  test("q_agg_weighted_median: two-phase bucket resolve equals a driver-side scan") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.qAggWeightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._3))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val wmed = sorted.find { t => cum += t._3; cum * 2 >= tot }.get._2
+      assert(got(flag) == ((wmed, tot)), s"flag $flag")
+    }
+  }
+
+  test("q_assign_ids: dense 0..n-1 ids, monotone in the key") {
+    val rows = Analytics.qAssignIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq == (0L until rows.length).toSeq,
+           "ids must be dense and aligned with key order")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // reproducible across invocations despite sampled range boundaries
+    val again = Analytics.qAssignIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("q_agg_hll_intersect: inclusion-exclusion identity and bounds hold") {
     val rows = Analytics.qAggHllIntersect(spark, sf).collect()
     assert(rows.length == 5)
