@@ -959,6 +959,55 @@ object LlmOps {
       |       ROUND(sqrt(MAX(cn2)), 6) AS centroid_norm
       |FROM cs GROUP BY label ORDER BY label""".stripMargin
 
+  /** Tokenizer-vocabulary coverage audit — per language, the
+    * out-of-vocabulary token rate against the corpus's own top-k
+    * frequency vocab: the first question a tokenizer/vocab migration
+    * asks ("which languages does this vocab underserve?"). Two scale
+    * shapes composed: the vocab build is a token-keyed
+    * combiner-collapsed count + a bounded top-k (TakeOrdered, k rows —
+    * broadcast-sized by construction); the audit side explodes tokens
+    * and LEFT-joins the broadcast vocab — the corpus never shuffles on
+    * the token, only the ≤ |langs| result rows aggregate. k = 20
+    * because the synthetic corpus draws from a 31-token vocabulary —
+    * any larger k degenerates to 0% OOV everywhere.
+    */
+  val qTextVocabCoverage: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+              round(col("n_oov").cast("double") / col("n_tokens"), 6)
+                .as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  val qTextVocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t.tok AS tok
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0))
+      |      AS t(tok)
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS n,
+      |      row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+      |    FROM toks GROUP BY tok
+      |  ) WHERE rk <= 20
+      |)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+      |  ROUND(CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+      |        / count(*), 6) AS oov_rate
+      |FROM toks LEFT JOIN vocab v USING (tok)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Distributed Gram matrix of the embedding table — the one-pass
     * precursor to PCA/whitening/covariance audits of an embedding
     * space. A typed [[graft.functions.GraftFunctions.GramAgg]] folds
@@ -3008,6 +3057,7 @@ object LlmOps {
     "q_embed_gram"       -> qEmbedGram,
     "q_embed_dim_stats"  -> qEmbedDimStats,
     "q_embed_pca"        -> qEmbedPca,
+    "q_text_vocab_coverage" -> qTextVocabCoverage,
     "q_sim_topk"         -> qSimTopk,
     "q_sim_pairs"        -> qSimPairs,
     "q_sim_ann_ivf"      -> qSimAnnIvf,
@@ -3078,6 +3128,7 @@ object LlmOps {
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_gram"      -> qEmbedGramSql,
     "q_embed_dim_stats" -> qEmbedDimStatsSql,
-    "q_embed_pca"       -> qEmbedPcaSql
+    "q_embed_pca"       -> qEmbedPcaSql,
+    "q_text_vocab_coverage" -> qTextVocabCoverageSql
   )
 }

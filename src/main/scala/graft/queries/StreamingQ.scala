@@ -200,17 +200,14 @@ object StreamingQ {
     * count(DISTINCT) exactly.
     */
   val qStreamWindowDistinct: Q = (s, d) => {
-    // append-mode windowed aggregation emits identical final content
-    // under ANY time-ordered batching (windows finalize on watermark,
-    // drained by the sentinel), so merge the five week batches into
-    // two — each micro-batch commits BOTH stateful operators' stores,
-    // and halving the batch count halves that commit overhead (same
-    // rationale as qStreamJoin's grouped replay)
-    val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
-    val maxTs = batches.iterator.flatMap(_.iterator.map(_.ts.getTime)).max
-    val sentinel = Ev(-1L, new Timestamp(maxTs + 365L * 24 * 3600 * 1000),
-                      -1L, "wm_flush", 0.0)
-    runReplayStream(s, "graft_stream_windist", batches :+ Seq(sentinel)) { df =>
+    // DISTRIBUTED replay (the q_stream_session/q_stream_anomaly path):
+    // executors read the seeded weekly parquet files — 3 per
+    // micro-batch, since each micro-batch commits BOTH stateful
+    // operators' stores and fewer batches means fewer commits (same
+    // rationale as qStreamJoin's grouped replay). The seeded sentinel
+    // file drains every window; the driver only admits files.
+    runFileReplayStream(s, "graft_stream_windist", d,
+                        filesPerTrigger = 3) { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
                  col("user_id"))

@@ -659,6 +659,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(trace - vecs.length) < 0.01 * vecs.length)
   }
 
+  test("q_text_vocab_coverage: OOV rates are non-degenerate and token-complete") {
+    import org.apache.spark.sql.functions._
+    val rows = LlmOps.qTextVocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate > 0.0 && rate < 1.0,
+             s"${r.getString(0)}: degenerate OOV rate $rate — the top-k " +
+             "vocab must cover some but not all tokens")
+    }
+  }
+
   test("q_embed_pca: projection captures at least any single axis's energy") {
     val pc = LlmOps.qEmbedPca(spark, sf).collect()
       .map(_.getAs[Double]("pc1"))
