@@ -126,6 +126,13 @@ object GraftFunctions {
       */
     private def micro6(v: Double): Long = {
       val r = v * 1e6
+      // the ±1e-6 boundary-margin argument needs r to carry sub-integer
+      // resolution — past 2^52 every double IS an integer and frac is
+      // meaningless, so large magnitudes take the exact path
+      if (math.abs(r) >= 4.5e15)
+        return java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
       val f = math.floor(r)
       val frac = r - f
       if (frac > 1e-6 && frac < 0.4999990) f.toLong

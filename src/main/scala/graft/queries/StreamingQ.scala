@@ -479,7 +479,18 @@ object StreamingQ {
     */
   private def runFileReplayStream(s: SparkSession, name: String, d: String,
                                   filesPerTrigger: Int = 1)
-                                 (build: DataFrame => DataFrame): DataFrame = {
+                                 (build: DataFrame => DataFrame): DataFrame =
+    runFileReplayStreamsN(s, name, d, filesPerTrigger, 1)(dfs => build(dfs.head))
+
+  /** N independent file-source readers over the same seeded week files
+    * — the two-stream (join) form of the distributed replay: each
+    * source admits the same files per trigger, so the micro-batches
+    * stay aligned the way the MemoryStream harness aligned its batch
+    * lists, but EXECUTORS do the reading on every side.
+    */
+  private def runFileReplayStreamsN(s: SparkSession, name: String, d: String,
+                                    filesPerTrigger: Int, n: Int)
+                                   (build: Seq[DataFrame] => DataFrame): DataFrame = {
     val dir = eventWeekFiles(s, d)
     val totalRows = Tables.events(s, d).count()
     val parts = math.max(2, math.min(8, totalRows / 100000)).toString
@@ -492,11 +503,11 @@ object StreamingQ {
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val ckpt = java.nio.file.Files
         .createTempDirectory(ckptBase, s"graft_ckpt_${name}_")
-      val src = s.readStream
+      val srcs = Seq.fill(n)(s.readStream
         .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
-        .parquet(s"$dir/w*.parquet")
-      val q = build(src)
+        .parquet(s"$dir/w*.parquet"))
+      val q = build(srcs)
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append)
@@ -582,25 +593,25 @@ object StreamingQ {
     * separately by [[qStreamWatermark]]'s fixture.
     */
   val qStreamJoin: Q = (s, d) => {
-    // an inner interval join emits the same rows under ANY time-ordered
+    // DISTRIBUTED two-source replay ([[qStreamJoinOuter]]'s path): an
+    // inner interval join emits the same rows under ANY time-ordered
     // batching (unlike the stateful fold, whose per-batch emissions ARE
-    // the result), so the replay merges the five week batches into two —
-    // one boundary still proves cross-batch state buffering (the
-    // fine-grained boundary semantics live in StreamingSpec's fixture)
-    // while per-micro-batch state-store commit overhead drops 2.5×
-    val batches = eventWeekBatches(s, d).grouped(3).map(_.flatten).toSeq
-    // two TOPICS, not two copies of the firehose: each source carries
-    // only its event type (the shape a click stream and a view stream
-    // have in production) — 5× less ingest than filtering in-stream
-    val clickBatches = batches.map(_.filter(_.event_type == "click"))
-    val viewBatches = batches.map(_.filter(_.event_type == "view"))
-    runReplayStreams(s, "graft_stream_join",
-                     Seq(clickBatches, viewBatches)) { dfs =>
+    // the result), so three week-files per trigger keep the state-store
+    // commit rounds low while one boundary still proves cross-batch
+    // buffering; the fine-grained boundary semantics live in
+    // StreamingSpec's fixture. Each side filters to its event type
+    // in-stream (production would subscribe to separate topics; the
+    // seeded replay carries one firehose), inner join semantics drop
+    // the unmatched sentinel rows on their own.
+    runFileReplayStreamsN(s, "graft_stream_join", d,
+                          filesPerTrigger = 3, n = 2) { dfs =>
       val clicks = dfs(0)
+        .where(col("event_type").isin("click", "wm_flush"))
         .select(col("event_id").as("click_id"), col("user_id"),
                 col("ts").as("click_ts"))
         .withWatermark("click_ts", "30 minutes")
       val views = dfs(1)
+        .where(col("event_type").isin("view", "wm_flush"))
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
                 col("ts").as("view_ts"))
         .withWatermark("view_ts", "30 minutes")
@@ -609,7 +620,7 @@ object StreamingQ {
         col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
         col("view_ts") <= col("click_ts"))
         .select(col("click_id"), col("view_id"), col("user_id"))
-    }.orderBy("click_id", "view_id")
+    }.where(col("user_id") >= 0).orderBy("click_id", "view_id")
   }
 
   val qStreamJoinSql: String =
@@ -647,26 +658,25 @@ object StreamingQ {
     * semantics add no state, only deferred emission.
     */
   val qStreamJoinOuter: Q = (s, d) => {
-    // with the sentinel flush the emitted SET equals the batch left join
-    // under ANY time-ordered batching (only emission timing shifts), so
-    // the real events replay as ONE micro-batch and the state-store
-    // rounds go to the minimum 3; the cross-batch buffering and
-    // null-timing semantics are pinned by StreamingSpec's fixture,
-    // where batch boundaries are the point
-    val base = Seq(eventWeekBatches(s, d).flatten)
-    val clickBatches = base.map(_.filter(_.event_type == "click"))
-    val viewBatches = base.map(_.filter(_.event_type == "view"))
-    val maxTs = base.flatten.map(_.ts.getTime).max
-    def sentinel(k: Int) = Seq(Ev(-1L - k, new Timestamp(
-      maxTs + (k + 1) * 365L * 86400000L), -1L, "sentinel", 0.0))
-    runReplayStreams(s, "graft_stream_join_outer",
-                     Seq(clickBatches ++ Seq(sentinel(0), sentinel(2)),
-                         viewBatches ++ Seq(sentinel(1), sentinel(3)))) { dfs =>
+    // DISTRIBUTED two-source replay: both sides readStream the seeded
+    // week files (executors read; the driver admits) with a large
+    // files-per-trigger so the state-store rounds stay near the
+    // minimum — with the sentinel flush the emitted SET equals the
+    // batch left join under ANY time-ordered batching (only emission
+    // timing shifts); cross-batch buffering and null-timing semantics
+    // are pinned by StreamingSpec's fixture, where batch boundaries
+    // are the point. Each side filters to its event type PLUS the
+    // seeded wm_flush sentinel (user_id −1, filtered from the result),
+    // which advances BOTH watermark clocks at end of replay.
+    runFileReplayStreamsN(s, "graft_stream_join_outer", d,
+                          filesPerTrigger = 32, n = 2) { dfs =>
       val clicks = dfs(0)
+        .where(col("event_type").isin("click", "wm_flush"))
         .select(col("event_id").as("click_id"), col("user_id"),
                 col("ts").as("click_ts"))
         .withWatermark("click_ts", "30 minutes")
       val views = dfs(1)
+        .where(col("event_type").isin("view", "wm_flush"))
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
                 col("ts").as("view_ts"))
         .withWatermark("view_ts", "30 minutes")
