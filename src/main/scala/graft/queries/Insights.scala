@@ -1447,7 +1447,121 @@ object Insights {
       |  CAST(ROUND(SUM(adiff), 2) AS DOUBLE) AS sum_absdiff
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-way ANOVA across order priorities — the k-group
+    * generalization of [[qStatsAb]]'s two-sample test: does mean order
+    * value differ by priority? One grouped pass computes each group's
+    * exact-decimal count/sum/sum-of-squares (prices are true 2-dp
+    * quantities, so every aggregate is exact integer arithmetic in
+    * decimal — no order-dependent double accumulation over the
+    * corpus); the F statistic assembles driver-free from the k-row
+    * table via the sum-of-squares identities (SSB = Σs²ᵍ/nᵍ − s²/n,
+    * SSW = SS − Σs²ᵍ/nᵍ). Only the final k-term reductions and
+    * divisions run in double — a 5-term sum whose 1-ulp order noise
+    * sits far inside the 2-dp round. At 100 TB: one combiner-collapsed
+    * aggregate, then constant-size arithmetic.
+    */
+  val qStatsAnova: Q = (s, d) => {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val g = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+              col("o_totalprice").cast(dec2).as("v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+           sum(col("v") * col("v")).as("ssv"))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_tot"),
+        sum(col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double")).as("sb"),
+        sum(col("sv")).cast("double").as("s_all"),
+        sum(col("ssv")).cast("double").as("ss_all"))
+      .select(col("k"), col("n_tot").as("n"),
+        round((col("sb") - col("s_all") * col("s_all") /
+               col("n_tot").cast("double")) / (col("k") - 1), 2)
+          .as("ms_between"),
+        round((col("ss_all") - col("sb")) /
+              (col("n_tot") - col("k")).cast("double"), 2).as("ms_within"),
+        round(((col("sb") - col("s_all") * col("s_all") /
+                col("n_tot").cast("double")) / (col("k") - 1)) /
+              ((col("ss_all") - col("sb")) /
+               (col("n_tot") - col("k")).cast("double")), 6).as("f_stat"))
+  }
+
+  val qStatsAnovaSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS grp, count(*) AS n,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sv,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))
+      |        * CAST(o_totalprice AS DECIMAL(18,2))) AS ssv
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |  ROUND((sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |             / CAST(n AS DOUBLE))
+      |         - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE)
+      |           / CAST(sum(n) AS DOUBLE)) / (count(*) - 1), 2)
+      |    AS ms_between,
+      |  ROUND((CAST(sum(ssv) AS DOUBLE)
+      |         - sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |               / CAST(n AS DOUBLE)))
+      |        / CAST(sum(n) - count(*) AS DOUBLE), 2) AS ms_within,
+      |  ROUND(((sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |              / CAST(n AS DOUBLE))
+      |          - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE)
+      |            / CAST(sum(n) AS DOUBLE)) / (count(*) - 1))
+      |        / ((CAST(sum(ssv) AS DOUBLE)
+      |            - sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |                  / CAST(n AS DOUBLE)))
+      |           / CAST(sum(n) - count(*) AS DOUBLE)), 6) AS f_stat
+      |FROM g""".stripMargin
+
+  /** Lag-k autocorrelation of the daily event-count series (ACF at
+    * lags 1 and 7) — the memory/weekly-cycle screen that pairs with
+    * [[qTimeSeasonality]]: one day-grain aggregate collapses the
+    * firehose to ≤ |days| integer counts, then lag windows + one
+    * global reduction over THAT bounded series. Counts are integers
+    * (exact in double); the 30-odd-term product sums carry only
+    * ulp-order noise against the 6-dp round.
+    */
+  val qTimeAutocorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val wOrd = Window.orderBy("day")
+    val lagged = daily
+      .withColumn("p1", lag(col("n"), 1).over(wOrd))
+      .withColumn("p7", lag(col("n"), 7).over(wOrd))
+    val mu = daily.agg(sum(col("n")) / count(lit(1))).head().getDouble(0)
+    lagged.agg(
+        round(sum((col("n") - mu) * (col("p1") - mu)) /
+              sum((col("n") - mu) * (col("n") - mu)), 6).as("acf_1"),
+        round(sum(when(col("p7").isNotNull,
+                       (col("n") - mu) * (col("p7") - mu))) /
+              sum((col("n") - mu) * (col("n") - mu)), 6).as("acf_7"))
+  }
+
+  val qTimeAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+      |    AS day, CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1
+      |), st AS (SELECT sum(n) / count(*) AS mu FROM daily),
+      |lagged AS (
+      |  SELECT n, lag(n, 1) OVER (ORDER BY day) AS p1,
+      |    lag(n, 7) OVER (ORDER BY day) AS p7
+      |  FROM daily
+      |)
+      |SELECT
+      |  ROUND(sum((n - mu) * (p1 - mu)) / sum((n - mu) * (n - mu)), 6)
+      |    AS acf_1,
+      |  ROUND(sum(CASE WHEN p7 IS NOT NULL
+      |                 THEN (n - mu) * (p7 - mu) END)
+      |        / sum((n - mu) * (n - mu)), 6) AS acf_7
+      |FROM lagged, st""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_stats_anova" -> qStatsAnova,
+    "q_time_autocorr" -> qTimeAutocorr,
     "q_dq_benford"  -> qDqBenford,
     "q_dq_reconcile" -> qDqReconcile,
     "q_stats_regression" -> qStatsRegression,
@@ -1475,6 +1589,8 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_anova" -> qStatsAnovaSql,
+    "q_time_autocorr" -> qTimeAutocorrSql,
     "q_dq_benford"  -> qDqBenfordSql,
     "q_dq_reconcile" -> qDqReconcileSql,
     "q_stats_regression" -> qStatsRegressionSql,

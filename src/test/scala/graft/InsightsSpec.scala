@@ -577,6 +577,38 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_anova: F statistic matches a driver-side computation") {
+    import org.apache.spark.sql.functions._
+    val r = Insights.qStatsAnova(spark, sf).head()
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = rows.length
+    val sAll = rows.map(_._2).sum.toDouble
+    val ssAll = rows.map(t => t._2 * t._2).sum.toDouble
+    val sb = groups.values.map { vs =>
+      val s = vs.sum.toDouble; s * s / vs.length }.sum
+    val msb = (sb - sAll * sAll / n) / (k - 1)
+    val msw = (ssAll - sb) / (n - k)
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("n") == n)
+    assert(math.abs(r.getAs[Double]("ms_between") - msb) < 0.5)
+    assert(math.abs(r.getAs[Double]("ms_within") - msw) < 0.5)
+    assert(math.abs(r.getAs[Double]("f_stat") - msb / msw) < 1e-4)
+  }
+
+  test("q_time_autocorr: ACF values are in [-1, 1] and deterministic") {
+    val r = Insights.qTimeAutocorr(spark, sf).head()
+    val (a1, a7) = (r.getAs[Double]("acf_1"), r.getAs[Double]("acf_7"))
+    assert(a1 >= -1.0 && a1 <= 1.0)
+    assert(a7 >= -1.0 && a7 <= 1.0)
+    val again = Insights.qTimeAutocorr(spark, sf).head()
+    assert(again.getAs[Double]("acf_1") == a1 &&
+           again.getAs[Double]("acf_7") == a7)
+  }
+
   test("q_dq_benford: digits 1-9, observed freqs sum to 1, Benford freqs exact") {
     val rows = Insights.qDqBenford(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
