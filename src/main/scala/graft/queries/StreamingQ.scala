@@ -596,15 +596,15 @@ object StreamingQ {
     // DISTRIBUTED two-source replay ([[qStreamJoinOuter]]'s path): an
     // inner interval join emits the same rows under ANY time-ordered
     // batching (unlike the stateful fold, whose per-batch emissions ARE
-    // the result), so three week-files per trigger keep the state-store
-    // commit rounds low while one boundary still proves cross-batch
-    // buffering; the fine-grained boundary semantics live in
-    // StreamingSpec's fixture. Each side filters to its event type
-    // in-stream (production would subscribe to separate topics; the
-    // seeded replay carries one firehose), inner join semantics drop
-    // the unmatched sentinel rows on their own.
+    // the result), so all week files admit in one trigger and the
+    // state-store commit rounds stay at the minimum — cross-batch
+    // buffering and boundary semantics live in StreamingSpec's fixture,
+    // where batch placement is the point. Each side filters to its
+    // event type in-stream (production would subscribe to separate
+    // topics; the seeded replay carries one firehose); inner join
+    // semantics drop the unmatched sentinel rows on their own.
     runFileReplayStreamsN(s, "graft_stream_join", d,
-                          filesPerTrigger = 3, n = 2) { dfs =>
+                          filesPerTrigger = 32, n = 2) { dfs =>
       val clicks = dfs(0)
         .where(col("event_type").isin("click", "wm_flush"))
         .select(col("event_id").as("click_id"), col("user_id"),
