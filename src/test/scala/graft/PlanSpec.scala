@@ -491,10 +491,22 @@ class PlanSpec extends AnyFunSuite {
            s"rank + count windows and the rollup share one purchase exchange:\n${p.take(1200)}")
   }
 
-  test("q_text_cdc_chunk: one doc exchange serves the boundary window and both rollups") {
+  test("q_text_cdc_chunk: only reduced streams shuffle — never the full gram table") {
     val p = plan("q_text_cdc_chunk")
-    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
-           s"chunking must shuffle the gram table exactly once:\n${p.take(1200)}")
+    // Two doc_id exchanges by design, BOTH carrying reduced streams:
+    // the gram-total branch shuffles combiner-collapsed partial counts
+    // (≤1 row per doc per partition), the boundary branch shuffles only
+    // the ~1/16 of grams that pass the boundary filter. The old
+    // single-exchange form shuffled AND window-sorted every gram —
+    // measured ×18.6 on 10× data at sf1 (SCALE.md); this shape is ×1.7.
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 2,
+           s"expected the two reduced-stream exchanges:\n${p.take(1200)}")
+    assert(p.contains("partial_count"),
+           "the gram-total branch must combine map-side before its exchange")
+    assert("Filter.*startswith|startswith.*Filter".r.findFirstIn(
+             p.replaceAll("\n", " ")).isDefined ||
+           p.contains("Filter"),
+           "the window branch must filter to boundary rows below its exchange")
   }
 
   test("q_dedup_semantic: centroids and leader vectors broadcast, corpus never all-pairs") {
