@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Extensions, Funcs, Headline,
-  Insights, LlmOps, Multimodal, Relational, Skew, StreamingQ, Windows}
+  Insights, LlmOps, Maintain, Multimodal, Relational, Skew, StreamingQ,
+  Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,8 @@ object SparkEntry {
     Relational.entries ++ Windows.entries ++ Funcs.entries ++
       LlmOps.entries ++ StreamingQ.entries ++ Multimodal.entries ++
       Extensions.entries ++ Headline.entries ++ Skew.entries ++
-      Analytics.entries ++ Curation.entries ++ Insights.entries
+      Analytics.entries ++ Curation.entries ++ Insights.entries ++
+      Maintain.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +37,6 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ Funcs.oracles ++
       LlmOps.oracles ++ StreamingQ.oracles ++ Multimodal.oracles ++
       Extensions.oracles ++ Headline.oracles ++ Skew.oracles ++
-      Analytics.oracles ++ Curation.oracles ++ Insights.oracles
+      Analytics.oracles ++ Curation.oracles ++ Insights.oracles ++
+      Maintain.oracles
 }

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Lake-operations wave: incremental aggregate-state maintenance,
+  * file-level lineage metering, CUSUM changepoint detection, and a
+  * Zipf rank-frequency fit over the token stream.
+  *
+  * Reference analog: the reference materializes its parquet lake once
+  * and delegates all analytics to Athena (README.md:2); these are the
+  * operate-the-lake-over-time queries such a deployment grows into —
+  * keeping rollups fresh without rescanning history, attributing rows
+  * to the files that carried them, and watching the series/corpus for
+  * structural change.
+  *
+  * Cross-engine exactness per query: the state merge is pure
+  * integer/decimal arithmetic; CUSUM is scaled to stay in integers
+  * (S_t = n·P_t − t·T) so the argmax is exact; the Zipf fit rounds each
+  * ln-derived term to 6 dp and sums in DECIMAL, so the one libm
+  * touchpoint (`ln`, ≤1 ulp between engines) sits behind a rounding
+  * far coarser than its error — the same discipline as q_dq_drift's
+  * PSI.
+  */
+object Maintain {
+
+  // ---------------------------------------------------------------
+  // q_agg_incremental_state — merge persisted aggregate state with a
+  // delta batch; exact distincts maintained incrementally.
+  // ---------------------------------------------------------------
+
+  private val StateCutoff = "2024-01-25"
+
+  /** Mergeable per-(event_type, user_id) partials: row count + exact
+    * decimal value sum. This IS the persisted state's schema — nothing
+    * non-mergeable (no avg, no distinct-count scalar) is ever stored.
+    */
+  private def partials(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("s"))
+
+  /** Incremental aggregate maintenance — the nightly-rollup pattern: a
+    * persisted per-(event_type, user_id) partial-aggregate state is
+    * merged with the new delta batch's partials, and the report
+    * (including an EXACT distinct-user count) derives from the merged
+    * state WITHOUT rescanning history. The oracle aggregates the full
+    * raw table directly, so the gate proves the state layer loses
+    * nothing: counts add, decimal sums add exactly, and the distinct
+    * comes from counting merged state keys — the only way to keep an
+    * exact distinct incremental.
+    *
+    * At 100 TB: the state is |event_type × active users| rows — smaller
+    * than the firehose by the per-user event rate — and the nightly
+    * cost is O(state + delta), never O(corpus). Both sides of the merge
+    * arrive pre-aggregated, so the union shuffles partials, not rows;
+    * the state side would be bucketed-at-rest on (event_type, user_id)
+    * in production, making the merge exchange-free on its side.
+    */
+  val qAggIncrementalState: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dir = Relational.scratchDir("agg_state", d)
+    val seeded = java.nio.file.Paths.get(dir, "_SEEDED")
+    if (!java.nio.file.Files.exists(seeded)) {
+      partials(ev.where(col("ts") < lit(StateCutoff).cast("timestamp")))
+        .write.mode("overwrite").parquet(s"$dir/state")
+      java.nio.file.Files.createFile(seeded)
+    }
+    val delta =
+      partials(ev.where(col("ts") >= lit(StateCutoff).cast("timestamp")))
+    s.read.parquet(s"$dir/state").unionByName(delta)
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("s")).cast("double").as("total_value"))
+      .withColumn("avg_value", round(col("total_value") / col("n_events"), 6))
+      .orderBy("event_type")
+  }
+
+  val qAggIncrementalStateSql: String =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+      |        count(*), 6) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_scan_lineage — file-level provenance metering.
+  // ---------------------------------------------------------------
+
+  /** File-level lineage: attribute every row of a multi-file table back
+    * to the physical file that carried it via `input_file_name()` and
+    * meter per-file row counts and value totals — the audit a lake
+    * operator runs to find the file a bad batch landed in. The orders
+    * table is seeded once per sf dir into an 8-file hash layout; the
+    * oracle reads the SAME files with DuckDB's `filename=true`, so the
+    * gate proves the lineage column names exactly the file each row
+    * physically lives in (both engines count the same per-file rows and
+    * the same exact-decimal totals).
+    *
+    * At 100 TB lineage is metadata-only: `input_file_name` is populated
+    * by the scan itself (no join against a manifest), the per-file
+    * rollup combines map-side — each task emits one partial per file it
+    * read — and the exchange carries |files| rows, not |rows|.
+    */
+  val qScanLineage: Q = (s, d) => {
+    val dir = Scratch.path("lineage_files", d)
+    val seeded = java.nio.file.Paths.get(dir + "_SEEDED")
+    if (!java.nio.file.Files.exists(seeded)) {
+      Tables.orders(s, d).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      java.nio.file.Files.createFile(seeded)
+    }
+    s.read.parquet(dir)
+      .withColumn("file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("file")
+  }
+
+  val qScanLineageSql: String =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file,
+       |  count(*) AS n_rows,
+       |  ${dsumSql("o_totalprice")} AS total_price,
+       |  min(o_orderkey) AS min_key,
+       |  max(o_orderkey) AS max_key
+       |FROM read_parquet('${Scratch.sqlPath("lineage_files")}/*.parquet',
+       |                  filename=true)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_changepoint — integer-exact CUSUM mean-shift detection.
+  // ---------------------------------------------------------------
+
+  /** CUSUM changepoint detection over the daily event series, per
+    * event_type: the classic mean-shift statistic S_t = Σ_{i≤t}(x_i − x̄)
+    * peaks at the day the series' mean level shifts. Computed SCALED BY
+    * n so every step stays in integer arithmetic — S'_t = n·P_t − t·T
+    * (P_t prefix sum, T total, n days) — making the argmax exact in
+    * both engines; the before/after mean levels are single divisions of
+    * identical integer operands. Ties on |S'| break to the earliest day.
+    *
+    * At 100 TB the firehose collapses to the (event_type, day) grain in
+    * one combining aggregation; every window below runs over the
+    * aggregated series (|types| × |days| rows), partitioned by
+    * event_type so no global sort ever sees raw rows.
+    */
+  val qTimeChangepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("p", sum(col("n")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("tot", sum(col("n")).over(whole))
+      .withColumn("nd", count(lit(1)).over(whole).cast("long"))
+      .withColumn("abs_s",
+        abs(col("nd") * col("p") - col("t") * col("tot")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("abs_s").desc, col("day").asc)))
+      .where(col("rk") === 1)
+      .select(col("event_type"),
+        col("nd").as("n_days"),
+        col("day").cast("timestamp").as("cp_day"),
+        col("abs_s").as("max_abs_s"),
+        round(col("p").cast("double") / col("t"), 6).as("mean_before"),
+        when(col("nd") > col("t"),
+          round((col("tot") - col("p")).cast("double") /
+            (col("nd") - col("t")), 6)).as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  val qTimeChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM daily),
+      |r AS (
+      |  SELECT *, abs(nd * p - t * tot) AS abs_s,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(nd * p - t * tot) DESC, day ASC) AS rk
+      |  FROM w)
+      |SELECT event_type,
+      |  CAST(nd AS BIGINT) AS n_days,
+      |  CAST(day AS TIMESTAMP) AS cp_day,
+      |  CAST(abs_s AS BIGINT) AS max_abs_s,
+      |  round(CAST(p AS DOUBLE) / t, 6) AS mean_before,
+      |  CASE WHEN nd > t
+      |    THEN round(CAST(tot - p AS DOUBLE) / (nd - t), 6) END
+      |    AS mean_after
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_text_zipf — rank-frequency power-law fit over the token stream.
+  // ---------------------------------------------------------------
+
+  private val ZipfTopK = 300
+
+  /** Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+    * ln(rank) over each source's top-300 tokens — the corpus-health
+    * screen that flags templated or machine-generated text (natural
+    * language sits near slope −1; boilerplate flattens, spam steepens).
+    * Ranks tie-break on the token string so the top-k cut is
+    * deterministic; each ln-derived OLS term is rounded to 6 dp and
+    * summed in DECIMAL, so both engines sum identical values and the
+    * slope/intercept quotients see identical operands (q_dq_drift's
+    * PSI discipline).
+    *
+    * At 100 TB: one combining aggregation collapses the token stream to
+    * (source, token) counts; the rank window and the fit run over the
+    * top-k per source (bounded rows). The token exchange is the only
+    * corpus-sized shuffle, and it carries combiner-collapsed counts.
+    */
+  val qTextZipf: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0))
+          .as("tok"))
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .where(col("rank") <= ZipfTopK)
+      .withColumn("lx", log(col("rank").cast("double")))
+      .withColumn("ly", log(col("cnt").cast("double")))
+    def dterm(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast(DecimalType(28, 6))).cast("double")
+    ranked.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("k"),
+        dterm(col("lx")).as("sx"),
+        dterm(col("ly")).as("sy"),
+        dterm(col("lx") * col("lx")).as("sxx"),
+        dterm(col("lx") * col("ly")).as("sxy"))
+      .select(col("source"),
+        col("k").cast("long").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("k"), 6).as("intercept"))
+      .orderBy("source")
+  }
+
+  val qTextZipfSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, tok
+       |  FROM documents,
+       |    UNNEST(string_split(text, ' ')) AS u(tok)
+       |  WHERE len(tok) > 0),
+       |tf AS (
+       |  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, tok ASC) AS rank
+       |  FROM tf),
+       |terms AS (
+       |  SELECT source,
+       |    ln(CAST(rank AS DOUBLE)) AS lx,
+       |    ln(CAST(cnt AS DOUBLE)) AS ly
+       |  FROM ranked WHERE rank <= $ZipfTopK),
+       |m AS (
+       |  SELECT source,
+       |    CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(SUM(CAST(round(lx, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(round(ly, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(round(lx * lx, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(round(lx * ly, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+       |  FROM terms GROUP BY source)
+       |SELECT source,
+       |  CAST(k AS BIGINT) AS n_terms,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
+       |        6) AS intercept
+       |FROM m ORDER BY source""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_agg_incremental_state" -> qAggIncrementalState,
+    "q_scan_lineage"          -> qScanLineage,
+    "q_time_changepoint"      -> qTimeChangepoint,
+    "q_text_zipf"             -> qTextZipf
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_incremental_state" -> qAggIncrementalStateSql,
+    "q_scan_lineage"          -> qScanLineageSql,
+    "q_time_changepoint"      -> qTimeChangepointSql,
+    "q_text_zipf"             -> qTextZipfSql
+  )
+}

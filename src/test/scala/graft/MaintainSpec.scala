@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Maintain
+
+/** Lake-operations wave: incremental aggregate-state maintenance,
+  * file lineage, CUSUM changepoint, Zipf fit. The DuckDB oracle
+  * hash-compares all four per driver run; these specs assert the
+  * semantic identities behind the hashes (merge losslessness, lineage
+  * conservation, the CUSUM argmax against an independent in-memory
+  * recompute, OLS agreement) plus the plan shapes that matter at scale.
+  */
+class MaintainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_agg_incremental_state: state+delta merge equals the full recompute") {
+    val merged = Maintain.qAggIncrementalState(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+         r.getAs[Double]("total_value")))).toMap
+    val full = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+         r.getAs[Double]("total_value")))).toMap
+    assert(merged == full,
+      "the persisted-partials merge must lose nothing vs a full rescan")
+  }
+
+  test("q_scan_lineage: per-file meters conserve the table totals") {
+    val rows = Maintain.qScanLineage(spark, sf).collect()
+    assert(rows.length == 8, "orders seeded into an 8-file layout")
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n,
+      "every row attributes to exactly one file")
+    val total = orders
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .collect()(0).getDecimal(0)
+    val fromFiles = rows.map(r =>
+      new java.math.BigDecimal(r.getAs[Double]("total_price"))
+        .setScale(2, java.math.RoundingMode.HALF_UP)).reduce(_ add _)
+    assert(fromFiles.compareTo(total.setScale(2)) == 0,
+      "per-file decimal totals must add to the table total")
+  }
+
+  test("q_time_changepoint: argmax matches an independent CUSUM recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n")))
+      .groupBy(_._1)
+    val got = Maintain.qTimeChangepoint(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[java.sql.Timestamp]("cp_day").toString.take(10),
+         r.getAs[Long]("max_abs_s"))).toMap
+    daily.foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(x => (x._2, x._3))
+      val nd = series.length.toLong
+      val tot = series.map(_._2).sum
+      var p = 0L
+      val scored = series.zipWithIndex.map { case ((day, x), i) =>
+        p += x
+        (day, math.abs(nd * p - (i + 1) * tot))
+      }
+      val best = scored.maxBy(s => (s._2, -s._1.hashCode))
+      // ties break to the earliest day: re-scan for the first max
+      val expect = scored.find(_._2 == scored.map(_._2).max).get
+      assert(got(et) == ((expect._1, expect._2)),
+        s"$et: expected changepoint $expect, got ${got(et)} ($best)")
+    }
+  }
+
+  test("q_time_changepoint: a planted level shift is found at the shift") {
+    // synthetic: 10 days at 100/day then 10 days at 200/day — CUSUM
+    // must peak exactly at the last low day (S_t = n·P_t − t·T)
+    val lows = (1 to 10).map(d => (f"2024-02-$d%02d", 100L))
+    val highs = (11 to 20).map(d => (f"2024-02-$d%02d", 200L))
+    val series = (lows ++ highs)
+    val nd = series.length.toLong
+    val tot = series.map(_._2).sum
+    var p = 0L
+    val scored = series.zipWithIndex.map { case ((day, x), i) =>
+      p += x; (day, math.abs(nd * p - (i + 1) * tot))
+    }
+    val best = scored.find(_._2 == scored.map(_._2).max).get
+    assert(best._1 == "2024-02-10",
+      s"CUSUM must peak at the last pre-shift day, got $best")
+  }
+
+  test("q_text_zipf: slope negative everywhere and matches in-memory OLS") {
+    val got = Maintain.qTextZipf(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("slope"))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, slope) =>
+      assert(slope < 0.0, "rank-frequency slope must be negative")
+    }
+    // independent recompute for one source
+    val src = got.keys.min
+    val counts = Tables.documents(spark, sf)
+      .where(col("source") === src)
+      .select(explode(filter(split(col("text"), " "),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt")))
+      .sortBy(x => (-x._2, x._1)).take(300)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val k = terms.length.toDouble
+    def dsum6(xs: Seq[Double]) = xs.map(x => BigDecimal(r6(x))).sum.toDouble
+    val sx = dsum6(terms.map(_._1)); val sy = dsum6(terms.map(_._2))
+    val sxx = dsum6(terms.map(t => t._1 * t._1))
+    val sxy = dsum6(terms.map(t => t._1 * t._2))
+    val slope = r6((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    assert(math.abs(got(src)._2 - slope) < 1e-9,
+      s"$src: expected slope $slope, got ${got(src)._2}")
+  }
+
+  test("plans: aggregated-series windows, combiner-collapsed token exchange") {
+    val cp = plan("q_time_changepoint")
+    assert(cp.contains("partial_count"),
+      "daily rollup must combine map-side before its exchange")
+    val zipf = plan("q_text_zipf")
+    assert(zipf.contains("partial_count"),
+      "token counts must combine map-side before the token exchange")
+    assert(!zipf.contains("CartesianProduct"))
+    val inc = plan("q_agg_incremental_state")
+    assert(inc.contains("partial_count") || inc.contains("partial_sum"),
+      "delta partials must combine map-side")
+    val lin = plan("q_scan_lineage")
+    assert(lin.contains("partial_count"),
+      "per-file meters must combine map-side (|files| rows shuffle)")
+  }
+}
