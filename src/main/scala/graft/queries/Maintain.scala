@@ -299,17 +299,151 @@ object Maintain {
        |        6) AS intercept
        |FROM m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_win_islands — per-user activity streaks (gaps-and-islands).
+  // ---------------------------------------------------------------
+
+  /** Per-user activity streaks — the retention question "how long do
+    * users stay active without a break?" via the gaps-and-islands
+    * identity: within a user's ordered distinct active days,
+    * `epoch_day − row_number()` is constant exactly across consecutive
+    * days, so one grouping on it recovers every streak without a
+    * calendar spine. Pure integer/date arithmetic end to end; the
+    * longest streak tie-breaks to the earliest start.
+    *
+    * At 100 TB: the firehose collapses to distinct (user, day) in one
+    * combining aggregation; the single user-keyed exchange serves the
+    * row_number window, the island rollup, and the per-user summary
+    * (same partitioning, no re-shuffle). State is |users × active
+    * days|, never |events|.
+    */
+  val qWinIslands: Q = (s, d) => {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("dayidx", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val byDay = Window.partitionBy("user_id").orderBy("dayidx")
+    val islands = active
+      .withColumn("grp", col("dayidx") - row_number().over(byDay))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    val byUser = Window.partitionBy("user_id")
+    islands
+      .withColumn("n_active_days", sum(col("len")).over(byUser))
+      .withColumn("n_islands", count(lit(1)).over(byUser))
+      .withColumn("rk", row_number().over(
+        byUser.orderBy(col("len").desc, col("start").asc)))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("n_active_days"), col("n_islands"),
+        col("len").as("max_streak"),
+        col("start").cast("timestamp").as("streak_start"))
+      .orderBy("user_id")
+  }
+
+  val qWinIslandsSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |idx AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day) AS dayidx
+      |  FROM active),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    dayidx - row_number() OVER (PARTITION BY user_id
+      |      ORDER BY dayidx) AS grp
+      |  FROM idx),
+      |islands AS (
+      |  SELECT user_id, grp, count(*) AS len, min(day) AS start
+      |  FROM isl GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT user_id, len, start,
+      |    sum(len) OVER (PARTITION BY user_id) AS n_active_days,
+      |    count(*) OVER (PARTITION BY user_id) AS n_islands,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start ASC) AS rk
+      |  FROM islands)
+      |SELECT user_id,
+      |  CAST(n_active_days AS BIGINT) AS n_active_days,
+      |  CAST(n_islands AS BIGINT) AS n_islands,
+      |  CAST(len AS BIGINT) AS max_streak,
+      |  CAST(start AS TIMESTAMP) AS streak_start
+      |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_basket_lift — market-basket co-occurrence with lift.
+  // ---------------------------------------------------------------
+
+  /** Market-basket affinity: part pairs that co-occur in the same order,
+    * with support and lift (observed co-occurrence over the
+    * independence expectation). The pair join is WITHIN the order key —
+    * output is Σ_orders C(basket,2), LINEAR in orders because TPC-H
+    * baskets are bounded (≤7 items) — never the part×part cross. Lift's
+    * numerator and denominator are exact integers; one division + round
+    * 6 at the end.
+    *
+    * At 100 TB this is the co-occurrence mining shape: one exchange on
+    * the basket key for the pair expansion, one on the pair for the
+    * support count, part frequencies broadcast back (bounded |parts|
+    * aggregate). A pathological mega-basket would quadratically inflate
+    * its C(n,2) — production guards with a basket-size cap; TPC-H's
+    * 7-row orders need none.
+    */
+  val qBasketLift: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val freq = li.groupBy("p").agg(count(lit(1)).as("f"))
+    val nOrders = li.select(countDistinct(col("o")).as("n_orders"))
+    val pairs = li.alias("a")
+      .join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    pairs
+      .join(broadcast(freq.withColumnRenamed("p", "p1")
+        .withColumnRenamed("f", "f1")), "p1")
+      .join(broadcast(freq.withColumnRenamed("p", "p2")
+        .withColumnRenamed("f", "f2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("support"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("f1") * col("f2")), 6).as("lift"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
+  val qBasketLiftSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |freq AS (SELECT p, count(*) AS f FROM e GROUP BY 1),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM e),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS support
+      |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p1, p2, support,
+      |  round(CAST(support * n_orders AS DOUBLE) / (f1.f * f2.f), 6)
+      |    AS lift
+      |FROM pairs
+      |JOIN freq f1 ON f1.p = pairs.p1
+      |JOIN freq f2 ON f2.p = pairs.p2
+      |CROSS JOIN n
+      |ORDER BY support DESC, p1, p2""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_agg_incremental_state" -> qAggIncrementalState,
     "q_scan_lineage"          -> qScanLineage,
     "q_time_changepoint"      -> qTimeChangepoint,
-    "q_text_zipf"             -> qTextZipf
+    "q_text_zipf"             -> qTextZipf,
+    "q_win_islands"           -> qWinIslands,
+    "q_basket_lift"           -> qBasketLift
   )
 
   val oracles: Map[String, String] = Map(
     "q_agg_incremental_state" -> qAggIncrementalStateSql,
     "q_scan_lineage"          -> qScanLineageSql,
     "q_time_changepoint"      -> qTimeChangepointSql,
-    "q_text_zipf"             -> qTextZipfSql
+    "q_text_zipf"             -> qTextZipfSql,
+    "q_win_islands"           -> qWinIslandsSql,
+    "q_basket_lift"           -> qBasketLiftSql
   )
 }

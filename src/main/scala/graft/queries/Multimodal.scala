@@ -757,7 +757,192 @@ object Multimodal {
       |WHERE doc_id % 3 = 0
       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Deterministic 32×32 grayscale PNG with md5-derived pixels —
+    * pixel i is byte i%16 of md5("docId:i/16"). Unlike [[pngBytes]]'s
+    * LCG (whose images differ by a near-constant 64-bit offset across
+    * doc ids, so their block statistics CORRELATE and a similarity
+    * join over them degenerates toward all-pairs), md5 decorrelates
+    * every image from every other — the property a near-dup benchmark
+    * corpus needs. `truncate` clears each pixel's low 3 bits: the
+    * planted near-duplicate standing in for a re-quantization of the
+    * same photo.
+    */
+  private[graft] def pngBytesMd5(docId: Long, truncate: Boolean): Array[Byte] = {
+    require(imageIoReady)
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var chunk = 0
+    while (chunk < w * h / 16) {
+      val digest = md.digest(s"$docId:$chunk".getBytes("UTF-8"))
+      var j = 0
+      while (j < 16) {
+        val i = chunk * 16 + j
+        val p0 = digest(j) & 0xFF
+        val p = if (truncate) p0 & 0xF8 else p0
+        raster.setSample(i % w, i / w, 0, p)
+        j += 1
+      }
+      chunk += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 average-hash of a decoded grayscale image, kept as 64 bits in
+    * block order: bit_k = 1 iff block k's pixel sum × 64 exceeds the
+    * image total — i.e. the block is brighter than the image mean,
+    * compared in PURE INTEGER arithmetic so every engine that can see
+    * the pixels derives the identical hash (no float mean, no
+    * thresholding drift). Block k covers the 8×8 pixel tile at
+    * (k%8·w/8, k/8·h/8).
+    */
+  def averageHashBits(payload: Array[Byte]): Array[Int] = {
+    require(imageIoReady)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (bw, bh) = (w / 8, h / 8)
+    val sums = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = raster.getSample(x, y, 0).toLong
+        sums((y / bh) * 8 + x / bw) += s
+        total += s
+        x += 1
+      }
+      y += 1
+    }
+    sums.map(s => if (s * 64 > total) 1 else 0)
+  }
+
+  /** Perceptual-hash near-duplicate detection over the image corpus —
+    * the visual analog of MinHash text dedup: every image (and a
+    * planted low-bit-truncated variant of it) hashes to 64
+    * brighter-than-mean block bits; hashes split into 4×16-bit bands;
+    * candidate pairs share at least one band (NEVER all-pairs); the
+    * verify stage counts differing bits and keeps pairs at Hamming ≤ 8.
+    * The decode is the real javax.imageio path; the hash is
+    * integer-exact, so the DuckDB oracle re-derives every bit, every
+    * band value, the band-collision candidacy, AND the Hamming verdicts
+    * from the generator's closed form — the full detection path is
+    * hash-gated, not just its statistics.
+    *
+    * At 100 TB: hashing is per-blob and embarrassingly parallel (the
+    * binary never shuffles — 64 bits + 4 band ints leave the scan); the
+    * band self-join is the same bucketed shape as q_dedup_near, with
+    * 16-bit band values bounding each bucket; verification touches only
+    * band-colliding pairs. The truncation variant doubles as the
+    * robustness contract: a re-quantized image lands ≤ a few bits away,
+    * while unrelated noise images sit near Hamming 32 and never pass.
+    */
+  val qMultimodalPhash: Q = (s, d) => {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          Iterator(
+            (id, "base", averageHashBits(pngBytesMd5(id, truncate = false))),
+            (id, "trunc", averageHashBits(pngBytesMd5(id, truncate = true))))
+        }
+      }
+      .map { case (id, role, bits) =>
+        val bands = Array.tabulate(4) { j =>
+          var v = 0; var k = 0
+          while (k < 16) { v |= bits(j * 16 + k) << k; k += 1 }
+          v
+        }
+        (id, role, bits, bands)
+      }
+      .toDF("doc_id", "role", "bits", "bands")
+      // tiny (2 rows × ~80 B per image) — materialize once so the band
+      // self-join reads checkpoint blocks instead of decoding twice,
+      // without leaving a session-lifetime cache entry (q_dedup_near's
+      // recipe)
+      .localCheckpoint(true)
+    val b = hashes.select(col("doc_id"), col("role"), col("bits"),
+      posexplode(col("bands")).as(Seq("band", "val")))
+    b.alias("a").join(b.alias("x"),
+        col("a.band") === col("x.band") && col("a.val") === col("x.val") &&
+          (col("a.doc_id") < col("x.doc_id") ||
+            (col("a.doc_id") === col("x.doc_id") &&
+              col("a.role") < col("x.role"))))
+      .select(col("a.doc_id").as("doc_a"), col("a.role").as("role_a"),
+        col("x.doc_id").as("doc_b"), col("x.role").as("role_b"),
+        aggregate(zip_with(col("a.bits"), col("x.bits"),
+          (p, q) => abs(p - q)), lit(0), (acc, v) => acc + v)
+          .cast("long").as("hamming"))
+      .groupBy("doc_a", "role_a", "doc_b", "role_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .where(col("hamming") <= 8)
+      .orderBy("doc_a", "role_a", "doc_b", "role_b")
+  }
+
+  /** Analytic twin: block sums from the generator LCG (trunc clears the
+    * low 3 bits: (p//8)*8), integer-exact bits, band values, the
+    * band-collision candidate join, and Hamming verdicts — the same
+    * detection pipeline replayed in SQL.
+    */
+  val qMultimodalPhashSql: String =
+    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |ch AS (
+      |  SELECT doc_id, c.c AS c, md5(doc_id || ':' || c.c) AS hx
+      |  FROM img, generate_series(0, 63) c(c)),
+      |px AS (
+      |  SELECT doc_id, c * 16 + b.b AS i,
+      |    (strpos('0123456789abcdef', substr(hx, 2*b.b + 1, 1)) - 1) * 16 +
+      |     strpos('0123456789abcdef', substr(hx, 2*b.b + 2, 1)) - 1 AS p
+      |  FROM ch, generate_series(0, 15) b(b)),
+      |blocks AS (
+      |  SELECT doc_id, ((i // 32) // 4) * 8 + ((i % 32) // 4) AS b,
+      |    SUM(p) AS s_base, SUM((p // 8) * 8) AS s_trunc
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, SUM(s_base) AS t_base, SUM(s_trunc) AS t_trunc
+      |  FROM blocks GROUP BY 1),
+      |h AS (
+      |  SELECT blocks.doc_id, 'base' AS role, b,
+      |    CASE WHEN s_base * 64 > t_base THEN 1 ELSE 0 END AS bit
+      |  FROM blocks JOIN tot USING (doc_id)
+      |  UNION ALL
+      |  SELECT blocks.doc_id, 'trunc' AS role, b,
+      |    CASE WHEN s_trunc * 64 > t_trunc THEN 1 ELSE 0 END AS bit
+      |  FROM blocks JOIN tot USING (doc_id)),
+      |bands AS (
+      |  SELECT doc_id, role, b // 16 AS band,
+      |    SUM(bit * (1 << (b % 16))) AS val
+      |  FROM h GROUP BY 1, 2, 3),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, a.role AS ra,
+      |                  x.doc_id AS db, x.role AS rb
+      |  FROM bands a JOIN bands x
+      |    ON a.band = x.band AND a.val = x.val
+      |  WHERE a.doc_id < x.doc_id
+      |     OR (a.doc_id = x.doc_id AND a.role < x.role)),
+      |ham AS (
+      |  SELECT c.da, c.ra, c.db, c.rb,
+      |    SUM(abs(p.bit - q.bit)) AS hamming
+      |  FROM cand c
+      |  JOIN h p ON p.doc_id = c.da AND p.role = c.ra
+      |  JOIN h q ON q.doc_id = c.db AND q.role = c.rb AND q.b = p.b
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT da AS doc_a, ra AS role_a, db AS doc_b, rb AS role_b,
+      |  CAST(hamming AS BIGINT) AS hamming
+      |FROM ham WHERE hamming <= 8
+      |ORDER BY doc_a, role_a, doc_b, role_b""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_multimodal_phash"       -> qMultimodalPhash,
     "q_multimodal_resize"      -> qMultimodalResize,
     "q_multimodal_features"    -> qMultimodalFeatures,
     "q_multimodal_frames"      -> qMultimodalFrames,
@@ -766,6 +951,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_phash"       -> qMultimodalPhashSql,
     "q_multimodal_resize"      -> qMultimodalResizeSql,
     "q_multimodal_decode"      -> qMultimodalDecodeSql,
     "q_multimodal_frames_luma" -> qMultimodalFramesLumaSql,

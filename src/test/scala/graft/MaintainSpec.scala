@@ -134,6 +134,67 @@ class MaintainSpec extends AnyFunSuite {
       s"$src: expected slope $slope, got ${got(src)._2}")
   }
 
+  test("q_win_islands: streaks match an independent per-user recompute") {
+    val got = Maintain.qWinIslands(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_islands"),
+         r.getAs[Long]("max_streak"))).toMap
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    active.foreach { case (u, rows) =>
+      val days: Seq[Long] = rows.map(_._2).sorted.toSeq
+      val nIslands = 1 + days.sliding(2).count {
+        case Seq(a, b) => b != a + 1
+        case _ => false
+      }
+      val maxStreak = {
+        var best = 1L; var cur = 1L
+        days.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b == a + 1) { cur += 1; best = math.max(best, cur) }
+            else cur = 1
+          case _ =>
+        }
+        best
+      }
+      assert(got(u) == ((days.length.toLong, nIslands.toLong, maxStreak)),
+        s"user $u: expected (${days.length}, $nIslands, $maxStreak), got ${got(u)}")
+    }
+  }
+
+  test("q_basket_lift: supports match a collected-basket recompute") {
+    val got = Maintain.qBasketLift(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) ->
+        (r.getAs[Long]("support"), r.getAs[Double]("lift"))).toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val expect = support.filter(_._2 >= 2)
+    assert(got.keySet == expect.keySet,
+      s"pair sets differ: ${got.keySet.size} vs ${expect.keySet.size}")
+    expect.foreach { case (k, s0) => assert(got(k)._1 == s0) }
+    // lift spot check: support * n_orders / (f1 * f2)
+    if (got.nonEmpty) {
+      val freq = baskets.values.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val n = baskets.size.toLong
+      val ((p1, p2), (s0, lift)) = got.head
+      val want = BigDecimal(s0.toDouble * n / (freq(p1) * freq(p2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lift - want) < 1e-9)
+    }
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),

@@ -176,4 +176,47 @@ class MultimodalSpec extends AnyFunSuite {
                       want / 255.0 / 256) < 1e-6)
     }
   }
+
+  test("q_multimodal_phash: every planted near-dup found, no noise pairs") {
+    val rows = Multimodal.qMultimodalPhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val imageDocs = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .count()
+    // at this corpus size every base↔trunc pair survives (Hamming ≤ 8
+    // w.h.p.) and unrelated md5-noise images sit near Hamming 32 — so
+    // the result is exactly the planted pairs
+    assert(rows.length == imageDocs.toInt,
+      s"expected $imageDocs planted pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") == r.getAs[Long]("doc_b"),
+        "only same-image (base, trunc) pairs should pass at Hamming ≤ 8")
+      assert(r.getAs[String]("role_a") == "base" &&
+             r.getAs[String]("role_b") == "trunc")
+      assert(r.getAs[Long]("hamming") <= 8)
+    }
+  }
+
+  test("averageHashBits: integer thresholding and truncation robustness") {
+    val base = Multimodal.averageHashBits(
+      Multimodal.pngBytesMd5(7L, truncate = false))
+    val trunc = Multimodal.averageHashBits(
+      Multimodal.pngBytesMd5(7L, truncate = true))
+    val other = Multimodal.averageHashBits(
+      Multimodal.pngBytesMd5(8L, truncate = false))
+    assert(base.length == 64 && base.forall(b => b == 0 || b == 1))
+    val hamTrunc = base.zip(trunc).map { case (a, b) => (a - b).abs }.sum
+    val hamOther = base.zip(other).map { case (a, b) => (a - b).abs }.sum
+    assert(hamTrunc <= 8, s"re-quantized image drifted $hamTrunc bits")
+    assert(hamOther > 8, s"unrelated image too close: $hamOther bits")
+  }
+
+  test("q_multimodal_phash plan: band-bucketed join, never all-pairs") {
+    val p = Multimodal.qMultimodalPhash(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (band, val) equi-join")
+  }
 }
