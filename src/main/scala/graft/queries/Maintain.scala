@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -429,7 +430,139 @@ object Maintain {
       |CROSS JOIN n
       |ORDER BY support DESC, p1, p2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_dq_orphans — referential-integrity audit across the FK graph.
+  // ---------------------------------------------------------------
+
+  /** Referential-integrity audit: for every FK edge of the schema
+    * (orders→customer, lineitem→orders, lineitem→part,
+    * lineitem→supplier), count child rows whose parent key is missing.
+    * TPC-H data is referentially clean, so a deterministic "lost parent
+    * partition" is planted — parents with key % 97 = 0 are dropped —
+    * making every relation's orphan count a non-trivial value the gate
+    * actually exercises (an all-zero audit would pass under any bug).
+    *
+    * At 100 TB each relation is one anti-join shuffling the child on
+    * its own FK once (no relation touches another's keys, so the four
+    * audits parallelize as independent stages); parent sides carry only
+    * the key column. Orphan RATE divides two exact counts.
+    */
+  val qDqOrphans: Q = (s, d) => {
+    def audit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String) = {
+      val liveParent = parent.select(col(pk))
+        .where(col(pk) % 97 =!= 0)
+      val orphans = child.select(col(fk))
+        .join(liveParent, col(fk) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_child"), 6)
+            .as("orphan_rate"))
+    }
+    val li = Tables.lineitem(s, d)
+    audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(audit("orders->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy("relation")
+  }
+
+  val qDqOrphansSql: String =
+    """WITH a AS (
+      |  SELECT 'lineitem->orders' AS relation,
+      |    (SELECT count(*) FROM lineitem) AS n_child,
+      |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+      |      (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0))
+      |      AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem->part',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+      |      (SELECT p_partkey FROM part WHERE p_partkey % 97 <> 0))
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 <> 0))
+      |  UNION ALL
+      |  SELECT 'orders->customer',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+      |      (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)))
+      |SELECT relation, n_child, n_orphans,
+      |  round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+      |FROM a ORDER BY relation""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_text_novelty — per-batch n-gram novelty rate.
+  // ---------------------------------------------------------------
+
+  /** Corpus-freshness screen: treating doc_id ÷ 100 as the ingest
+    * batch, what fraction of each batch's distinct 2-grams was never
+    * seen in ANY earlier batch? A crawl whose novelty rate collapses is
+    * re-fetching what it already has — the signal that drives crawl
+    * scheduling and incremental training-set cuts. First-seen batch is
+    * a min-aggregate per gram; everything is exact integer arithmetic
+    * until the final rate division.
+    *
+    * At 100 TB: the gram stream collapses to distinct (batch, gram) in
+    * one combining aggregation; the gram-keyed window computes
+    * first-seen without a second scan (same exchange serves min and
+    * membership); the batch rollup is |batches| rows. No all-batch
+    * self-join, no spine.
+    */
+  val qTextNovelty: Q = (s, d) => {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select((col("doc_id") / 100).cast("long").as("batch"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, String)]
+      .flatMap { case (b, _, text) =>
+        LlmOps.twoGrams(text).map(g => (b, g)) }
+      .toDF("batch", "gram")
+      .distinct()
+    val firstSeen = Window.partitionBy("gram")
+    grams
+      .withColumn("first_batch", min(col("batch")).over(firstSeen))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy("batch")
+  }
+
+  val qTextNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id // 100 AS batch,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT batch,
+      |    CASE WHEN len(ts) < 2 THEN ts[i]
+      |         ELSE ts[i] || ' ' || ts[i+1] END AS gram
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS g(i)
+      |  WHERE len(ts) >= 1
+      |), f AS (
+      |  SELECT batch, gram,
+      |    min(batch) OVER (PARTITION BY gram) AS first_batch
+      |  FROM grams)
+      |SELECT batch, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS novelty_rate
+      |FROM f GROUP BY batch ORDER BY batch""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_dq_orphans"            -> qDqOrphans,
+    "q_text_novelty"          -> qTextNovelty,
     "q_agg_incremental_state" -> qAggIncrementalState,
     "q_scan_lineage"          -> qScanLineage,
     "q_time_changepoint"      -> qTimeChangepoint,
@@ -439,6 +572,8 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_orphans"            -> qDqOrphansSql,
+    "q_text_novelty"          -> qTextNoveltySql,
     "q_agg_incremental_state" -> qAggIncrementalStateSql,
     "q_scan_lineage"          -> qScanLineageSql,
     "q_time_changepoint"      -> qTimeChangepointSql,

@@ -27,6 +27,12 @@ case class AnomOut(event_type: String, day: java.sql.Timestamp, n: Long,
 case class TtlOut(user_id: Long, last_ts: java.sql.Timestamp, n: Long,
                   total: Double)
 
+/** CDC snapshot emission: a key's last-writer-wins state at end of
+  * replay (absent when the last change was a delete tombstone).
+  */
+case class CdcOut(user_id: Long, state_type: String, value: Double,
+                  updated_at: java.sql.Timestamp)
+
 /** transformWithState processor: running count/total per user with an
   * explicit ValueState handle.
   */
@@ -1308,7 +1314,109 @@ object StreamingQ {
     }
   }
 
+  /** The CDC-apply fold: last-writer-wins per key, ordered by
+    * (event time, event_id); an 'error' row is the DELETE tombstone.
+    * State is one row per key — the current version — replaced only
+    * when a strictly later (ts, event_id) arrives, so replay order
+    * within a micro-batch is irrelevant. Each arrival re-arms an
+    * event-time timer 180 days past the key's own last change: the
+    * watermark never travels that far during replay, so the timer
+    * fires exactly once — when the far-future sentinel drains the
+    * stream — and the key emits its final snapshot (or nothing, if the
+    * last change was the tombstone). Object-level so StreamingSpec can
+    * drive the tombstone and out-of-order paths through a fixture.
+    */
+  private[graft] val cdcFoldFn: (Long, Iterator[Ev],
+      GroupState[(Long, Long, String, Double)]) => Iterator[CdcOut] =
+    (user, rows, state) => {
+      if (state.hasTimedOut) {
+        val (ts, _, etype, v) = state.get
+        state.remove()
+        if (etype != "error") {
+          // reconstruct the EXACT microsecond timestamp (Timestamp(ms)
+          // alone would truncate the sub-millisecond digits the oracle
+          // reads from parquet)
+          val t = new Timestamp(ts / 1000000L * 1000L)
+          t.setNanos((ts % 1000000L).toInt * 1000)
+          Iterator.single(CdcOut(user, etype, v, t))
+        } else Iterator.empty
+      } else {
+        var cur = state.getOption.getOrElse(
+          (Long.MinValue, Long.MinValue, "", 0.0))
+        rows.foreach { e =>
+          val m = micros(e.ts)
+          if (m > cur._1 || (m == cur._1 && e.event_id > cur._2))
+            cur = (m, e.event_id, e.event_type, e.value)
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur._1 / 1000L + 180L * DayMs)
+        Iterator.empty
+      }
+    }
+
+  /** Streaming CDC apply — the change-data-capture half of
+    * [[graft.queries.Relational]]'s batch merge/upsert: a keyed stream
+    * of upserts and delete tombstones folded into a one-row-per-key
+    * materialized state, snapshot emitted when the replay drains. Rides
+    * the DISTRIBUTED week-file replay (executors read the batches); the
+    * oracle is the batch last-writer-wins query over the same events,
+    * so the gate proves the incremental fold converges to the batch
+    * answer including tombstone suppression.
+    *
+    * At 100 TB: state is |live keys| rows (one version each — this is
+    * the table-maintenance state shape, same as a compacted changelog
+    * topic), per-batch work ∝ changed keys, and the emitted snapshot is
+    * the only full-state scan. Timestamps pass through in exact micros;
+    * the value double is never arithmetic'd — both engines compare the
+    * same bits.
+    */
+  val qStreamCdc: Q = (s, d) => {
+    import s.implicits._
+    runFileReplayStream(s, "graft_stream_cdc", d, filesPerTrigger = 3) { df =>
+      df.withWatermark("ts", "1 hour")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.EventTimeTimeout)(
+          cdcFoldFn)
+        .toDF()
+    }.where(col("user_id") >= 0) // the sentinel key never materializes
+      .select(col("user_id"), col("state_type"), col("value"),
+        col("updated_at"))
+      .orderBy("user_id")
+  }
+
+  val qStreamCdcSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, event_type AS state_type, value,
+      |  ts AS updated_at
+      |FROM ranked WHERE rk = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Fixture form of the CDC fold (hand-placed batches through the
+    * MemoryStream replay) so StreamingSpec can witness the tombstone
+    * suppression and within-batch out-of-order paths directly.
+    */
+  private[graft] def runCdcFixture(s: SparkSession,
+                                   batches: Seq[Seq[Ev]]): DataFrame = {
+    import s.implicits._
+    runReplayStream(s, "graft_stream_cdc_fx", batches) { df =>
+      df.withWatermark("ts", "1 minute")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+                                GroupStateTimeout.EventTimeTimeout)(
+          cdcFoldFn)
+        .toDF()
+    }
+  }
+
   val entries: Map[String, Q] = Map(
+    "q_stream_cdc" -> qStreamCdc,
     "q_stream_stateful_tws" -> qStreamStatefulTws,
     "q_stream_stateful_ttl" -> qStreamStatefulTtl,
     "q_stream_tumbling"  -> qStreamTumbling,
@@ -1328,6 +1436,7 @@ object StreamingQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_cdc"      -> qStreamCdcSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding"  -> qStreamSlidingSql,
     "q_stream_session"  -> qStreamSessionSql,

@@ -606,4 +606,37 @@ class StreamingSpec extends AnyFunSuite {
         Seq(1.0, 1.0))
     } finally { q.stop(); StreamingQ.rmTree(ckpt) }
   }
+
+  test("CDC fold: last-writer-wins, tombstone suppression, tie on event_id") {
+    import graft.queries.Ev
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, typ, v)
+    val batches = Seq(
+      Seq(ev(1, "2024-01-05 10:00:00", 1, "click", 1.0),
+          ev(2, "2024-01-05 10:00:01", 2, "view", 2.0),
+          ev(3, "2024-01-05 10:00:02", 3, "click", 3.0)),
+      // user 1: LATER event listed first — the fold must order by ts,
+      // not arrival; user 2: delete tombstone as the last change;
+      // user 3: equal timestamps — the higher event_id wins
+      Seq(ev(5, "2024-01-05 10:06:00", 1, "purchase", 7.0),
+          ev(4, "2024-01-05 10:05:00", 1, "click", 9.0),
+          ev(6, "2024-01-05 10:07:00", 2, "error", 0.0),
+          ev(7, "2024-01-05 10:00:02", 3, "view", 4.0),
+          ev(8, "2024-01-05 10:00:02", 3, "signup", 5.0)),
+      // far-future sentinel (> the 180-day timer horizon) drains every
+      // key's snapshot; its own key emits nothing
+      Seq(ev(99, "2025-06-01 00:00:00", 999, "click", 0.0)))
+    val out = StreamingQ.runCdcFixture(spark, batches).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("state_type"), r.getAs[Double]("value"),
+         r.getAs[java.sql.Timestamp]("updated_at").toString))
+      .toMap
+    assert(out.keySet == Set(1L, 3L),
+      s"user 2 tombstoned, sentinel key silent: ${out.keySet}")
+    assert(out(1L) == (("purchase", 7.0, "2024-01-05 10:06:00.0")),
+      s"last-writer-wins by ts: ${out(1L)}")
+    assert(out(3L) == (("signup", 5.0, "2024-01-05 10:00:02.0")),
+      s"ts tie breaks to the higher event_id: ${out(3L)}")
+  }
 }
