@@ -560,7 +560,152 @@ object Maintain {
       |    AS DOUBLE) / count(*), 6) AS novelty_rate
       |FROM f GROUP BY batch ORDER BY batch""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_scan_snapshot — versioned reads with delete vectors.
+  // ---------------------------------------------------------------
+
+  /** Lakehouse-style snapshot reads: a table whose version 1 is a set
+    * of base files, and whose version 2 adds a delta file and a DELETE
+    * VECTOR (a key list masking rows out without rewriting data files)
+    * — the Iceberg/Delta MVCC mechanics built on plain parquet. Both
+    * versions are read from the SAME physical layout: v1 = base files
+    * as written; v2 = base ∪ delta, anti-joined against the delete
+    * vector. The oracle recomputes each version from the raw table's
+    * defining predicates, so the gate proves the physical assembly
+    * (file split + mask) loses and resurrects nothing.
+    *
+    * At 100 TB this is why deletes are cheap: the delete vector is
+    * |deleted keys| rows (broadcast-able), data files are immutable,
+    * and time travel is a manifest choice, not a copy. The anti-join
+    * is the only work added to a v2 scan.
+    */
+  val qScanSnapshot: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val baseDir = Scratch.path("snap_base", d)
+    val deltaDir = Scratch.path("snap_delta", d)
+    val delDir = Scratch.path("snap_deletes", d)
+    val seeded = java.nio.file.Paths.get(baseDir + "_SEEDED")
+    if (!java.nio.file.Files.exists(seeded)) {
+      orders.where(col("o_orderkey") % 4 < 3)
+        .write.mode("overwrite").parquet(baseDir)
+      orders.where(col("o_orderkey") % 4 === 3)
+        .write.mode("overwrite").parquet(deltaDir)
+      orders.where(col("o_orderkey") % 10 === 7).select(col("o_orderkey"))
+        .write.mode("overwrite").parquet(delDir)
+      java.nio.file.Files.createFile(seeded)
+    }
+    val base = s.read.parquet(baseDir)
+    val v2 = base.unionByName(s.read.parquet(deltaDir))
+      .join(broadcast(s.read.parquet(delDir)), Seq("o_orderkey"),
+        "left_anti")
+    def stat(df: DataFrame, v: Int) =
+      df.agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_price"))
+    stat(base, 1).unionByName(stat(v2, 2)).orderBy("version")
+  }
+
+  val qScanSnapshotSql: String =
+    s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+       |  ${dsumSql("o_totalprice")} AS total_price
+       |FROM orders WHERE o_orderkey % 4 < 3
+       |UNION ALL
+       |SELECT 2, count(*), ${dsumSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 10 <> 7
+       |ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_join_asof_nearest — nearest-event-in-time join, either direction.
+  // ---------------------------------------------------------------
+
+  /** Nearest-event join: for every purchase, the user's click closest
+    * in time in EITHER direction — the bidirectional cousin of the
+    * backward-only as-of joins. No range join and no candidate
+    * explosion: both event kinds ride ONE user-keyed ordered window
+    * (the sorted-union trick), where the nearest preceding click is a
+    * running `last(ignoreNulls)` and the nearest following one a
+    * `first(ignoreNulls)` over the suffix frame. Ordering by
+    * (ts, event_id) makes tie handling deterministic and identical in
+    * both engines: a same-timestamp click with a smaller id lands in
+    * the preceding frame, a larger id in the following; between
+    * directions, the smaller time gap wins and an exact tie goes
+    * backward. At 100 TB: one exchange on user_id, window state is one
+    * row per direction, output ∝ purchases.
+    */
+  val qJoinAsofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val clickTs = when(col("event_type") === "click", col("us"))
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val scored = ev
+      .withColumn("prev_us", last(clickTs, ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_us", first(clickTs, ignoreNulls = true).over(
+        w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(
+        w.rowsBetween(1, Window.unboundedFollowing)))
+      .where(col("event_type") === "purchase" &&
+        (col("prev_us").isNotNull || col("next_us").isNotNull))
+    scored
+      .select(col("event_id"), col("user_id"),
+        when(col("next_us").isNull ||
+            (col("prev_us").isNotNull &&
+             col("us") - col("prev_us") <= col("next_us") - col("us")),
+          col("prev_id")).otherwise(col("next_id")).as("click_id"),
+        when(col("next_us").isNull ||
+            (col("prev_us").isNotNull &&
+             col("us") - col("prev_us") <= col("next_us") - col("us")),
+          col("us") - col("prev_us"))
+          .otherwise(col("next_us") - col("us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofNearestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |scored AS (
+      |  SELECT event_id, user_id, us, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN us END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+      |    first_value(CASE WHEN event_type = 'click' THEN us END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id
+      |  FROM ev)
+      |SELECT event_id, user_id,
+      |  CASE WHEN next_us IS NULL OR
+      |      (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+      |    THEN prev_id ELSE next_id END AS click_id,
+      |  CASE WHEN next_us IS NULL OR
+      |      (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+      |    THEN us - prev_us ELSE next_us - us END AS gap_us
+      |FROM scored
+      |WHERE event_type = 'purchase'
+      |  AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+      |ORDER BY event_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_scan_snapshot"         -> qScanSnapshot,
+    "q_join_asof_nearest"     -> qJoinAsofNearest,
     "q_dq_orphans"            -> qDqOrphans,
     "q_text_novelty"          -> qTextNovelty,
     "q_agg_incremental_state" -> qAggIncrementalState,
@@ -572,6 +717,8 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scan_snapshot"         -> qScanSnapshotSql,
+    "q_join_asof_nearest"     -> qJoinAsofNearestSql,
     "q_dq_orphans"            -> qDqOrphansSql,
     "q_text_novelty"          -> qTextNoveltySql,
     "q_agg_incremental_state" -> qAggIncrementalStateSql,

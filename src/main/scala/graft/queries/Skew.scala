@@ -76,6 +76,39 @@ object Skew {
       |GROUP BY e.user_id, c.c_name
       |ORDER BY e.user_id""".stripMargin
 
-  val entries: Map[String, Q] = Map("q_join_skew" -> qJoinSkew)
-  val oracles: Map[String, String] = Map("q_join_skew" -> qJoinSkewSql)
+  /** Gate entry: salted TWO-PHASE aggregation on the skewed key.
+    * `events` concentrates all rows on 5 `event_type` values — a plain
+    * groupBy gives 5 reducers all the work. Phase 1 aggregates
+    * (key, salt∈[0,64)) partials (map-side combine still applies);
+    * phase 2 merges 64 partial rows per key. Counts add and decimal
+    * sums add exactly, so the result is bit-identical to the plain
+    * aggregate the oracle runs. At 100 TB this (plus AQE skew
+    * handling) is the standard hot-key aggregation shape: the first
+    * exchange spreads each hot key over 64 reducers, the second
+    * touches |keys|×64 rows.
+    */
+  val qAggSalted: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("__salt", saltCol(64, 7L))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
+          .as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("ps")).cast("double").as("total_value"))
+      .orderBy("event_type")
+
+  val qAggSaltedSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_join_skew" -> qJoinSkew,
+    "q_agg_salted" -> qAggSalted)
+  val oracles: Map[String, String] = Map(
+    "q_join_skew" -> qJoinSkewSql,
+    "q_agg_salted" -> qAggSaltedSql)
 }

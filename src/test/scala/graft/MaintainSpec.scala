@@ -195,6 +195,60 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scan_snapshot: v2 = v1 + delta − deletes, keys never resurrect") {
+    val rows = Maintain.qScanSnapshot(spark, sf).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("total_price"))).toMap
+    val orders = Tables.orders(spark, sf)
+    val v1 = orders.where(col("o_orderkey") % 4 < 3).count()
+    val v2 = orders.where(col("o_orderkey") % 10 =!= 7).count()
+    assert(rows(1L)._1 == v1 && rows(2L)._1 == v2,
+      s"snapshot counts drifted: $rows vs ($v1, $v2)")
+    // the delete vector masks rows without touching data files: deleted
+    // keys must be absent from a v2-equivalent read and present in v1
+    val deleted = orders.where(col("o_orderkey") % 10 === 7).count()
+    assert(v1 + orders.where(col("o_orderkey") % 4 === 3).count()
+      - deleted == v2)
+  }
+
+  test("q_join_asof_nearest: matches a per-user in-memory recompute") {
+    val got = Maintain.qJoinAsofNearest(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("click_id"), r.getAs[Long]("gap_us"))).toMap
+    val evs = Tables.events(spark, sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = evs.groupBy(_._2)
+    var checked = 0
+    byUser.values.foreach { rows =>
+      val clicks = rows.filter(_._4 == "click")
+        .map(t => (t._3, t._1)).sorted // (us, id)
+      rows.filter(_._4 == "purchase").foreach { case (pid, _, pus, _) =>
+        if (clicks.nonEmpty) {
+          // prev: strictly before in (us, id) order; next: strictly after
+          val prev = clicks.filter(c =>
+            c._1 < pus || (c._1 == pus && c._2 < pid)).lastOption
+          val next = clicks.find(c =>
+            c._1 > pus || (c._1 == pus && c._2 > pid))
+          val want = (prev, next) match {
+            case (Some(p), Some(n)) =>
+              if (pus - p._1 <= n._1 - pus) (p._2, pus - p._1)
+              else (n._2, n._1 - pus)
+            case (Some(p), None) => (p._2, pus - p._1)
+            case (None, Some(n)) => (n._2, n._1 - pus)
+            case _ => sys.error("unreachable")
+          }
+          assert(got(pid) == want, s"purchase $pid: $want vs ${got(pid)}")
+          checked += 1
+        } else assert(!got.contains(pid))
+      }
+    }
+    assert(checked > 0)
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),

@@ -133,4 +133,23 @@ class SkewSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
     assert(salted.toSeq == direct.toSeq)
   }
+
+  test("q_agg_salted: two event_type exchanges (salt spread, then merge)") {
+    val p = Skew.qAggSalted(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size == 2,
+      s"phase 1 shuffles (key, salt), phase 2 merges per key:\n${p.take(1200)}")
+    val got = Skew.qAggSalted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSeq
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("t"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("t"))).toSeq
+    assert(got == direct, "salted merge must be bit-identical to direct")
+  }
 }
