@@ -3040,9 +3040,127 @@ object LlmOps {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** MMR (maximal marginal relevance) diversified retrieval — the
+    * de-duplicating cousin of q_sim_topk: greedily pick 10 of the top-20
+    * query-similar vectors, each step maximizing
+    * 0.7·sim(query, c) − 0.3·max_{s∈picked} sim(c, s), so near-copies
+    * of an already-picked result are penalized out — the selection
+    * shape behind diverse few-shot sampling and dedup'd retrieval.
+    *
+    * Distribution: the top-20 candidate cut is the distributed
+    * TakeOrdered of q_sim_topk; candidate pair-sims are a constant-size
+    * (20×20) broadcast self-join of codegen'd cosines. Only then does
+    * the driver run the greedy loop over ≤20 scored rows — the same
+    * bounded-collect contract as the PQ codebook — so at 100 TB the
+    * corpus-sized work stays in the scan/TakeOrdered/broadcast stages.
+    *
+    * Exactness: qsim/sim are round-6 cosines (identical doubles in both
+    * engines); the greedy score recovers them as EXACT 6-dp decimals
+    * and does 0.7·q − 0.3·m in decimal arithmetic, because the products
+    * are exact 7-dp decimals whose binary doubles sit on rounding
+    * half-ties — decimal scoring keeps the argmax, the tie-breaks, and
+    * the emitted round-6 mmr engine-identical (the FP-parity rule the
+    * sf1 gate taught).
+    */
+  val qEmbedMmr: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cand = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("qv")), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+      .limit(20)
+      .localCheckpoint(true) // tiny; feeds two consumers below
+    val pairs = cand.select(col("vec_id").as("pa"), col("embedding").as("ea"))
+      .join(broadcast(cand.select(col("vec_id").as("pb"),
+        col("embedding").as("eb"))), col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+    // bounded collects: 20 candidates + 380 pair sims (PQ-codebook
+    // contract) — the greedy loop is O(k²) driver work on exact decimals
+    val qs = cand.select(col("vec_id"), col("qsim")).collect()
+      .map(r => r.getLong(0) -> BigDecimal.valueOf(r.getDouble(1))).toMap
+    val ps = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        BigDecimal.valueOf(r.getDouble(2))).toMap
+    val L = BigDecimal("0.7"); val M = BigDecimal("0.3")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)]
+    var picked = Vector.empty[Long]
+    (1 to math.min(10, qs.size)).foreach { rank =>
+      val (vid, qsim, score) =
+        if (rank == 1) {
+          val (v, q0) = qs.toSeq.maxBy { case (id, q0) => (q0, -id) }
+          (v, q0, L * q0)
+        } else {
+          qs.view.filterKeys(!picked.contains(_)).toSeq
+            .map { case (id, q0) =>
+              (id, q0, L * q0 - M * picked.map(p => ps((id, p))).max) }
+            .maxBy { case (id, _, sc) => (sc, -id) }
+        }
+      picked :+= vid
+      out += ((rank.toLong, vid, qsim.toDouble,
+        score.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "vec_id", "qsim", "mmr").orderBy("rank")
+  }
+
+  /** Analytic twin: identical candidate cut and pair sims, then the
+    * greedy loop as a recursive CTE carrying the picked list; scores in
+    * exact DECIMAL so every argmax/tie/round matches the engine.
+    */
+  val qEmbedMmrSql: String =
+    """WITH RECURSIVE q AS (
+      |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT e.vec_id,
+      |    ROUND(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) /
+      |      (sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) *
+      |       sqrt(SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)))), 6) AS qsim
+      |  FROM embeddings e, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+      |cand AS (
+      |  SELECT vec_id, qsim, CAST(qsim AS DECIMAL(18,6)) AS qs6
+      |  FROM sims ORDER BY qsim DESC, vec_id LIMIT 20),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+      |    CAST(ROUND(SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) /
+      |      (sqrt(SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(ea.embedding[i.i] AS DOUBLE))) *
+      |       sqrt(SUM(CAST(eb.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)))), 6)
+      |      AS DECIMAL(18,6)) AS sim
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id,
+      |  (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY 1, 2),
+      |first_pick AS (
+      |  SELECT vec_id, qsim, qs6 FROM cand ORDER BY qsim DESC, vec_id LIMIT 1),
+      |sel AS (
+      |  SELECT 1 AS rank, vec_id, qsim,
+      |    CAST(0.7 AS DECIMAL(2,1)) * qs6 AS mmr, [vec_id] AS picked
+      |  FROM first_pick
+      |  UNION ALL
+      |  SELECT sel.rank + 1, nxt.vec_id, nxt.qsim, nxt.score,
+      |    list_append(sel.picked, nxt.vec_id)
+      |  FROM sel, LATERAL (
+      |    SELECT c.vec_id, c.qsim,
+      |      CAST(0.7 AS DECIMAL(2,1)) * c.qs6 -
+      |        CAST(0.3 AS DECIMAL(2,1)) * (SELECT max(p.sim) FROM pairs p
+      |          WHERE p.pa = c.vec_id AND list_contains(sel.picked, p.pb))
+      |        AS score
+      |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+      |    ORDER BY score DESC, c.vec_id LIMIT 1) nxt
+      |  WHERE sel.rank < 10)
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id, qsim,
+      |  CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr
+      |FROM sel ORDER BY rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
+    "q_embed_mmr"        -> qEmbedMmr,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_near"       -> qDedupNear,
     "q_dedup_simhash"    -> qDedupSimhash,
@@ -3091,6 +3209,7 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
+    "q_embed_mmr"     -> qEmbedMmrSql,
     "q_sim_topk"      -> qSimTopkSql,
     "q_sim_pairs"     -> qSimPairsSql,
     "q_text_stats"    -> qTextStatsSql,

@@ -703,7 +703,148 @@ object Maintain {
       |  AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_time_forecast — linear-trend forecast of the daily series.
+  // ---------------------------------------------------------------
+
+  /** 7-day-ahead linear-trend forecast per event_type: OLS over
+    * (epoch day, daily count) — q_stats_regression's discipline on the
+    * operational series — extrapolated over a generated horizon. Every
+    * OLS sum is integer arithmetic (day indices × counts) cast once to
+    * double, so slope/intercept are single identical divisions in both
+    * engines, and each ŷ adds one multiply — the forecasting shape a
+    * monitoring pipeline runs after q_time_changepoint clears.
+    *
+    * At 100 TB: one combining aggregation to the (type, day) grain, one
+    * |types|-row moment rollup, and the horizon explode is 7 rows per
+    * type. Nothing downstream of the first aggregate touches raw rows.
+    */
+  val qTimeForecast: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      max(col("x")).as("maxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("maxx"), col("n"), col("sx"),
+        col("sy"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("icept"))
+      .withColumn("h", explode(sequence(lit(1), lit(7))))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"),
+          (col("maxx") + col("h")).cast("int")).cast("timestamp").as("day"),
+        round(col("icept") + col("slope") * (col("maxx") + col("h")), 6)
+          .as("yhat"))
+      .orderBy("event_type", "day")
+  }
+
+  val qTimeForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(date_diff('day', DATE '1970-01-01', day)) AS DOUBLE) AS sx,
+      |    CAST(sum(date_diff('day', DATE '1970-01-01', day) *
+      |             date_diff('day', DATE '1970-01-01', day)) AS DOUBLE) AS sxx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(date_diff('day', DATE '1970-01-01', day) * y) AS DOUBLE) AS sxy,
+      |    max(date_diff('day', DATE '1970-01-01', day)) AS maxx
+      |  FROM daily GROUP BY event_type),
+      |f AS (
+      |  SELECT event_type, maxx, h.h AS h,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept
+      |  FROM m, generate_series(1, 7) h(h))
+      |SELECT event_type,
+      |  CAST(DATE '1970-01-01' + INTERVAL (maxx + h) DAY AS TIMESTAMP) AS day,
+      |  round(icept + slope * (maxx + h), 6) AS yhat
+      |FROM f ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_graph_adamic_adar — link prediction on the co-purchase graph.
+  // ---------------------------------------------------------------
+
+  /** Adamic–Adar link prediction over the co-purchase graph (part pairs
+    * with basket support ≥ 2, i.e. q_basket_lift's surviving edges):
+    * for every two-hop pair not already linked, Σ_w 1/ln(deg(w)) over
+    * common neighbors w — rare hubs count more. Each term is rounded to
+    * 6 dp and summed in DECIMAL (the PSI/Zipf discipline), so the one
+    * `ln` per neighbor is the only libm touchpoint.
+    *
+    * At 100 TB the candidate set is Σ_w deg(w)² — bounded by the
+    * support-thresholded graph's degree distribution, NOT by |parts|²;
+    * the threshold is the supported knob when a hub inflates it. One
+    * exchange builds edges, one joins the two hops, one aggregates per
+    * candidate pair.
+    */
+  val qGraphAdamicAdar: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.alias("a")
+      .join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select(col("p1"), col("p2"))
+      .localCheckpoint(true) // small (|edges| rows); feeds 3 consumers
+    val und = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .unionByName(edges.select(col("p2").as("u"), col("p1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val twohop = und.alias("l")
+      .join(und.alias("r"),
+        col("l.v") === col("r.u") && col("l.u") < col("r.v"))
+      .select(col("l.u").as("x"), col("r.v").as("y"), col("l.v").as("w"))
+    twohop
+      .join(deg.withColumnRenamed("u", "w"), "w")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / log(col("d").cast("double")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("aa"))
+      .join(edges,
+        col("x") === col("p1") && col("y") === col("p2"), "left_anti")
+      .orderBy("x", "y")
+  }
+
+  val qGraphAdamicAdarSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (
+      |  SELECT p1 AS u, p2 AS v FROM edges
+      |  UNION ALL SELECT p2, p1 FROM edges),
+      |deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+      |twohop AS (
+      |  SELECT l.u AS x, r.v AS y, l.v AS w
+      |  FROM und l JOIN und r ON l.v = r.u AND l.u < r.v),
+      |aa AS (
+      |  SELECT x, y, count(*) AS n_common,
+      |    CAST(SUM(CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS aa
+      |  FROM twohop JOIN deg ON deg.u = twohop.w
+      |  GROUP BY 1, 2)
+      |SELECT x, y, n_common, aa FROM aa
+      |WHERE NOT EXISTS (SELECT 1 FROM edges
+      |  WHERE edges.p1 = aa.x AND edges.p2 = aa.y)
+      |ORDER BY x, y""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_time_forecast"         -> qTimeForecast,
+    "q_graph_adamic_adar"     -> qGraphAdamicAdar,
     "q_scan_snapshot"         -> qScanSnapshot,
     "q_join_asof_nearest"     -> qJoinAsofNearest,
     "q_dq_orphans"            -> qDqOrphans,
@@ -717,6 +858,8 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_forecast"         -> qTimeForecastSql,
+    "q_graph_adamic_adar"     -> qGraphAdamicAdarSql,
     "q_scan_snapshot"         -> qScanSnapshotSql,
     "q_join_asof_nearest"     -> qJoinAsofNearestSql,
     "q_dq_orphans"            -> qDqOrphansSql,

@@ -703,4 +703,25 @@ class LlmOpsSpec extends AnyFunSuite {
              r.getAs[Double]("mean_x") <= r.getAs[Double]("max_x"))
     }
   }
+
+  test("q_embed_mmr: greedy invariants — top-1 anchor, no dups, scores fall") {
+    val mmr = LlmOps.qEmbedMmr(spark, sf).collect()
+    assert(mmr.length == 10)
+    val ids = mmr.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "a vector picked twice")
+    // rank 1 is the plain similarity top-1 (no diversity penalty yet)
+    val top1 = LlmOps.qSimTopk(spark, sf).collect().head.getAs[Long]("vec_id")
+    assert(ids.head == top1, s"rank-1 must anchor on top-1 ($top1)")
+    // the best available MMR score can only fall as the picked set grows
+    val scores = mmr.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("mmr"))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, s"score rose: $a -> $b")
+      case _ =>
+    }
+    // diversification is real: the MMR set differs from plain top-10
+    val plain = LlmOps.qSimTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.toSet != plain,
+      "MMR degenerated to plain top-k — penalty had no effect")
+  }
 }

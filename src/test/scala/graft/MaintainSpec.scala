@@ -249,6 +249,58 @@ class MaintainSpec extends AnyFunSuite {
     assert(checked > 0)
   }
 
+  test("q_time_forecast: extrapolation matches an in-memory OLS") {
+    val got = Maintain.qTimeForecast(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").toString.take(10)) ->
+        r.getAs[Double]("yhat")).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("y")))
+      .groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sxx = rows.map(r => r._2 * r._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val maxx = rows.map(_._2).max
+      (1 to 7).foreach { h =>
+        val day = java.time.LocalDate.ofEpochDay(maxx + h).toString
+        val want = BigDecimal(icept + slope * (maxx + h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got((et, day)) - want) < 1e-9,
+          s"$et +$h: ${got((et, day))} vs $want")
+      }
+    }
+  }
+
+  test("q_graph_adamic_adar: candidates are non-edges with real overlap") {
+    val rows = Maintain.qGraphAdamicAdar(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .alias("a").join(
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct().alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .where(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val pair = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      assert(!edges.contains(pair), s"predicted an existing edge $pair")
+      assert(r.getAs[Long]("n_common") >= 1)
+      assert(r.getAs[Double]("aa") > 0.0)
+    }
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),
