@@ -842,7 +842,206 @@ object Maintain {
       |  WHERE edges.p1 = aa.x AND edges.p2 = aa.y)
       |ORDER BY x, y""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_agg_hist_eqdepth — equi-depth (quantile-bucket) histogram.
+  // ---------------------------------------------------------------
+
+  /** Equi-depth histogram per order priority: rows land in 10 buckets
+    * of (near-)equal population, bucket k of a row being
+    * ⌊(rank−1)·10 / n⌋ from its within-group price rank — PURE INTEGER
+    * arithmetic, no quantile interpolation to diverge between engines
+    * (the complement of q_profile_histogram's fixed-width form; the
+    * approximate-quantile path is q_agg_approx). Rank ties break on the
+    * order key, so bucket assignment is total and deterministic.
+    *
+    * Scale: one exchange on the group key; the within-group sort is the
+    * window's. For groups too large for one task, the distributed
+    * total-sort trick of q_assign_ids (range partition +
+    * sortWithinPartitions + zipWithIndex) swaps in — same rule, same
+    * buckets; at the other extreme a production profiler switches to
+    * the sketch path. This op pins the EXACT semantics those
+    * approximations are judged against.
+    */
+  val qAggHistEqdepth: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val whole = Window.partitionBy("o_orderpriority")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      // integer floor-division (quotient < 10, so the double round-trip
+      // can never cross the next integer: 1/cnt >> one ulp at this scale)
+      .withColumn("bucket",
+        ((col("rn") - 1) * 10 / col("cnt")).cast("long"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  val qAggHistEqdepthSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders)
+      |SELECT o_orderpriority, (rn - 1) * 10 // cnt AS bucket,
+      |  count(*) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_sample_consistent — hash-consistent holdout sampling.
+  // ---------------------------------------------------------------
+
+  /** Consistent (hash-bucketed) user sampling — the eval-holdout rule
+    * that stays STABLE as data grows: a user is held out iff the first
+    * two hex digits of md5(user_id) fall under 0x20 (a fixed ≈12.5%
+    * cut), so the same users are sampled at every scale factor, every
+    * day, every engine — no RNG, no reshuffling of the holdout when the
+    * corpus doubles (the property row-level Bernoulli sampling lacks).
+    * Reported per event_type so the gate pins both membership and the
+    * event mass the holdout carries.
+    *
+    * At 100 TB the sample predicate is a row-local hash (pushed into
+    * the scan projection); nothing shuffles until the |types|-row
+    * rollup of the sampled slice.
+    */
+  val qSampleConsistent: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("user_id").cast("string")), 1, 2),
+      16, 10).cast("long")
+    Tables.events(s, d)
+      .withColumn("held_out", bucket < 32)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("held_out"), 1L).otherwise(0L)).as("n_holdout"),
+        countDistinct(when(col("held_out"), col("user_id")))
+          .as("n_holdout_users"),
+        sum(when(col("held_out"), col("value"))
+          .cast(DecimalType(18, 2))).cast("double").as("holdout_value"))
+      .orderBy("event_type")
+  }
+
+  val qSampleConsistentSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, value,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    strpos('0123456789abcdef',
+      |       substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 < 32
+      |      AS held_out
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_holdout,
+      |  count(DISTINCT CASE WHEN held_out THEN user_id END)
+      |    AS n_holdout_users,
+      |  CAST(SUM(CASE WHEN held_out
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS holdout_value
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_backtest — holdout evaluation of the linear forecast.
+  // ---------------------------------------------------------------
+
+  private val BacktestHorizon = 7
+
+  /** Backtest of [[qTimeForecast]]'s model: train the per-type OLS on
+    * all days EXCEPT the last 7, predict the held-out week, and report
+    * WAPE and bias per type — the evaluation loop that decides whether
+    * a forecast is shippable. The train/test split is a pure integer
+    * day-index comparison; per-day |error| terms are rounded to 6 dp
+    * and summed in DECIMAL (seven-term double sums are order-dependent;
+    * the PSI discipline keeps both engines bit-equal).
+    *
+    * At 100 TB: identical shape to q_time_forecast — everything after
+    * the one firehose→(type, day) aggregation runs on the tiny series.
+    */
+  val qTimeBacktest: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val cut = daily.groupBy("event_type")
+      .agg((max(col("x")) - BacktestHorizon).as("cutx"))
+    val joined = daily.join(cut, "event_type")
+    val m = joined.where(col("x") <= col("cutx"))
+      .groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val test = joined.where(col("x") > col("cutx"))
+      .join(m.select(col("event_type"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("icept")),
+        "event_type")
+      .withColumn("err",
+        col("y").cast("double") -
+          (col("icept") + col("slope") * col("x")))
+    test.groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(round(abs(col("err")), 6).cast(DecimalType(28, 6)))
+          .cast("double").as("sum_abs_err"),
+        sum(round(col("err"), 6).cast(DecimalType(28, 6)))
+          .cast("double").as("sum_err"),
+        sum(col("y")).as("sum_y"))
+      .select(col("event_type"), col("n_test"),
+        round(col("sum_abs_err") / col("sum_y").cast("double"), 6)
+          .as("wape"),
+        round(col("sum_err") / col("n_test").cast("double"), 6)
+          .as("mean_bias"))
+      .orderBy("event_type")
+  }
+
+  val qTimeBacktestSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+       |  FROM events GROUP BY 1, 2, 4),
+       |cut AS (
+       |  SELECT event_type, max(x) - $BacktestHorizon AS cutx
+       |  FROM daily GROUP BY 1),
+       |m AS (
+       |  SELECT daily.event_type,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(x) AS DOUBLE) AS sx,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |    CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM daily JOIN cut USING (event_type)
+       |  WHERE x <= cutx GROUP BY 1),
+       |t AS (
+       |  SELECT daily.event_type, y, x,
+       |    CAST(y AS DOUBLE) -
+       |      ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n +
+       |       (n * sxy - sx * sy) / (n * sxx - sx * sx) * x) AS err
+       |  FROM daily JOIN cut USING (event_type) JOIN m
+       |    USING (event_type)
+       |  WHERE x > cutx)
+       |SELECT event_type, count(*) AS n_test,
+       |  round(CAST(SUM(CAST(round(abs(err), 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) / CAST(sum(y) AS DOUBLE), 6) AS wape,
+       |  round(CAST(SUM(CAST(round(err, 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_bias
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_agg_hist_eqdepth"      -> qAggHistEqdepth,
+    "q_sample_consistent"     -> qSampleConsistent,
+    "q_time_backtest"         -> qTimeBacktest,
     "q_time_forecast"         -> qTimeForecast,
     "q_graph_adamic_adar"     -> qGraphAdamicAdar,
     "q_scan_snapshot"         -> qScanSnapshot,
@@ -858,6 +1057,9 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_hist_eqdepth"      -> qAggHistEqdepthSql,
+    "q_sample_consistent"     -> qSampleConsistentSql,
+    "q_time_backtest"         -> qTimeBacktestSql,
     "q_time_forecast"         -> qTimeForecastSql,
     "q_graph_adamic_adar"     -> qGraphAdamicAdarSql,
     "q_scan_snapshot"         -> qScanSnapshotSql,

@@ -301,6 +301,75 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_hist_eqdepth: buckets equal-depth within one row, bounds sorted") {
+    val rows = Maintain.qAggHistEqdepth(spark, sf).collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    rows.foreach { case (pri, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq ==
+        (0L until sorted.length).toSeq, s"$pri: buckets not consecutive")
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1,
+        s"$pri: equi-depth violated: ${ns.toSeq}")
+      // bucket value ranges tile the domain in order
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+            s"$pri: bucket ranges overlap out of order")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_sample_consistent: membership matches the md5 rule exactly") {
+    def heldOut(u: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (h(0) & 0xFF) < 32
+    }
+    val got = Maintain.qSampleConsistent(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_holdout"), r.getAs[Long]("n_holdout_users"))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    evs.groupBy(_._1).foreach { case (et, rows) =>
+      val ho = rows.filter(t => heldOut(t._2))
+      assert(got(et) == ((ho.length.toLong, ho.map(_._2).distinct.length.toLong)),
+        s"$et: ${got(et)} vs (${ho.length}, ${ho.map(_._2).distinct.length})")
+    }
+  }
+
+  test("q_time_backtest: WAPE matches an in-memory recompute") {
+    val got = Maintain.qTimeBacktest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("wape"))
+      .toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("y"))).groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val cut = rows.map(_._2).max - 7
+      val train = rows.filter(_._2 <= cut)
+      val n = train.length.toDouble
+      val sx = train.map(_._2).sum.toDouble
+      val sxx = train.map(r => r._2 * r._2).sum.toDouble
+      val sy = train.map(_._3).sum.toDouble
+      val sxy = train.map(r => r._2 * r._3).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val test = rows.filter(_._2 > cut)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sumAbs = test.map(r =>
+        r6(math.abs(r._3.toDouble - (icept + slope * r._2)))).sum.toDouble
+      val want = r6(sumAbs / test.map(_._3).sum.toDouble).toDouble
+      assert(math.abs(got(et) - want) < 1e-9, s"$et: ${got(et)} vs $want")
+    }
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),
