@@ -782,19 +782,25 @@ object Analytics {
   }
 
   val qGraphTrianglesSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e0 AS (
+    // MATERIALIZED hints pin DuckDB to evaluate each stage once: the
+    // default inlining re-derives topk/mut per reference, and at sf1 the
+    // resulting plan spilled >75 GB of temp before failing; materialized,
+    // the whole query runs in seconds on an 85k-edge mut table.
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (
       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
       |                     AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2),
-      |sym AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
-      |topk AS (
+      |sym AS MATERIALIZED (
+      |  SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+      |topk AS MATERIALIZED (
       |  SELECT u, v FROM (
       |    SELECT u, v, row_number()
       |      OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rk
       |    FROM sym) WHERE rk <= 8),
-      |mut AS (
+      |mut AS MATERIALIZED (
       |  SELECT x.u AS u, x.v AS v FROM topk x
       |  JOIN topk y ON x.u = y.v AND x.v = y.u
       |  WHERE x.u < x.v),

@@ -1471,8 +1471,18 @@ object Insights {
     g.agg(
         count(lit(1)).as("k"),
         sum(col("n")).as("n_tot"),
-        sum(col("sv").cast("double") * col("sv").cast("double") /
-            col("n").cast("double")).as("sb"),
+        // Σ sv²/n over the k group rows: the raw double sum is
+        // order-dependent, and at sf1 the terms are ~1e17 — a few ulps
+        // of reordering noise dwarfs the round-2 gate on ms_between
+        // (this exact flake surfaced between two DuckDB runs of the
+        // SAME dump: parallel partial-combine order). Round each term
+        // to 2 dp (full-precision quotients — no structural half-ties)
+        // and sum in DECIMAL so both engines add identical exact values
+        // in any order.
+        sum(round(col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double"), 2)
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 2))).cast("double").as("sb"),
         sum(col("sv")).cast("double").as("s_all"),
         sum(col("ssv")).cast("double").as("ss_all"))
       .select(col("k"), col("n_tot").as("n"),
@@ -1496,22 +1506,22 @@ object Insights {
       |  FROM orders GROUP BY 1
       |)
       |SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
-      |  ROUND((sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
-      |             / CAST(n AS DOUBLE))
+      |  ROUND((CAST(sum(CAST(ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |               / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2))) AS DOUBLE)
       |         - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE)
       |           / CAST(sum(n) AS DOUBLE)) / (count(*) - 1), 2)
       |    AS ms_between,
       |  ROUND((CAST(sum(ssv) AS DOUBLE)
-      |         - sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
-      |               / CAST(n AS DOUBLE)))
+      |         - CAST(sum(CAST(ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |               / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2))) AS DOUBLE))
       |        / CAST(sum(n) - count(*) AS DOUBLE), 2) AS ms_within,
-      |  ROUND(((sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
-      |              / CAST(n AS DOUBLE))
+      |  ROUND(((CAST(sum(CAST(ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |              / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2))) AS DOUBLE)
       |          - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE)
       |            / CAST(sum(n) AS DOUBLE)) / (count(*) - 1))
       |        / ((CAST(sum(ssv) AS DOUBLE)
-      |            - sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
-      |                  / CAST(n AS DOUBLE)))
+      |            - CAST(sum(CAST(ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |                  / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2))) AS DOUBLE))
       |           / CAST(sum(n) - count(*) AS DOUBLE)), 6) AS f_stat
       |FROM g""".stripMargin
 

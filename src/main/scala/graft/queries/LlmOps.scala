@@ -3157,9 +3157,54 @@ object LlmOps {
       |  CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr
       |FROM sel ORDER BY rank""".stripMargin
 
+  /** Batch retrieval: top-5 cosine neighbors for TEN query vectors in
+    * one corpus pass — the serving shape of q_sim_topk (which answers
+    * one query): the bounded query set broadcasts, every corpus vector
+    * scores against all ten in its own task, and the per-query rank ≤ 5
+    * filter plans as WindowGroupLimit, so each task forwards at most 5
+    * rows per query to the qid exchange — the shuffle carries
+    * O(queries × k × tasks) rows, never the corpus.
+    */
+  val qSimBatchTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.where(col("vec_id") >= 10)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .orderBy("qid", "rank")
+  }
+
+  val qSimBatchTopkSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q.qid, e.vec_id,
+      |    ROUND(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) /
+      |      (sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) *
+      |       sqrt(SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)))), 6) AS cos_sim
+      |  FROM embeddings e, q,
+      |    (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  WHERE e.vec_id >= 10
+      |  GROUP BY q.qid, e.vec_id),
+      |r AS (
+      |  SELECT qid, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, vec_id, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
+    "q_sim_batch_topk"   -> qSimBatchTopk,
     "q_embed_mmr"        -> qEmbedMmr,
     "q_dedup_exact"      -> qDedupExact,
     "q_dedup_near"       -> qDedupNear,
@@ -3209,6 +3254,7 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact"   -> qDedupExactSql,
+    "q_sim_batch_topk" -> qSimBatchTopkSql,
     "q_embed_mmr"     -> qEmbedMmrSql,
     "q_sim_topk"      -> qSimTopkSql,
     "q_sim_pairs"     -> qSimPairsSql,

@@ -1038,7 +1038,69 @@ object Maintain {
        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_bias
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_stats_power — A/B sample-size (power) analysis from live moments.
+  // ---------------------------------------------------------------
+
+  /** Experiment power analysis from the table's own moments: for each
+    * event_type, the per-arm sample size needed to detect a 5% lift in
+    * mean value at α = 0.05 / power = 0.80 under the two-sample normal
+    * approximation — n = (z_α/2 + z_β)² · 2s² / δ², the question every
+    * A/B design starts with, answered from live data instead of a
+    * guessed σ. The moments (count, Σv, Σv²) are exact-decimal
+    * aggregates; s², δ, and n are the same expression tree in both
+    * engines, so the final ceil lands on identical doubles.
+    *
+    * At 100 TB this is one combining aggregation (three mergeable
+    * moments per key) and a |types|-row projection — the cheapest query
+    * in the experimentation family and the one that gates the rest.
+    */
+  val qStatsPower: Q = (s, d) => {
+    val zsum2 = lit((1.959963984540054 + 0.8416212335729143) *
+      (1.959963984540054 + 0.8416212335729143)) // (z_.025 + z_.20)²
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sv"),
+        sum((col("value").cast(DecimalType(18, 2)) *
+          col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 4)))
+          .cast("double").as("svv"))
+      .select(col("event_type"),
+        col("n").cast("long").as("n"),
+        round(col("sv") / col("n"), 6).as("mean_value"),
+        round((col("svv") - col("sv") * col("sv") / col("n")) /
+          (col("n") - 1), 6).as("s2"),
+        ceil(zsum2 * lit(2.0) *
+          ((col("svv") - col("sv") * col("sv") / col("n")) /
+            (col("n") - 1)) /
+          ((col("sv") / col("n") * lit(0.05)) *
+           (col("sv") / col("n") * lit(0.05)))).cast("long")
+          .as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
+  val qStatsPowerSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+      |                  CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+      |      AS DOUBLE) AS svv
+      |  FROM events GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(sv / n, 6) AS mean_value,
+      |  round((svv - sv * sv / n) / (n - 1), 6) AS s2,
+      |  CAST(ceil((1.959963984540054 + 0.8416212335729143) *
+      |            (1.959963984540054 + 0.8416212335729143) * 2.0 *
+      |            ((svv - sv * sv / n) / (n - 1)) /
+      |            ((sv / n * 0.05) * (sv / n * 0.05))) AS BIGINT)
+      |    AS n_per_arm
+      |FROM m ORDER BY event_type""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_stats_power"           -> qStatsPower,
     "q_agg_hist_eqdepth"      -> qAggHistEqdepth,
     "q_sample_consistent"     -> qSampleConsistent,
     "q_time_backtest"         -> qTimeBacktest,
@@ -1057,6 +1119,7 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_power"           -> qStatsPowerSql,
     "q_agg_hist_eqdepth"      -> qAggHistEqdepthSql,
     "q_sample_consistent"     -> qSampleConsistentSql,
     "q_time_backtest"         -> qTimeBacktestSql,

@@ -724,4 +724,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.toSet != plain,
       "MMR degenerated to plain top-k — penalty had no effect")
   }
+
+  test("q_sim_batch_topk: 5 ranked neighbors per query, corpus never shuffles") {
+    val rows = LlmOps.qSimBatchTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L),
+        s"query $q: ranks not 1..5")
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      sims.sliding(2).foreach {
+        case Array(a, b) => assert(b <= a + 1e-9)
+        case _ =>
+      }
+      assert(sorted.forall(_.getAs[Long]("vec_id") >= 10L),
+        "a query vector leaked into its own result")
+    }
+    val p = LlmOps.qSimBatchTopk(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=5 must prune per-partition before the qid exchange")
+  }
 }

@@ -370,6 +370,31 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_power: n_per_arm matches the normal-approximation formula") {
+    val got = Maintain.qStatsPower(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s2"),
+         r.getAs[Long]("n_per_arm"))).toMap
+    val moments = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+        sum((col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("decimal(28,4)"))
+          .cast("double").as("svv"))
+      .collect()
+    moments.foreach { r =>
+      val (et, n, sv, svv) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))
+      val s2 = (svv - sv * sv / n) / (n - 1)
+      val delta = sv / n * 0.05
+      val z = 1.959963984540054 + 0.8416212335729143
+      val want = math.ceil(z * z * 2.0 * s2 / (delta * delta)).toLong
+      assert(got(et)._3 == want, s"$et: ${got(et)._3} vs $want")
+      assert(got(et)._3 > 0 && got(et)._2 >= 0.0)
+    }
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),

@@ -530,7 +530,13 @@ class PlanSpec extends AnyFunSuite {
                           "q_stats_chisq", "q_stats_ks", "q_select_mixture",
                           "q_dq_freshness",
                           // 1-row digit-census total broadcast
-                          "q_dq_benford")
+                          "q_dq_benford",
+                          // 1-row child/orphan count pairs per relation
+                          "q_dq_orphans",
+                          // 1-row distinct-order total broadcast
+                          "q_basket_lift",
+                          // 10-row query-vector batch broadcast
+                          "q_sim_batch_topk")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
