@@ -941,7 +941,76 @@ object Multimodal {
       |FROM ham WHERE hamming <= 8
       |ORDER BY doc_a, role_a, doc_b, role_b""".stripMargin
 
+  /** Shot-boundary detection over the Y4M videos: demux every frame
+    * (the real [[y4mOpen]] path — lazy iterator, frames never
+    * co-resident), integer luma sum per frame, and a cut wherever the
+    * absolute frame-to-frame change exceeds the threshold — the
+    * frame-diff detector every video curation pipeline starts with.
+    * All integer arithmetic end to end (sums, lags, compares), and the
+    * generator's luma is closed-form, so the DuckDB oracle re-derives
+    * every frame sum, every diff, and every cut verdict analytically.
+    *
+    * At 100 TB: per-blob sequential demux, embarrassingly parallel;
+    * each task carries one running (prev_sum) accumulator per video —
+    * nothing but the per-video summary row leaves the scan.
+    */
+  val qMultimodalShots: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val v = y4mOpen(y4mBytes(id, 16, 16, (31 + id % 90).toInt))
+          val lumaSums = v.frames.map { fr =>
+            var sum = 0L; var i = 0
+            val n = v.width * v.height
+            while (i < n) { sum += fr(i) & 0xFF; i += 1 }
+            sum
+          }.toArray
+          val diffs = lumaSums.sliding(2).collect {
+            case Array(a, b) => math.abs(b - a) }.toArray
+          val cuts = diffs.zipWithIndex.collect {
+            case (diff, i) if diff > 1000 => (i + 1).toLong }
+          (id, lumaSums.length.toLong, cuts.length + 1L,
+           if (diffs.isEmpty) 0L else diffs.max, cuts.headOption)
+        }
+      }
+      .toDF("media_id", "n_frames", "n_shots", "max_abs_diff", "first_cut")
+      .orderBy("media_id")
+  }
+
+  /** Analytic twin: frame luma sums via the weight table of
+    * [[qMultimodalFramesLumaSql]] over EVERY frame, then a lag window
+    * per video for the diffs and cut verdicts.
+    */
+  val qMultimodalShotsSql: String =
+    """WITH vids AS (
+      |  SELECT doc_id, 31 + doc_id % 90 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2
+      |), frames AS (
+      |  SELECT doc_id, nf, f.f AS fi, (f.f + 31 * doc_id) % 256 AS c
+      |  FROM vids, generate_series(0, 119) f(f)
+      |  WHERE f.f < nf
+      |), sums AS (
+      |  SELECT doc_id, nf, fi,
+      |    SUM((CASE WHEN s.s <= 15 THEN s.s + 1 ELSE 31 - s.s END) *
+      |        ((c + s.s) % 256)) AS ls
+      |  FROM frames, generate_series(0, 30) s(s)
+      |  GROUP BY 1, 2, 3
+      |), d AS (
+      |  SELECT doc_id, nf, fi,
+      |    abs(ls - lag(ls) OVER (PARTITION BY doc_id ORDER BY fi)) AS ad
+      |  FROM sums)
+      |SELECT doc_id AS media_id,
+      |  CAST(any_value(nf) AS BIGINT) AS n_frames,
+      |  CAST(1 + count(*) FILTER (ad > 1000) AS BIGINT) AS n_shots,
+      |  CAST(coalesce(max(ad), 0) AS BIGINT) AS max_abs_diff,
+      |  CAST(min(fi) FILTER (ad > 1000) AS BIGINT) AS first_cut
+      |FROM d GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_multimodal_shots"       -> qMultimodalShots,
     "q_multimodal_phash"       -> qMultimodalPhash,
     "q_multimodal_resize"      -> qMultimodalResize,
     "q_multimodal_features"    -> qMultimodalFeatures,
@@ -951,6 +1020,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_shots"       -> qMultimodalShotsSql,
     "q_multimodal_phash"       -> qMultimodalPhashSql,
     "q_multimodal_resize"      -> qMultimodalResizeSql,
     "q_multimodal_decode"      -> qMultimodalDecodeSql,

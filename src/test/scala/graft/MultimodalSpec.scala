@@ -211,6 +211,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamOther > 8, s"unrelated image too close: $hamOther bits")
   }
 
+  test("q_multimodal_shots: cuts match the generator's wrap arithmetic") {
+    val rows = Multimodal.qMultimodalShots(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val nf = (31 + id % 90).toInt
+      // every pixel gains +1 per frame except the wrapping ones
+      // (255 -> 0), so diff(f -> f+1) = 256·(1 − w) where w counts
+      // pixels at 255 in frame f: x+y ≡ 255 − f − 31·id (mod 256)
+      def w(f: Long): Long = {
+        val t = java.lang.Math.floorMod(255L - f - 31L * id, 256L)
+        if (t <= 15) t + 1 else if (t <= 30) 31 - t else 0
+      }
+      val diffs = (0 until nf - 1).map(f => math.abs(256L * (1 - w(f))))
+      assert(r.getAs[Long]("n_frames") == nf.toLong)
+      assert(r.getAs[Long]("n_shots") == 1L + diffs.count(_ > 1000L),
+        s"video $id: decoded cuts disagree with the closed form")
+      assert(r.getAs[Long]("max_abs_diff") == diffs.max)
+    }
+  }
+
   test("q_multimodal_phash plan: band-bucketed join, never all-pairs") {
     val p = Multimodal.qMultimodalPhash(spark, sf)
       .queryExecution.explainString(
