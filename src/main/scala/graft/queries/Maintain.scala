@@ -1099,7 +1099,139 @@ object Maintain {
       |    AS n_per_arm
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_funnel_latency — conversion-latency distribution per cohort.
+  // ---------------------------------------------------------------
+
+  /** Time-to-convert distribution: for every user whose first signup is
+    * later followed by a purchase, the signup→first-purchase latency,
+    * summarized per signup-week cohort as rank-exact p50/p90 (the value
+    * at row ⌈p·n⌉ of the cohort's sorted latencies — PURE INTEGER
+    * selection, deliberately NOT interpolated percentiles: interpolating
+    * two ~1e10-µs integers differs by an ulp between engines' formula
+    * shapes, and an ulp at that magnitude is 2e-6 — above a round-6
+    * gate). Latency itself is exact microsecond arithmetic.
+    *
+    * At 100 TB: two keyed min-aggregates and a user join (the funnel
+    * shape), then windows over |converted users| rows partitioned by
+    * cohort — the summary never touches the event firehose.
+    */
+  val qFunnelLatency: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signup, "user_id")
+      .where(col("ts") > col("t0"))
+      .groupBy(col("user_id"), col("t0"))
+      .agg(min(col("ts")).as("t1"))
+      .select(date_trunc("week", col("t0")).as("cohort"),
+        (unix_micros(col("t1")) - unix_micros(col("t0"))).as("lat_us"))
+    val byLat = Window.partitionBy("cohort")
+      .orderBy(col("lat_us").asc)
+    val whole = Window.partitionBy("cohort")
+    conv
+      .withColumn("rn", row_number().over(byLat).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("p50", ceil(col("n") * 0.5).cast("long"))
+      .withColumn("p90", ceil(col("n") * 0.9).cast("long"))
+      .groupBy(col("cohort"), col("n"))
+      .agg(max(when(col("rn") === col("p50"), col("lat_us"))).as("p50_us"),
+        max(when(col("rn") === col("p90"), col("lat_us"))).as("p90_us"),
+        max(col("lat_us")).as("max_us"))
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("n").as("n_converted"), col("p50_us"), col("p90_us"),
+        col("max_us"))
+      .orderBy("cohort")
+  }
+
+  val qFunnelLatencySql: String =
+    """WITH signup AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, s.t0, min(CAST(e.ts AS TIMESTAMP)) AS t1
+      |  FROM events e JOIN signup s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s.t0
+      |  GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT CAST(date_trunc('week', t0) AS TIMESTAMP) AS cohort,
+      |    epoch_us(t1) - epoch_us(t0) AS lat_us
+      |  FROM conv),
+      |r AS (
+      |  SELECT cohort, lat_us,
+      |    row_number() OVER (PARTITION BY cohort ORDER BY lat_us) AS rn,
+      |    count(*) OVER (PARTITION BY cohort) AS n
+      |  FROM lat)
+      |SELECT cohort, CAST(n AS BIGINT) AS n_converted,
+      |  max(CASE WHEN rn = ceil(n * 0.5) THEN lat_us END) AS p50_us,
+      |  max(CASE WHEN rn = ceil(n * 0.9) THEN lat_us END) AS p90_us,
+      |  max(lat_us) AS max_us
+      |FROM r GROUP BY 1, 2 ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_dq_pk_gaps — distributed key-space gap audit.
+  // ---------------------------------------------------------------
+
+  private val GapBlock = 65536L
+
+  /** Key-space continuity audit over o_orderkey (TPC-H keys are sparse
+    * by design — this measures exactly how): gap count, widest gap, and
+    * total missing keys between min and max. Computed DISTRIBUTED: keys
+    * bucket into aligned 64Ki blocks; within-block gaps are a lag diff
+    * inside each block partition, and cross-block gaps come from
+    * joining each block's max to the NEXT populated block's min — no
+    * global-order single-partition window anywhere, which is what makes
+    * this shape survive a 100× key-space. (The oracle uses the naive
+    * global lag — same answer, simpler SQL; the Spark plan is the
+    * 100 TB form.)
+    */
+  val qDqPkGaps: Q = (s, d) => {
+    val keys = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("blk", (col("k") / GapBlock).cast("long"))
+    val inBlock = keys
+      .withColumn("prev", lag(col("k"), 1).over(
+        Window.partitionBy("blk").orderBy("k")))
+      .where(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("k") - col("prev") - 1).as("missing"))
+    val blocks = keys.groupBy("blk")
+      .agg(min(col("k")).as("bmin"), max(col("k")).as("bmax"))
+    val byBlk = Window.orderBy("blk") // |populated blocks| rows only
+    val crossBlock = blocks
+      .withColumn("next_min", lead(col("bmin"), 1).over(byBlk))
+      .where(col("next_min").isNotNull &&
+        col("next_min") - col("bmax") > 1)
+      .select((col("next_min") - col("bmax") - 1).as("missing"))
+    val gaps = inBlock.unionByName(crossBlock)
+    keys.agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .crossJoin(gaps.agg(
+        count(lit(1)).as("n_gaps"),
+        coalesce(max(col("missing")), lit(0L)).as("max_gap"),
+        coalesce(sum(col("missing")), lit(0L)).as("n_missing")))
+      .select(col("n_keys"), col("min_key"), col("max_key"),
+        col("n_gaps"), col("max_gap"), col("n_missing"))
+  }
+
+  val qDqPkGapsSql: String =
+    """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      |g AS (
+      |  SELECT k - lag(k) OVER (ORDER BY k) - 1 AS missing
+      |  FROM k),
+      |gaps AS (SELECT missing FROM g WHERE missing > 0)
+      |SELECT (SELECT count(*) FROM k) AS n_keys,
+      |  (SELECT min(k) FROM k) AS min_key,
+      |  (SELECT max(k) FROM k) AS max_key,
+      |  (SELECT count(*) FROM gaps) AS n_gaps,
+      |  (SELECT coalesce(max(missing), 0) FROM gaps) AS max_gap,
+      |  (SELECT coalesce(CAST(sum(missing) AS BIGINT), 0) FROM gaps)
+      |    AS n_missing""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_funnel_latency"        -> qFunnelLatency,
+    "q_dq_pk_gaps"            -> qDqPkGaps,
     "q_stats_power"           -> qStatsPower,
     "q_agg_hist_eqdepth"      -> qAggHistEqdepth,
     "q_sample_consistent"     -> qSampleConsistent,
@@ -1119,6 +1251,8 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_latency"        -> qFunnelLatencySql,
+    "q_dq_pk_gaps"            -> qDqPkGapsSql,
     "q_stats_power"           -> qStatsPowerSql,
     "q_agg_hist_eqdepth"      -> qAggHistEqdepthSql,
     "q_sample_consistent"     -> qSampleConsistentSql,

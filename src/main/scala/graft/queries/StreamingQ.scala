@@ -1415,7 +1415,62 @@ object StreamingQ {
     }
   }
 
+  private val BackfillCutoff = "2024-01-25"
+
+  /** Lambda-architecture cutover: the serving view is batch history
+    * (all days before the cutoff, aggregated at rest) UNIONed with a
+    * REAL streaming tail — the distributed week-file replay, filtered
+    * to the cutoff, watermarked, and aggregated into daily windows —
+    * then seam-merged on (event_type, day). The oracle is ONE batch
+    * aggregate over every event, so the gate proves the batch/stream
+    * seam neither loses, duplicates, nor double-counts a single row —
+    * the property every backfill-then-stream migration must establish
+    * before cutover.
+    *
+    * At 100 TB: history is a parquet-at-rest aggregate (combining,
+    * pruned to pre-cutoff partitions); the streaming side's state is
+    * |open windows × types|; the seam merge touches only the two
+    * aggregates' rows. Counts and decimal sums merge exactly, so a
+    * boundary day split across both sides would still sum right —
+    * the merge is correct by algebra, not by careful file placement.
+    */
+  val qStreamBackfill: Q = (s, d) => {
+    val cutoff = lit(BackfillCutoff).cast("timestamp")
+    val hist = Tables.events(s, d)
+      .where(col("ts") < cutoff)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+    val tail = runFileReplayStream(s, "graft_stream_backfill", d,
+                                   filesPerTrigger = 3) { df =>
+      df.where(col("ts") >= cutoff)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        .select(col("event_type"), col("w.start").as("wstart"),
+          col("n"), col("sv"))
+    }.where(col("event_type") =!= "wm_flush")
+      .select(col("event_type"), to_date(col("wstart")).as("day"),
+        col("n"), col("sv"))
+    hist.unionByName(tail)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val qStreamBackfillSql: String =
+    """SELECT event_type,
+      |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_stream_backfill" -> qStreamBackfill,
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_stateful_tws" -> qStreamStatefulTws,
     "q_stream_stateful_ttl" -> qStreamStatefulTtl,
@@ -1436,6 +1491,7 @@ object StreamingQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_backfill" -> qStreamBackfillSql,
     "q_stream_cdc"      -> qStreamCdcSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding"  -> qStreamSlidingSql,

@@ -395,6 +395,60 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dq_pk_gaps: key-space conservation and naive-recompute agreement") {
+    val r = Maintain.qDqPkGaps(spark, sf).collect()(0)
+    val (nKeys, minK, maxK, nGaps, maxGap, nMissing) =
+      (r.getAs[Long]("n_keys"), r.getAs[Long]("min_key"),
+       r.getAs[Long]("max_key"), r.getAs[Long]("n_gaps"),
+       r.getAs[Long]("max_gap"), r.getAs[Long]("n_missing"))
+    // conservation: the span is exactly keys + holes
+    assert(maxK - minK + 1 == nKeys + nMissing,
+      s"span ${maxK - minK + 1} != $nKeys keys + $nMissing missing")
+    // naive single-pass recompute over the collected key set
+    val ks = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val diffs = ks.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => b - a - 1 }.toSeq
+    assert(nGaps == diffs.length && nMissing == diffs.sum &&
+      maxGap == (if (diffs.isEmpty) 0L else diffs.max),
+      s"block-stitched gaps disagree with the naive scan")
+  }
+
+  test("q_funnel_latency: rank-exact percentiles match an in-memory recompute") {
+    val got = Maintain.qFunnelLatency(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("cohort").toString ->
+        (r.getAs[Long]("n_converted"), r.getAs[Long]("p50_us"),
+         r.getAs[Long]("p90_us"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        t0.get(u).filter(us > _).map(s0 => (u, s0, us)) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((_, s0), rows) => (s0, rows.map(_._3).min - s0) }
+    val byCohort = lats.groupBy { case (s0, _) =>
+      // Monday-start week truncation in micros
+      val day = java.time.Instant.ofEpochSecond(0)
+        .plus(java.time.Duration.ofNanos(s0 * 1000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      day.`with`(java.time.DayOfWeek.MONDAY).atStartOfDay().toString
+        .replace('T', ' ')
+    }
+    byCohort.foreach { case (cohort, rows) =>
+      val sorted = rows.map(_._2).toSeq.sorted
+      val n = sorted.length
+      def pick(p: Double) = sorted(math.ceil(n * p).toInt - 1)
+      val key = got.keys.find(_.startsWith(cohort.take(10))).get
+      assert(got(key) == ((n.toLong, pick(0.5), pick(0.9))),
+        s"cohort $cohort: ${got(key)} vs ($n, ${pick(0.5)}, ${pick(0.9)})")
+    }
+  }
+
   test("plans: aggregated-series windows, combiner-collapsed token exchange") {
     val cp = plan("q_time_changepoint")
     assert(cp.contains("partial_count"),

@@ -536,7 +536,9 @@ class PlanSpec extends AnyFunSuite {
                           // 1-row distinct-order total broadcast
                           "q_basket_lift",
                           // 10-row query-vector batch broadcast
-                          "q_sim_batch_topk")
+                          "q_sim_batch_topk",
+                          // 1-row key-stats × 1-row gap-stats combine
+                          "q_dq_pk_gaps")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost

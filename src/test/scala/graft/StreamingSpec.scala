@@ -607,6 +607,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); StreamingQ.rmTree(ckpt) }
   }
 
+  test("backfill: batch/stream seam loses and duplicates nothing") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQ.qStreamBackfill(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(got == batch, "union-of-halves must equal the one batch agg")
+    // the streaming tail genuinely contributed: post-cutoff days exist
+    assert(got.exists(_._2 >= "2024-01-25"),
+      "no post-cutoff rows — the replay tail was empty")
+  }
+
   test("CDC fold: last-writer-wins, tombstone suppression, tie on event_id") {
     import graft.queries.Ev
     import java.sql.Timestamp
