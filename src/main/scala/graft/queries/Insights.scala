@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1569,7 +1569,217 @@ object Insights {
       |        / sum((n - mu) * (n - mu)), 6) AS acf_7
       |FROM lagged, st""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_stats_gini — revenue-concentration (inequality) per nation.
+  // ---------------------------------------------------------------
+
+  /** Gini coefficient of customer revenue per nation — the standard
+    * concentration readout ("is this market a long tail or a
+    * monopoly?"), via the rank identity
+    * G = 2·Σᵢ(i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted revenues.
+    *
+    * Exactness: per-customer revenue is an exact DECIMAL(18,2) sum,
+    * ranks are integers (revenue asc, custkey asc tie-break), and
+    * i·xᵢ accumulates in DECIMAL(28,2) — the closed form is single
+    * double ops over bit-identical exact operands in both engines, so
+    * `round(…, 6)` cannot straddle a boundary.
+    *
+    * At 100 TB: the order firehose collapses to one combining
+    * aggregate on custkey; the rank window partitions by nation over
+    * customer-level rows (|customers|/25 per partition), and the final
+    * rollup reuses the same nation partitioning. The fact table is
+    * never sorted — only the aggregate is.
+    */
+  val qStatsGini: Q = (s, d) => {
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val byNation = Window.partitionBy("n_name")
+      .orderBy(col("rev").asc, col("o_custkey").asc)
+    rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("i", row_number().over(byNation).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("srev"),
+        sum((col("i") * col("rev")).cast(DecimalType(28, 2))).as("sirev"))
+      .select(col("n_name").as("nation"), col("n_customers"),
+        col("srev").cast("double").as("total_rev"),
+        round(lit(2.0) * col("sirev").cast("double") /
+              (col("n_customers").cast("double") * col("srev").cast("double")) -
+              (col("n_customers").cast("double") + lit(1.0)) /
+              col("n_customers").cast("double"), 6).as("gini"))
+      .orderBy("nation")
+  }
+
+  val qStatsGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT n.n_name, r.rev,
+      |    CAST(row_number() OVER (PARTITION BY n.n_name
+      |      ORDER BY r.rev ASC, r.o_custkey ASC) AS BIGINT) AS i
+      |  FROM rev r
+      |  JOIN customer c ON r.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |m AS (
+      |  SELECT n_name, count(*) AS n_customers,
+      |    sum(rev) AS srev,
+      |    sum(CAST(i * rev AS DECIMAL(28,2))) AS sirev
+      |  FROM ranked GROUP BY 1)
+      |SELECT n_name AS nation, n_customers,
+      |  CAST(srev AS DOUBLE) AS total_rev,
+      |  ROUND(2.0 * CAST(sirev AS DOUBLE) /
+      |        (CAST(n_customers AS DOUBLE) * CAST(srev AS DOUBLE)) -
+      |        (CAST(n_customers AS DOUBLE) + 1.0) /
+      |        CAST(n_customers AS DOUBLE), 6) AS gini
+      |FROM m ORDER BY nation""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_spearman — rank correlation on the daily order series.
+  // ---------------------------------------------------------------
+
+  /** Spearman rank correlation between daily order volume and daily
+    * revenue — "do busy days earn proportionally?" asked robustly
+    * (monotone association, insensitive to revenue outliers), via
+    * ρ = 1 − 6·Σd² / (n·(n²−1)) with d = rank(volume) − rank(revenue).
+    *
+    * Ranks are row_numbers with a date tie-break, so d and Σd² are
+    * EXACT integers in both engines; the single division happens once
+    * on identical operands. (With the deterministic tie-break this is
+    * the textbook ρ whenever values are distinct, and a documented
+    * deterministic variant under ties.)
+    *
+    * At 100 TB: the firehose collapses to the bounded date dimension
+    * (~2.4k rows for TPC-H at any SF) in one combining aggregate; the
+    * two unpartitioned rank windows and the moment rollup all run on
+    * that bounded series — same shape as the autocorr/forecast ops.
+    */
+  val qStatsSpearman: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val byCnt = Window.orderBy(col("n_orders").asc, col("day").asc)
+    val byRev = Window.orderBy(col("rev").asc, col("day").asc)
+    daily
+      .withColumn("rc", row_number().over(byCnt).cast("long"))
+      .withColumn("rr", row_number().over(byRev).cast("long"))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("rc") - col("rr")) * (col("rc") - col("rr"))).as("sum_d2"))
+      .select(col("n_days"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              (col("n_days").cast("double") *
+               (col("n_days").cast("double") * col("n_days").cast("double") -
+                lit(1.0))), 6).as("rho"))
+  }
+
+  val qStatsSpearmanSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT
+      |    CAST(row_number() OVER (ORDER BY n_orders ASC, day ASC) AS BIGINT)
+      |      AS rc,
+      |    CAST(row_number() OVER (ORDER BY rev ASC, day ASC) AS BIGINT)
+      |      AS rr
+      |  FROM daily)
+      |SELECT count(*) AS n_days,
+      |  CAST(sum((rc - rr) * (rc - rr)) AS BIGINT) AS sum_d2,
+      |  ROUND(1.0 - 6.0 * CAST(sum((rc - rr) * (rc - rr)) AS DOUBLE) /
+      |        (CAST(count(*) AS DOUBLE) *
+      |         (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+      |        6) AS rho
+      |FROM ranked""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_dq_entropy — categorical-column entropy profile.
+  // ---------------------------------------------------------------
+
+  /** Shannon-entropy profile of categorical columns — the profiling
+    * readout that flags near-constant columns (entropy ≈ 0, candidates
+    * for dropping/dictionary encoding) and ID-like columns (uniformity
+    * ≈ 1). Per column: distinct count, entropy in bits, the log₂(k)
+    * maximum, and entropy/max uniformity (1.0 for the degenerate k=1).
+    *
+    * FP parity: each −p·log₂p term is rounded to 12 dp and summed in
+    * DECIMAL(16,12), so both engines add identical exact values in any
+    * order (the r14 ANOVA lesson — a raw double Σ over parallel
+    * partials is order-dependent); p itself is one division of exact
+    * integers and log₂ is the only FP-library call (≤1 ulp, nowhere
+    * near a 1e-12 half-tie on an irrational).
+    *
+    * At 100 TB: one combining aggregate per profiled column collapses
+    * the table to ≤k rows map-side; the entropy math runs on those k
+    * rows against a broadcast 1-row total. Profiling more columns adds
+    * map-side aggregates, never extra shuffled volume.
+    */
+  val qDqEntropy: Q = (s, d) => {
+    def profile(cname: String, expr: Column): DataFrame = {
+      val cnt = Tables.orders(s, d)
+        .groupBy(expr.cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("k"))
+      val p = col("cnt").cast("double") / col("tot").cast("double")
+      cnt.crossJoin(broadcast(tot))
+        .select(col("k"),
+          round(-p * log2(p), 12).cast(DecimalType(16, 12)).as("term"))
+        .groupBy(col("k"))
+        .agg(sum(col("term")).as("h"))
+        .select(lit(cname).as("column_name"),
+          col("k").as("n_distinct"),
+          round(col("h").cast("double"), 6).as("entropy_bits"),
+          round(log2(col("k").cast("double")), 6).as("max_bits"),
+          when(col("k") === 1, lit(1.0))
+            .otherwise(round(col("h").cast("double") /
+              log2(col("k").cast("double")), 6)).as("uniformity"))
+    }
+    profile("o_orderstatus", col("o_orderstatus"))
+      .unionByName(profile("o_orderpriority", col("o_orderpriority")))
+      .unionByName(profile("o_orderyear",
+        year(col("o_orderdate")).cast("long")))
+      .orderBy("column_name")
+  }
+
+  val qDqEntropySql: String = {
+    def one(label: String, cname: String): String =
+      s"""SELECT '$label' AS column_name, k AS n_distinct,
+         |  ROUND(CAST(h AS DOUBLE), 6) AS entropy_bits,
+         |  ROUND(log2(CAST(k AS DOUBLE)), 6) AS max_bits,
+         |  CASE WHEN k = 1 THEN 1.0
+         |       ELSE ROUND(CAST(h AS DOUBLE) / log2(CAST(k AS DOUBLE)), 6)
+         |  END AS uniformity
+         |FROM (
+         |  SELECT k, sum(CAST(ROUND(-p * log2(p), 12) AS DECIMAL(16,12)))
+         |    AS h
+         |  FROM (
+         |    SELECT t.k,
+         |      CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+         |    FROM (SELECT CAST($cname AS VARCHAR) AS v, count(*) AS cnt
+         |          FROM orders GROUP BY 1) c
+         |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS tot,
+         |                  CAST(count(DISTINCT CAST($cname AS VARCHAR))
+         |                       AS BIGINT) AS k
+         |                FROM orders) t)
+         |  GROUP BY k)""".stripMargin
+    Seq(("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_orderyear", "CAST(year(o_orderdate) AS BIGINT)"))
+      .map((one _).tupled)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val entries: Map[String, Q] = Map(
+    "q_stats_gini" -> qStatsGini,
+    "q_stats_spearman" -> qStatsSpearman,
+    "q_dq_entropy" -> qDqEntropy,
     "q_stats_anova" -> qStatsAnova,
     "q_time_autocorr" -> qTimeAutocorr,
     "q_dq_benford"  -> qDqBenford,
@@ -1599,6 +1809,9 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_gini" -> qStatsGiniSql,
+    "q_stats_spearman" -> qStatsSpearmanSql,
+    "q_dq_entropy" -> qDqEntropySql,
     "q_stats_anova" -> qStatsAnovaSql,
     "q_time_autocorr" -> qTimeAutocorrSql,
     "q_dq_benford"  -> qDqBenfordSql,

@@ -646,4 +646,82 @@ class InsightsSpec extends AnyFunSuite {
       .select(countDistinct(col("l_orderkey"))).head().getLong(0)
     assert(rows.values.map(_._1).sum == nOrders + (liKeys - joint))
   }
+
+  test("q_stats_gini: bounds, conservation, and a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Insights.qStatsGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Gini of non-negative values lies in [0, 1); customers conserve
+    val nCust = rows.map(_.getAs[Long]("n_customers")).sum
+    val nWithOrders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+      .count() // sanity only: every order's customer exists
+    assert(nWithOrders == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    }
+    // recompute one nation's Gini from the raw orders
+    val nation = rows.head.getAs[String]("nation")
+    val revs = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nation)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = revs.length
+    val srev = revs.map(BigDecimal(_)).sum
+    val sirev = revs.zipWithIndex
+      .map { case (x, i) => BigDecimal(x) * (i + 1) }.sum
+    val expect = BigDecimal(
+      2.0 * sirev.toDouble / (n.toDouble * srev.toDouble) -
+      (n + 1.0) / n.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getAs[Double]("gini") - expect) < 1e-9)
+  }
+
+  test("q_stats_spearman: perfect monotone association would give rho 1") {
+    val r = Insights.qStatsSpearman(spark, sf).collect()(0)
+    val (n, sd2, rho) = (r.getAs[Long]("n_days"), r.getAs[Long]("sum_d2"),
+      r.getAs[Double]("rho"))
+    assert(n > 0 && rho >= -1.0 && rho <= 1.0)
+    // identity: rho == 1 - 6*sd2/(n(n^2-1)) to the rounded 6dp
+    val expect = BigDecimal(
+      1.0 - 6.0 * sd2.toDouble / (n.toDouble * (n.toDouble * n.toDouble - 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rho - expect) < 1e-9)
+    // at sf0.001 most days hold ~1 order, so tie-broken volume ranks
+    // carry little signal — direction, not strength, is asserted at
+    // this scale (the hash gate pins the exact value at sf0.01/sf1)
+    assert(rho > -1.0 && rho < 1.0)
+  }
+
+  test("q_dq_entropy: bounds, uniformity normalization, recompute") {
+    val rows = Insights.qDqEntropy(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy_bits"),
+         r.getAs[Double]("max_bits"), r.getAs[Double]("uniformity"))).toMap
+    assert(rows.keySet ==
+      Set("o_orderstatus", "o_orderpriority", "o_orderyear"))
+    rows.foreach { case (c, (k, h, mx, u)) =>
+      assert(h >= 0.0 && h <= mx + 1e-9, s"$c: entropy $h > max $mx")
+      assert(u >= 0.0 && u <= 1.0 + 1e-9, s"$c: uniformity $u")
+      assert(k >= 1)
+    }
+    // recompute o_orderstatus entropy driver-side (term-rounded sum,
+    // mirroring the engine's DECIMAL(16,12) accumulation)
+    val cnts = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").count().collect().map(_.getLong(1))
+    val tot = cnts.sum.toDouble
+    val h = cnts.map { c =>
+      val p = c / tot
+      BigDecimal(-p * (math.log(p) / math.log(2.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val expect = h.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows("o_orderstatus")._2 - expect) < 1e-9)
+  }
 }
