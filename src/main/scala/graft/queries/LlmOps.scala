@@ -3201,9 +3201,43 @@ object LlmOps {
       |SELECT qid, vec_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------- ANN quality audit
+
+  /** ANN index-quality audit — recall@10 of the IVF probe
+    * ([[qSimAnnIvf]], nprobe 4 of 16 lists) against the brute-force
+    * ground truth ([[qSimTopk]]): the measurement that decides whether
+    * an approximate index is allowed to replace the exact scan, run as
+    * a query so it can gate a deploy. Both lists are deterministic
+    * (round-6 distances, id tie-breaks), so the overlap count is exact
+    * and the oracle replays BOTH pipelines end to end.
+    *
+    * At 100 TB: the exact side is the one full corpus pass (already the
+    * recall baseline's cost floor — in production it runs on a sampled
+    * query set); the IVF side reads nprobe/nlist of the corpus; the
+    * overlap join touches 10 rows. The audit costs one extra scan, not
+    * an extra shuffle.
+    */
+  val qEmbedAnnRecall: Q = (s, d) => {
+    val exact = qSimTopk(s, d).select(col("vec_id"))
+    val approx = qSimAnnIvf(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(10L).as("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(10.0), 6)
+          .as("recall_at_10"))
+  }
+
+  lazy val qEmbedAnnRecallSql: String =
+    s"""SELECT CAST(10 AS BIGINT) AS k,
+      |  CAST(count(*) AS BIGINT) AS n_hits,
+      |  ROUND(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+      |FROM ($qSimTopkSql) x
+      |JOIN ($qSimAnnIvfSql) a USING (vec_id)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Map[String, Q] = Map(
+    "q_embed_ann_recall" -> qEmbedAnnRecall,
     "q_sim_batch_topk"   -> qSimBatchTopk,
     "q_embed_mmr"        -> qEmbedMmr,
     "q_dedup_exact"      -> qDedupExact,
@@ -3287,6 +3321,7 @@ object LlmOps {
     "q_sim_knn_join"   -> qSimKnnJoinSql,
     "q_sim_knn_join_ivf" -> qSimKnnJoinIvfSql,
     "q_sim_ann_ivf"   -> qSimAnnIvfSql,
+    "q_embed_ann_recall" -> qEmbedAnnRecallSql,
     "q_sim_pq_adc"    -> qSimPqAdcSql,
     "q_sim_pq_codes"  -> qSimPqCodesSql,
     "q_dedup_embed_stats" -> qDedupEmbedStatsSql,

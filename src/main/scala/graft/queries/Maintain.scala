@@ -843,6 +843,83 @@ object Maintain {
       |ORDER BY x, y""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_graph_assortativity — degree correlation of the co-purchase graph.
+  // ---------------------------------------------------------------
+
+  /** Degree assortativity of the co-purchase graph (same support ≥ 2
+    * edge set as [[qGraphAdamicAdar]]): the Pearson correlation of
+    * endpoint degrees over the directed (symmetrized) edge list — the
+    * one-number readout of whether hubs link to hubs (assortative,
+    * r > 0) or to leaves (disassortative, r < 0), which decides hub
+    * salting strategy for downstream graph joins.
+    *
+    * Exactness: degrees and every sufficient moment (Σx, Σx², Σxy over
+    * edges) are integer sums; the correlation is single double ops over
+    * those exact integers with the identical expression tree in both
+    * engines, so round-6 is deterministic.
+    *
+    * At 100 TB: one exchange builds edges, one computes degrees, two
+    * broadcast-sized joins attach them, and the moments collapse
+    * map-side to a single row. No window, no sort, no per-node state
+    * beyond the degree table.
+    */
+  val qGraphAssortativity: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.alias("a")
+      .join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select(col("p1"), col("p2"))
+    val und = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .unionByName(edges.select(col("p2").as("u"), col("p1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .select(col("n").as("n_edges"),
+        round((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+          .as("assortativity"))
+  }
+
+  val qGraphAssortativitySql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (
+      |  SELECT p1 AS u, p2 AS v FROM edges
+      |  UNION ALL SELECT p2, p1 FROM edges),
+      |deg AS MATERIALIZED (SELECT u, count(*) AS d FROM und GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(a.d) AS DOUBLE) AS sx, CAST(sum(b.d) AS DOUBLE) AS sy,
+      |    CAST(sum(a.d * a.d) AS DOUBLE) AS sxx,
+      |    CAST(sum(b.d * b.d) AS DOUBLE) AS syy,
+      |    CAST(sum(a.d * b.d) AS DOUBLE) AS sxy
+      |  FROM und JOIN deg a ON und.u = a.u JOIN deg b ON und.v = b.u)
+      |SELECT CAST(n AS BIGINT) AS n_edges,
+      |  ROUND((n * sxy - sx * sy) /
+      |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_agg_hist_eqdepth — equi-depth (quantile-bucket) histogram.
   // ---------------------------------------------------------------
 
@@ -1230,6 +1307,7 @@ object Maintain {
       |    AS n_missing""".stripMargin
 
   val entries: Map[String, Q] = Map(
+    "q_graph_assortativity"   -> qGraphAssortativity,
     "q_funnel_latency"        -> qFunnelLatency,
     "q_dq_pk_gaps"            -> qDqPkGaps,
     "q_stats_power"           -> qStatsPower,
@@ -1251,6 +1329,7 @@ object Maintain {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_graph_assortativity"   -> qGraphAssortativitySql,
     "q_funnel_latency"        -> qFunnelLatencySql,
     "q_dq_pk_gaps"            -> qDqPkGapsSql,
     "q_stats_power"           -> qStatsPowerSql,

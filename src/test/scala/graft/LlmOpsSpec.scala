@@ -747,4 +747,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       "rank<=5 must prune per-partition before the qid exchange")
   }
+
+  test("q_embed_ann_recall: overlap count matches the two lists, recall = hits/10") {
+    val r = LlmOps.qEmbedAnnRecall(spark, sf).collect()(0)
+    val (k, hits, recall) = (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+      r.getAs[Double]("recall_at_10"))
+    assert(k == 10L)
+    val exact = LlmOps.qSimTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = LlmOps.qSimAnnIvf(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(hits == (exact & approx).size.toLong,
+      s"n_hits $hits != |exact ∩ ivf| ${(exact & approx).size}")
+    assert(math.abs(recall - hits / 10.0) < 1e-9)
+    // nprobe 4/16 should still find most of the true top-10 here
+    assert(hits >= 5L, s"IVF recall collapsed: $hits/10")
+  }
 }

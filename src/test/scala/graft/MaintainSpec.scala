@@ -464,4 +464,34 @@ class MaintainSpec extends AnyFunSuite {
     assert(lin.contains("partial_count"),
       "per-file meters must combine map-side (|files| rows shuffle)")
   }
+
+  test("q_graph_assortativity: r in [-1,1], matches a driver-side recompute") {
+    val r0 = Maintain.qGraphAssortativity(spark, sf).collect()(0)
+    val (nEdges, r) =
+      (r0.getAs[Long]("n_edges"), r0.getAs[Double]("assortativity"))
+    assert(nEdges > 0 && nEdges % 2 == 0, "directed edge count must be even")
+    assert(r >= -1.0 && r <= 1.0)
+    // recompute from the raw co-purchase edge set
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = und.map { case (u, v) => (deg(u), deg(v)) }
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum.toDouble; val sy = xy.map(_._2).sum.toDouble
+    val sxx = xy.map(t => t._1 * t._1).sum.toDouble
+    val syy = xy.map(t => t._2 * t._2).sum.toDouble
+    val sxy = xy.map(t => t._1 * t._2).sum.toDouble
+    val expect = BigDecimal((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nEdges == und.size.toLong)
+    assert(math.abs(r - expect) < 1e-9, s"$r vs recomputed $expect")
+  }
 }
