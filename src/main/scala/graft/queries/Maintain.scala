@@ -1248,6 +1248,161 @@ object Maintain {
       |FROM r GROUP BY 1, 2 ORDER BY cohort""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_funnel_window — deadline-conversion rate per signup cohort.
+  // ---------------------------------------------------------------
+
+  /** Cohort conversion-within-deadline: per signup-week cohort, how
+    * many users made their first purchase within 7 days of first
+    * signup, and the conversion rate. Complements [[qFunnel]] (global
+    * stage counts) and [[qFunnelLatency]] (latency distribution GIVEN
+    * conversion) with the per-cohort rate a growth dashboard plots —
+    * counts and one division, all exact.
+    *
+    * At 100 TB: two keyed min-aggregates and a user-keyed semi join
+    * (the funnel shape, all riding user_id partitioning), then one
+    * tiny rollup on the cohort key. No windows, no event-stream sort.
+    */
+  val qFunnelWindow: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val converted = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signup, "user_id")
+      .where(col("ts") > col("t0") &&
+             col("ts") <= col("t0") + expr("INTERVAL 7 DAY"))
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    signup.join(converted, Seq("user_id"), "left")
+      .groupBy(date_trunc("week", col("t0")).as("cohort"))
+      .agg(count(lit(1)).as("n_signups"),
+        coalesce(sum(col("conv")), lit(0L)).as("n_converted_7d"))
+      .select(col("cohort"), col("n_signups"), col("n_converted_7d"),
+        round(col("n_converted_7d").cast("double") /
+              col("n_signups").cast("double"), 6).as("cvr_7d"))
+      .orderBy("cohort")
+  }
+
+  val qFunnelWindowSql: String =
+    """WITH signup AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN signup s USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) > s.t0
+      |    AND CAST(e.ts AS TIMESTAMP) <= s.t0 + INTERVAL 7 DAY)
+      |SELECT CAST(date_trunc('week', t0) AS TIMESTAMP) AS cohort,
+      |  count(*) AS n_signups,
+      |  CAST(count(c.user_id) AS BIGINT) AS n_converted_7d,
+      |  ROUND(CAST(count(c.user_id) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE), 6) AS cvr_7d
+      |FROM signup s LEFT JOIN conv c USING (user_id)
+      |GROUP BY 1 ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_win_median_smooth — rolling rank-exact median of the daily series.
+  // ---------------------------------------------------------------
+
+  /** Trailing-7-day rolling MEDIAN of daily revenue — the robust
+    * smoother that shrugs off one-day spikes where a rolling mean
+    * follows them. Rank-exact: the window's ≤7 DECIMAL values are
+    * sorted and the ⌊(m+1)/2⌋-th is selected — no interpolation, so
+    * both engines pick the identical exact value (lower median on the
+    * short head windows).
+    *
+    * At 100 TB: the firehose collapses to the bounded date dimension
+    * first; the rolling window carries ≤7 decimals per row over that
+    * ~2.4k-row series — aggregated-series shape, never a fact sort.
+    */
+  val qWinMedianSmooth: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("win", array_sort(collect_list(col("rev")).over(w)))
+      .select(col("day").cast("timestamp").as("day"),
+        col("rev").cast("double").as("rev"),
+        expr("CAST(element_at(win, CAST(floor((size(win) + 1) / 2.0) AS INT)) AS DOUBLE)")
+          .as("med7"))
+      .orderBy("day")
+  }
+
+  val qWinMedianSmoothSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT day, rev,
+      |    list_sort(list(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM daily)
+      |SELECT CAST(day AS TIMESTAMP) AS day, CAST(rev AS DOUBLE) AS rev,
+      |  CAST(win[CAST(floor((len(win) + 1) / 2.0) AS INT)] AS DOUBLE)
+      |    AS med7
+      |FROM r ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_theilsen — robust trend slope via the median of pair slopes.
+  // ---------------------------------------------------------------
+
+  /** Theil–Sen robust trend estimate of the 1995 daily-revenue series:
+    * the median of all pairwise slopes (revⱼ−revᵢ)/(dayⱼ−dayᵢ) —
+    * breakdown point 29%, where [[qStatsRegression]]'s least squares
+    * follows a single corrupted day. Median by rank selection (slope,
+    * then day-pair tie-break), so both engines pick the identical
+    * element; each slope is one division of a decimal-exact difference
+    * by an integer day gap.
+    *
+    * At 100 TB: the pair set is |date-dim-year|² (~66k) regardless of
+    * SF — the firehose collapses to the daily series first, and the
+    * self-join + selection window run on that bounded square. (The
+    * subsample-of-pairs estimator is the knob if the window widens.)
+    */
+  val qStatsTheilsen: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .where(year(col("o_orderdate")) === 1995)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val a = daily.alias("a"); val b = daily.alias("b")
+    val pairs = a.join(b, col("a.day") < col("b.day"))
+      .select(col("a.day").as("d1"), col("b.day").as("d2"),
+        ((col("b.rev") - col("a.rev")).cast("double") /
+         datediff(col("b.day"), col("a.day")).cast("double")).as("slope"))
+    val byS = Window.orderBy(col("slope").asc, col("d1").asc, col("d2").asc)
+    pairs
+      .withColumn("rn", row_number().over(byS).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .where(col("rn") ===
+        floor((col("n") + 1) / lit(2.0)).cast("long"))
+      .select(col("n").as("n_pairs"),
+        round(col("slope"), 6).as("slope_per_day"))
+  }
+
+  val qStatsTheilsenSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.day AS d1, b.day AS d2,
+      |    CAST(b.rev - a.rev AS DOUBLE) /
+      |      CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |r AS (
+      |  SELECT slope,
+      |    CAST(row_number() OVER (ORDER BY slope ASC, d1 ASC, d2 ASC)
+      |         AS BIGINT) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM pairs)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |  ROUND(slope, 6) AS slope_per_day
+      |FROM r WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_dq_pk_gaps — distributed key-space gap audit.
   // ---------------------------------------------------------------
 
@@ -1308,6 +1463,9 @@ object Maintain {
 
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
+    "q_funnel_window"         -> qFunnelWindow,
+    "q_win_median_smooth"     -> qWinMedianSmooth,
+    "q_stats_theilsen"        -> qStatsTheilsen,
     "q_funnel_latency"        -> qFunnelLatency,
     "q_dq_pk_gaps"            -> qDqPkGaps,
     "q_stats_power"           -> qStatsPower,
@@ -1330,6 +1488,9 @@ object Maintain {
 
   val oracles: Map[String, String] = Map(
     "q_graph_assortativity"   -> qGraphAssortativitySql,
+    "q_funnel_window"         -> qFunnelWindowSql,
+    "q_win_median_smooth"     -> qWinMedianSmoothSql,
+    "q_stats_theilsen"        -> qStatsTheilsenSql,
     "q_funnel_latency"        -> qFunnelLatencySql,
     "q_dq_pk_gaps"            -> qDqPkGapsSql,
     "q_stats_power"           -> qStatsPowerSql,

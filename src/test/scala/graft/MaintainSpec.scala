@@ -465,6 +465,74 @@ class MaintainSpec extends AnyFunSuite {
       "per-file meters must combine map-side (|files| rows shuffle)")
   }
 
+  test("q_funnel_window: converted ⊆ signups, rate identity, deadline honored") {
+    val rows = Maintain.qFunnelWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, cvr) = (r.getAs[Long]("n_signups"),
+        r.getAs[Long]("n_converted_7d"), r.getAs[Double]("cvr_7d"))
+      assert(c >= 0 && c <= n)
+      val expect = BigDecimal(c.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cvr - expect) < 1e-9)
+    }
+    // driver-side recompute of the total converted count
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val sevenDays = 7L * 24 * 3600 * 1000000L
+    val conv = ev.filter(_._2 == "purchase").filter { case (u, _, us) =>
+      t0.get(u).exists(s0 => us > s0 && us <= s0 + sevenDays)
+    }.map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("n_converted_7d")).sum == conv.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_signups")).sum == t0.size.toLong)
+  }
+
+  test("q_win_median_smooth: med7 equals the sorted-window middle element") {
+    val rows = Maintain.qWinMedianSmooth(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.length >= 8)
+    val revs = rows.map(_.getAs[Double]("rev"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = revs.slice(math.max(0, i - 6), i + 1).sorted
+      val expect = win((win.length + 1) / 2 - 1)
+      assert(r.getAs[Double]("med7") == expect,
+        s"day $i: ${r.getAs[Double]("med7")} vs $expect")
+    }
+    // a median smoother is bounded by the window's extremes
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = revs.slice(math.max(0, i - 6), i + 1)
+      assert(r.getAs[Double]("med7") >= win.min &&
+             r.getAs[Double]("med7") <= win.max)
+    }
+  }
+
+  test("q_stats_theilsen: the selected slope is the rank-exact pair median") {
+    val r = Maintain.qStatsTheilsen(spark, sf).collect()(0)
+    val (nPairs, slope) =
+      (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope_per_day"))
+    val daily = Tables.orders(spark, sf)
+      .where(year(col("o_orderdate")) === 1995)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(x => (x.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        BigDecimal(x.getDecimal(1))))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield ((daily(j)._2 - daily(i)._2).toDouble /
+             (daily(j)._1 - daily(i)._1).toDouble,
+             daily(i)._1, daily(j)._1)).sortBy(t => (t._1, t._2, t._3))
+    assert(nPairs == slopes.length.toLong)
+    val expect = BigDecimal(slopes((slopes.length + 1) / 2 - 1)._1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(slope - expect) < 1e-9, s"$slope vs $expect")
+  }
+
   test("q_graph_assortativity: r in [-1,1], matches a driver-side recompute") {
     val r0 = Maintain.qGraphAssortativity(spark, sf).collect()(0)
     val (nEdges, r) =
