@@ -1248,6 +1248,152 @@ object Maintain {
       |FROM r GROUP BY 1, 2 ORDER BY cohort""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_maintain_retention — partition-expiry (TTL) maintenance cycle.
+  // ---------------------------------------------------------------
+
+  private val RetentionCutoff = "1997-01" // keep months >= this
+
+  /** The retention/TTL maintenance job every partitioned lake runs
+    * nightly, executed end to end: seed a month-partitioned copy of
+    * orders, EXPIRE every partition directory older than the cutoff
+    * (real filesystem deletes, not a filter), then audit — dropped
+    * months reported from the source (the pre-delete manifest), kept
+    * months counted from a POST-DELETE read-back of the lake. The gate
+    * hash therefore proves both sides: expired data is gone from disk
+    * and surviving partitions are intact.
+    *
+    * At 100 TB: expiry is O(|expired partitions|) directory removals
+    * (a metastore DROP PARTITION + object-store prefix delete) — no
+    * data is read or rewritten; the audit reads only partition-pruned
+    * footers. The seed write is this op's test harness, not the
+    * production cost.
+    */
+  val qMaintainRetention: Q = (s, d) => {
+    val lake = Relational.scratchDir("retention_lake", d)
+    Tables.orders(s, d)
+      .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("omonth"))
+      .write.mode("overwrite").partitionBy("omonth").parquet(lake)
+    val dropped = Tables.orders(s, d)
+      .where(date_format(col("o_orderdate"), "yyyy-MM") < RetentionCutoff)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("status", lit("dropped"))
+    val lakeDir = java.nio.file.Paths.get(lake)
+    val listing = java.nio.file.Files.list(lakeDir)
+    try {
+      val expired = listing.iterator()
+      while (expired.hasNext) {
+        val p = expired.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("omonth=") &&
+            n.stripPrefix("omonth=") < RetentionCutoff)
+          StreamingQ.rmTree(p)
+      }
+    } finally listing.close()
+    val kept = s.read.parquet(lake)
+      .groupBy(col("omonth").cast("string").as("omonth"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("status", lit("kept"))
+    kept.unionByName(dropped)
+      .select(col("omonth"), col("status"), col("n_rows"))
+      .orderBy("omonth")
+  }
+
+  val qMaintainRetentionSql: String =
+    """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS omonth,
+      |  CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m') < '1997-01'
+      |       THEN 'dropped' ELSE 'kept' END AS status,
+      |  count(*) AS n_rows
+      |FROM orders GROUP BY 1, 2 ORDER BY omonth""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_proptest — two-proportion z-test between signup cohorts.
+  // ---------------------------------------------------------------
+
+  private val PropSplit = "2024-01-03"
+
+  /** Two-proportion z-test: did the 7-day conversion rate differ
+    * between users who signed up before vs after the split date? The
+    * significance readout behind every before/after launch comparison,
+    * from the same per-user funnel kernel as [[qFunnelWindow]].
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with pooled p̂ — counts are
+    * exact integers, the z math is single double ops on identical
+    * operands in both engines.
+    *
+    * At 100 TB: identical shape to [[qFunnelWindow]] — user-keyed
+    * aggregates and one semi join, collapsing to a single moment row.
+    */
+  val qStatsProptest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val converted = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signup, "user_id")
+      .where(col("ts") > col("t0") &&
+             col("ts") <= col("t0") + expr("INTERVAL 7 DAY"))
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    val early = col("t0") < lit(PropSplit).cast("timestamp")
+    val m = signup.join(converted, Seq("user_id"), "left")
+      .agg(
+        sum(when(early, 1L).otherwise(0L)).as("n1"),
+        sum(when(early, coalesce(col("conv"), lit(0L))).otherwise(0L)).as("x1"),
+        sum(when(!early, 1L).otherwise(0L)).as("n2"),
+        sum(when(!early, coalesce(col("conv"), lit(0L))).otherwise(0L)).as("x2"))
+    val n1 = col("n1").cast("double"); val x1 = col("x1").cast("double")
+    val n2 = col("n2").cast("double"); val x2 = col("x2").cast("double")
+    val p1 = x1 / n1; val p2 = x2 / n2
+    val pp = (x1 + x2) / (n1 + n2)
+    m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      // z is undefined when the pooled rate is degenerate (all or no
+      // users converted): NULL, identically in the oracle
+      when(pp > 0.0 && pp < 1.0,
+        round((p1 - p2) /
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)), 6))
+        .as("z"))
+  }
+
+  val qStatsProptestSql: String =
+    """WITH signup AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN signup s USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) > s.t0
+      |    AND CAST(e.ts AS TIMESTAMP) <= s.t0 + INTERVAL 7 DAY),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN s.t0 < TIMESTAMP '2024-01-03' THEN 1 ELSE 0 END)
+      |      AS n1,
+      |    sum(CASE WHEN s.t0 < TIMESTAMP '2024-01-03'
+      |             AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS x1,
+      |    sum(CASE WHEN s.t0 >= TIMESTAMP '2024-01-03' THEN 1 ELSE 0 END)
+      |      AS n2,
+      |    sum(CASE WHEN s.t0 >= TIMESTAMP '2024-01-03'
+      |             AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS x2
+      |  FROM signup s LEFT JOIN conv c USING (user_id)),
+      |c AS (
+      |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+      |    CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |    (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+      |    (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+      |  FROM m)
+      |SELECT n1, x1, n2, x2, ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+      |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+      |    ROUND((p1 - p2) /
+      |      sqrt(pp * (1.0 - pp) *
+      |           (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+      |  END AS z
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_funnel_window — deadline-conversion rate per signup cohort.
   // ---------------------------------------------------------------
 
@@ -1463,6 +1609,8 @@ object Maintain {
 
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
+    "q_maintain_retention"    -> qMaintainRetention,
+    "q_stats_proptest"        -> qStatsProptest,
     "q_funnel_window"         -> qFunnelWindow,
     "q_win_median_smooth"     -> qWinMedianSmooth,
     "q_stats_theilsen"        -> qStatsTheilsen,
@@ -1488,6 +1636,8 @@ object Maintain {
 
   val oracles: Map[String, String] = Map(
     "q_graph_assortativity"   -> qGraphAssortativitySql,
+    "q_maintain_retention"    -> qMaintainRetentionSql,
+    "q_stats_proptest"        -> qStatsProptestSql,
     "q_funnel_window"         -> qFunnelWindowSql,
     "q_win_median_smooth"     -> qWinMedianSmoothSql,
     "q_stats_theilsen"        -> qStatsTheilsenSql,

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -463,6 +465,51 @@ class MaintainSpec extends AnyFunSuite {
     val lin = plan("q_scan_lineage")
     assert(lin.contains("partial_count"),
       "per-file meters must combine map-side (|files| rows shuffle)")
+  }
+
+  test("q_maintain_retention: expired partitions are gone from disk, kept intact") {
+    val rows = Maintain.qMaintainRetention(spark, sf).collect()
+      .map(r => (r.getAs[String]("omonth"), r.getAs[String]("status"),
+        r.getAs[Long]("n_rows")))
+    assert(rows.nonEmpty)
+    // statuses partition the month axis at the cutoff
+    rows.foreach { case (m, st, n) =>
+      assert(if (m < "1997-01") st == "dropped" else st == "kept")
+      assert(n > 0)
+    }
+    // row conservation: kept + dropped == source
+    assert(rows.map(_._3).sum == Tables.orders(spark, sf).count())
+    // the expired directories are REALLY gone; the kept ones remain
+    val lake = java.nio.file.Paths.get(
+      graft.queries.Relational.scratchDir("retention_lake", sf))
+    val dirs = java.nio.file.Files.list(lake).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("omonth=")).toSet
+    val expectKept = rows.filter(_._2 == "kept").map("omonth=" + _._1).toSet
+    assert(dirs == expectKept,
+      s"on-disk partitions ${dirs.size} != kept ${expectKept.size}")
+  }
+
+  test("q_stats_proptest: cohorts partition signups, z matches recompute") {
+    val r = Maintain.qStatsProptest(spark, sf).collect()(0)
+    val (n1, x1, n2, x2) = (r.getAs[Long]("n1"), r.getAs[Long]("x1"),
+      r.getAs[Long]("n2"), r.getAs[Long]("x2"))
+    assert(n1 > 0 && n2 > 0, "a degenerate cohort would make z undefined")
+    assert(x1 <= n1 && x2 <= n2)
+    // cohorts partition the signup population (q_funnel_window's total)
+    val signups = Maintain.qFunnelWindow(spark, sf).collect()
+      .map(_.getAs[Long]("n_signups")).sum
+    assert(n1 + n2 == signups)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    if (pp > 0.0 && pp < 1.0) {
+      val z = BigDecimal((p1 - p2) /
+          math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+    } else {
+      // degenerate pooled rate (sf0.001: every user converts) → NULL z
+      assert(r.isNullAt(r.fieldIndex("z")))
+    }
   }
 
   test("q_funnel_window: converted ⊆ signups, rate identity, deadline honored") {
