@@ -1248,6 +1248,145 @@ object Maintain {
       |FROM r GROUP BY 1, 2 ORDER BY cohort""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_win_pareto — ABC (cumulative-share) revenue classification.
+  // ---------------------------------------------------------------
+
+  /** ABC / Pareto classification of customers by revenue: sorted
+    * descending, class A is every customer while the cumulative share
+    * is ≤ 80%, B until ≤ 95%, C the tail — the "which 20% of customers
+    * carry 80% of revenue" readout behind [[Insights.qStatsGini]]'s
+    * one-number concentration. Classification compares cumulative
+    * DECIMAL sums against DECIMAL thresholds (cum·100 ≤ total·80), so
+    * the class boundary is exact in both engines — no percentage
+    * doubles anywhere near the cut.
+    *
+    * Scale: the fact table collapses to customer-level revenue first;
+    * the descending cumulative window is over that aggregate. Here it
+    * is one global window (|customers| rows); at 100 TB the same
+    * classification runs two-phase — range-partition by revenue,
+    * per-partition cumsums, then add broadcast partition-prefix
+    * offsets (the [[qAssignIds]] trick, documented not duplicated).
+    */
+  val qWinPareto: Q = (s, d) => {
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val byRev = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+    val cum = sum(col("rev")).over(
+      byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(col("rev")).over(
+      Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    rev
+      .withColumn("cum", cum).withColumn("total", total)
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).cast("double").as("class_rev"),
+        round(sum(col("rev")).cast("double") /
+              max(col("total")).cast("double"), 6).as("rev_share"))
+      .orderBy("abc_class")
+  }
+
+  val qWinParetoSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT o_custkey, rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(rev) OVER () AS total
+      |  FROM rev),
+      |k AS (
+      |  SELECT rev, total,
+      |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |         WHEN cum * 100 <= total * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM c)
+      |SELECT abc_class, count(*) AS n_customers,
+      |  CAST(sum(rev) AS DOUBLE) AS class_rev,
+      |  ROUND(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+      |    AS rev_share
+      |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_moments — skewness/kurtosis from exact raw moments.
+  // ---------------------------------------------------------------
+
+  /** Higher-moment distribution profile per event type: skewness and
+    * excess kurtosis of `value`, computed from EXACT decimal raw
+    * moments (Σv..Σv⁴ accumulate in widening DECIMAL, so map-side
+    * partials merge losslessly in any order — the moment-merge
+    * discipline of [[Insights.qStatsRegression]] extended to order 4).
+    * The central-moment algebra runs once on the final exact sums with
+    * the identical expression tree in both engines; m₂^1.5 is spelled
+    * √m₂·m₂ (sqrt is IEEE-exact; pow's libm varies across engines).
+    *
+    * At 100 TB: one combining hash aggregate, |types| result rows —
+    * nothing else.
+    */
+  val qStatsMoments: Q = (s, d) => {
+    val v = col("value").cast(DecimalType(18, 2))
+    val m = Tables.events(s, d)
+      .select(col("event_type"), v.as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(28, 4))).as("s2"),
+        sum((col("v") * col("v") * col("v")).cast(DecimalType(38, 6))).as("s3"),
+        sum((col("v") * col("v") * col("v") * col("v"))
+          .cast(DecimalType(38, 8))).as("s4"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+    m.select(col("event_type"), col("n"),
+        round(mu, 6).as("mean"),
+        round(m3 / (sqrt(m2) * m2), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
+  val qStatsMomentsSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(v) AS s1,
+      |    sum(CAST(v * v AS DECIMAL(28,4))) AS s2,
+      |    sum(CAST(CAST(v * v AS DECIMAL(19,4)) * v AS DECIMAL(38,6)))
+      |      AS s3,
+      |    sum(CAST(CAST(v * v AS DECIMAL(19,4)) *
+      |             CAST(v * v AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s4
+      |  FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |        FROM events)
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+      |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+      |    CAST(s4 AS DOUBLE) AS s4
+      |  FROM m),
+      |e AS (
+      |  SELECT event_type, n, s1 / nd AS mu,
+      |    s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+      |    s3 / nd - 3.0 * (s1 / nd) * (s2 / nd)
+      |      + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+      |    s4 / nd - 4.0 * (s1 / nd) * (s3 / nd)
+      |      + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+      |      - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+      |  FROM c)
+      |SELECT event_type, n, ROUND(mu, 6) AS mean,
+      |  ROUND(m3 / (sqrt(m2) * m2), 6) AS skewness,
+      |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+      |FROM e ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_maintain_retention — partition-expiry (TTL) maintenance cycle.
   // ---------------------------------------------------------------
 
@@ -1631,7 +1770,9 @@ object Maintain {
     "q_time_changepoint"      -> qTimeChangepoint,
     "q_text_zipf"             -> qTextZipf,
     "q_win_islands"           -> qWinIslands,
-    "q_basket_lift"           -> qBasketLift
+    "q_basket_lift"           -> qBasketLift,
+    "q_win_pareto"            -> qWinPareto,
+    "q_stats_moments"         -> qStatsMoments
   )
 
   val oracles: Map[String, String] = Map(
@@ -1658,6 +1799,8 @@ object Maintain {
     "q_time_changepoint"      -> qTimeChangepointSql,
     "q_text_zipf"             -> qTextZipfSql,
     "q_win_islands"           -> qWinIslandsSql,
-    "q_basket_lift"           -> qBasketLiftSql
+    "q_basket_lift"           -> qBasketLiftSql,
+    "q_win_pareto"            -> qWinParetoSql,
+    "q_stats_moments"         -> qStatsMomentsSql
   )
 }
