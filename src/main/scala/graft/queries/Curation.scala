@@ -1266,7 +1266,91 @@ object Curation {
       |FROM cos JOIN ldr USING (cid)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- BM25 retrieval
+
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
+    * query over the documents table — the lexical-retrieval
+    * counterpart to [[LlmOps.qTextTfidf]] and the scoring half of a
+    * contamination / relevance triage pass. Top 20 by score.
+    *
+    * Cross-engine exactness: tf, dl, df, N are integers; avgdl is one
+    * shared quotient; each per-term score is rounded to 6 dp and summed
+    * in DECIMAL(18,6), so the ranking key is an exact decimal in both
+    * engines (the q_dq_drift discipline — the single `ln` per term
+    * sits ≥9 orders of magnitude below the round). Ties break on
+    * doc_id, a total order.
+    *
+    * At 100 TB: the token explode is map-side and filtered to the
+    * query's terms BEFORE any shuffle (candidate set ∝ matching docs,
+    * not corpus); df/N/avgdl are a broadcast scalar row; the top-20 is
+    * a TakeOrdered, not a global sort.
+    */
+  val qTextBm25: Q = (s, d) => {
+    val terms = Seq("spark", "join", "window")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // literals spelled as in the oracle SQL (2.2, 0.25, 0.75) so
+        // both engines parse the identical doubles
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)).as("term_score"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val qTextBm25Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      |  FROM documents),
+      |st AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM docs),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM tok WHERE tok IN ('spark', 'join', 'window')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(
+      |      ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * docs.dl / st.avgdl)),
+      |      6) AS DECIMAL(18,6)) AS term_score
+      |  FROM tf JOIN df USING (tok)
+      |  JOIN docs ON docs.doc_id = tf.doc_id
+      |  CROSS JOIN st)
+      |SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS score
+      |FROM sc GROUP BY 1
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_text_bm25"              -> qTextBm25,
     "q_sample_stratified"      -> qSampleStratified,
     "q_text_winnowing"         -> qTextWinnowing,
     "q_text_cdc_chunk"         -> qTextCdcChunk,
@@ -1286,6 +1370,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_bm25"              -> qTextBm25Sql,
     "q_sample_stratified"      -> qSampleStratifiedSql,
     "q_text_winnowing"         -> qTextWinnowingSql,
     "q_text_cdc_chunk"         -> qTextCdcChunkSql,

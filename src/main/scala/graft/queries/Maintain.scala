@@ -1746,6 +1746,169 @@ object Maintain {
       |  (SELECT coalesce(CAST(sum(missing) AS BIGINT), 0) FROM gaps)
       |    AS n_missing""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_time_xcorr — lead-lag cross-correlation between two series.
+  // ---------------------------------------------------------------
+
+  /** Lead-lag cross-correlation between the daily `click` and `view`
+    * count series at lags 0, 1, and 7 days — the "does views today
+    * predict clicks next week" screen that pairs with
+    * [[Insights.qTimeAutocorr]] (same day-grain collapse, two series
+    * instead of one). One conditional aggregate folds both series in a
+    * single events scan; each lag is a window shift over the ≤ |days|
+    * aggregated rows, and Pearson r comes from the closed form
+    * (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — every sum is a
+    * sum of INTEGER products (counts), exact in double far below 2⁵³,
+    * so the 6-dp round sits on a deterministic quotient in both
+    * engines.
+    *
+    * At 100 TB: the firehose collapses to one combining aggregate on
+    * day (≤ a few thousand rows for years of data); lag windows and the
+    * final reduction run on that bounded series. Nothing else moves.
+    */
+  val qTimeXcorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+             .as("x"),
+           sum(when(col("event_type") === "click", 1L).otherwise(0L))
+             .as("y"))
+    val wOrd = Window.orderBy("day")
+    val lags = Seq(0, 1, 7)
+    val shifted = lags.foldLeft(daily) { (df, l) =>
+      df.withColumn(s"y_$l", lag(col("y"), l).over(wOrd))
+    }
+    // one aggregate carries all three lags' moment sums (6 each), so
+    // the events table is scanned exactly once; the per-lag rows are
+    // then exploded from that single row inside the same plan
+    val moments = lags.flatMap { l =>
+      val yl = col(s"y_$l")
+      val in = yl.isNotNull
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$l"),
+        sum(when(in, col("x")).otherwise(0L)).as(s"sx_$l"),
+        sum(when(in, yl).otherwise(0L)).as(s"sy_$l"),
+        sum(when(in, col("x") * col("x")).otherwise(0L)).as(s"sxx_$l"),
+        sum(when(in, yl * yl).otherwise(0L)).as(s"syy_$l"),
+        sum(when(in, col("x") * yl).otherwise(0L)).as(s"sxy_$l"))
+    }
+    val perLag = lags.map { l =>
+      val (n, sx, sy) = (col(s"n_$l"), col(s"sx_$l"), col(s"sy_$l"))
+      val (sxx, syy, sxy) = (col(s"sxx_$l"), col(s"syy_$l"), col(s"sxy_$l"))
+      struct(
+        lit(l.toLong).as("lag_days"), n.as("n_pairs"),
+        round((n * sxy - sx * sy).cast("double") /
+          sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))
+            .cast("double")), 6).as("r"))
+    }
+    shifted.agg(moments.head, moments.tail: _*)
+      .select(explode(array(perLag: _*)).as("o"))
+      .select(col("o.lag_days"), col("o.n_pairs"), col("o.r"))
+      .orderBy("lag_days")
+  }
+
+  val qTimeXcorrSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |sh AS (
+      |  SELECT x, y AS y_0,
+      |    lag(y, 1) OVER (ORDER BY day) AS y_1,
+      |    lag(y, 7) OVER (ORDER BY day) AS y_7
+      |  FROM daily),
+      |one AS (
+      |  SELECT l.lag_days,
+      |    CASE l.lag_days WHEN 0 THEN y_0 WHEN 1 THEN y_1 ELSE y_7 END
+      |      AS yl, x
+      |  FROM sh CROSS JOIN (VALUES (0), (1), (7)) AS l(lag_days))
+      |SELECT lag_days, count(*) AS n_pairs,
+      |  ROUND(CAST(count(*) * sum(x * yl) - sum(x) * sum(yl) AS DOUBLE) /
+      |    sqrt(CAST((count(*) * sum(x * x) - sum(x) * sum(x)) *
+      |              (count(*) * sum(yl * yl) - sum(yl) * sum(yl))
+      |         AS DOUBLE)), 6) AS r
+      |FROM one WHERE yl IS NOT NULL
+      |GROUP BY 1 ORDER BY lag_days""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_kendall — Kendall tau-b rank correlation, exact counts.
+  // ---------------------------------------------------------------
+
+  /** Kendall tau-b between the daily event COUNT and the daily exact
+    * revenue SUM — the rank-correlation complement to
+    * [[Insights.qStatsSpearman]] that is robust to ties. Both series
+    * collapse to ≤ |days| rows first (count is an integer; revenue is
+    * an exact DECIMAL sum carried as integer cents), so every pairwise
+    * comparison in the O(days²) self-join is integer-exact: concordant
+    * / discordant / tie counts are identical in both engines by
+    * construction, and tau-b's one double division rounds at 6 dp with
+    * no tie pressure.
+    *
+    * At 100 TB: the self-join is over the AGGREGATED day series
+    * (years of data ≈ 10³ rows → 10⁶ comparisons on one executor) —
+    * the fact table contributes one combining aggregate, nothing more.
+    * For day counts beyond ~10⁵ the O(n log n) merge-sort inversion
+    * count replaces the pair join (documented, not needed at this
+    * grain).
+    */
+  val qStatsKendall: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+           sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+      .select(col("day"), col("x"),
+              (col("rev") * 100).cast("long").as("y"))
+    val a = daily.alias("a"); val b = daily.alias("b")
+    val pairs = a.join(b, col("a.day") < col("b.day"))
+      .select(
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L))
+          .as("ties_y"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n_pairs") - col("ties_x")) *
+                (col("n_pairs") - col("ties_y"))).cast("double")), 6)
+          .as("tau_b"))
+  }
+
+  val qStatsKendallSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    count(*) AS x,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |c AS (
+      |  SELECT count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS concordant,
+      |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS discordant,
+      |    CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ties_x,
+      |    CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ties_y
+      |  FROM p)
+      |SELECT n_pairs, concordant, discordant,
+      |  ROUND(CAST(concordant - discordant AS DOUBLE) /
+      |    sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE)),
+      |    6) AS tau_b
+      |FROM c""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -1772,7 +1935,9 @@ object Maintain {
     "q_win_islands"           -> qWinIslands,
     "q_basket_lift"           -> qBasketLift,
     "q_win_pareto"            -> qWinPareto,
-    "q_stats_moments"         -> qStatsMoments
+    "q_stats_moments"         -> qStatsMoments,
+    "q_time_xcorr"            -> qTimeXcorr,
+    "q_stats_kendall"         -> qStatsKendall
   )
 
   val oracles: Map[String, String] = Map(
@@ -1801,6 +1966,8 @@ object Maintain {
     "q_win_islands"           -> qWinIslandsSql,
     "q_basket_lift"           -> qBasketLiftSql,
     "q_win_pareto"            -> qWinParetoSql,
-    "q_stats_moments"         -> qStatsMomentsSql
+    "q_stats_moments"         -> qStatsMomentsSql,
+    "q_time_xcorr"            -> qTimeXcorrSql,
+    "q_stats_kendall"         -> qStatsKendallSql
   )
 }
