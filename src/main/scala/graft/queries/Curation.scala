@@ -1349,8 +1349,62 @@ object Curation {
       |FROM sc GROUP BY 1
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- cosine histogram
+
+  /** Distribution histogram of pairwise cosine similarities within a
+    * label — the calibration readout an embedding-dedup pipeline uses
+    * to PICK its threshold (where does the near-dup mode separate from
+    * the background bulk?), complementing [[LlmOps.qDedupEmbedStats]]
+    * which assumes a threshold. Same bounded sample and label-scoped
+    * pair space as `q_sim_pairs` (vec_id % 10, label equality, a < b).
+    *
+    * Exactness: the cosine rounds to 6 dp (quotient — no structural
+    * ties), then bucketing runs in DECIMAL: round-6 → DECIMAL(9,6),
+    * ×10 exact, floor exact — so the bin edge cannot wobble on a
+    * binary representation. Counts are integers.
+    *
+    * At 100 TB the pair space is LSH/IVF candidates, not a sampled
+    * self-join; the histogram aggregate itself is a combiner-collapsed
+    * groupBy on ≤ 21 buckets.
+    */
+  val qEmbedSimHist: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.alias("a"); val b = emb.alias("b")
+    a.join(b, col("a.label") === col("b.label") &&
+              col("a.vec_id") < col("b.vec_id"))
+      .select(floor(round(LlmOps.cosine(col("a.embedding"),
+                                        col("b.embedding")), 6)
+        .cast(DecimalType(9, 6)) * 10).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  val qEmbedSimHistSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id % 10 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE)
+      |        * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+      |    SUM(CAST(a.embedding[i.i] AS DOUBLE)
+      |        * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+      |    SUM(CAST(b.embedding[i.i] AS DOUBLE)
+      |        * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+      |       (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY 1, 2)
+      |SELECT CAST(floor(CAST(ROUND(dp / (sqrt(na) * sqrt(nb)), 6)
+      |         AS DECIMAL(9,6)) * 10) AS BIGINT) AS bucket,
+      |  count(*) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_text_bm25"              -> qTextBm25,
+    "q_embed_sim_hist"         -> qEmbedSimHist,
     "q_sample_stratified"      -> qSampleStratified,
     "q_text_winnowing"         -> qTextWinnowing,
     "q_text_cdc_chunk"         -> qTextCdcChunk,
@@ -1371,6 +1425,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_text_bm25"              -> qTextBm25Sql,
+    "q_embed_sim_hist"         -> qEmbedSimHistSql,
     "q_sample_stratified"      -> qSampleStratifiedSql,
     "q_text_winnowing"         -> qTextWinnowingSql,
     "q_text_cdc_chunk"         -> qTextCdcChunkSql,

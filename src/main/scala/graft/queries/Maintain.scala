@@ -1909,6 +1909,126 @@ object Maintain {
       |    6) AS tau_b
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_agg_percentile_exact — exact interpolated percentiles per group.
+  // ---------------------------------------------------------------
+
+  /** EXACT linear-interpolated percentiles (p50/p90/p99) of the event
+    * value per event type — the ground truth the sketch keys
+    * (`q_agg_quantile_sketch`, `q_agg_approx`) are tolerance-gated
+    * against, as its own first-class operator. Values are exact integer
+    * cents, so the interpolation `lo + (hi − lo)·frac` runs on exact
+    * integers with one shared `frac = p·(n−1)` double in both engines
+    * (Spark's `percentile` and DuckDB's `quantile_cont` implement the
+    * identical Type-7 estimator).
+    *
+    * At 100 TB exact percentiles mean a per-group sort — that is the
+    * operator's CONTRACT (the sketch keys are the scale path); Spark
+    * plans it as a single-pass sort-based aggregate per group, not a
+    * global sort.
+    */
+  val qAggPercentileExact: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), cents.as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("p90"),
+        round(expr("percentile(v, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val qAggPercentileExactSql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  ROUND(quantile_cont(v, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(v, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(v, 0.99), 4) AS p99
+      |FROM v GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_holt — Holt linear-trend smoothing, exact decimal steps.
+  // ---------------------------------------------------------------
+
+  /** Holt's linear-trend double exponential smoothing (α = 0.2,
+    * β = 0.1) over the daily event-count series, emitting the 1..7-day
+    * forecast — the trend-aware upgrade of [[Insights.qWinEwma]] and
+    * the recursive counterpart of [[qTimeForecast]]'s closed-form line.
+    *
+    * The recursion is inherently sequential, so it runs over the
+    * AGGREGATED day series only: the firehose collapses to ≤ |days|
+    * integer counts (one combining aggregate — the distributed part),
+    * then the fold walks that bounded series on the driver in exact
+    * BigDecimal with every level/trend step rounded to 6 dp HALF_UP
+    * (away-from-zero, matching DuckDB's decimal ROUND). The oracle
+    * replays the identical recursion as a recursive CTE in pure
+    * DECIMAL arithmetic — every step is exact in both engines, so the
+    * hash match is structural, not lucky. Same bounded-collect
+    * contract as the PQ codebook / MMR driver loops (the series is
+    * years-of-days ≈ 10³ rows, not corpus-sized).
+    */
+  val qTimeHolt: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+      .select(col("n")).as[Long].collect()
+    require(daily.length >= 2, "Holt needs at least two days")
+    val alpha = BigDecimal("0.2"); val beta = BigDecimal("0.1")
+    val one = BigDecimal(1)
+    def r6(x: BigDecimal): BigDecimal =
+      x.setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    var l = BigDecimal(daily(0))
+    var b = BigDecimal(daily(1)) - BigDecimal(daily(0))
+    daily.drop(1).foreach { y =>
+      val lNew = r6(alpha * BigDecimal(y) + (one - alpha) * (l + b))
+      b = r6(beta * (lNew - l) + (one - beta) * b)
+      l = lNew
+    }
+    val out = (1 to 7).map { h =>
+      (h.toLong, daily.length.toLong, r6(l + BigDecimal(h) * b).toDouble)
+    }
+    s.createDataFrame(out).toDF("h", "n_days", "forecast")
+      .orderBy("h")
+  }
+
+  val qTimeHoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn,
+      |         CAST(n AS DECIMAL(28,6)) AS y
+      |  FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |               count(*) AS n
+      |        FROM events GROUP BY 1)),
+      |rec AS (
+      |  SELECT CAST(2 AS BIGINT) AS rn,
+      |    CAST(ROUND(0.2 * d2.y + 0.8 * (d1.y + (d2.y - d1.y)), 6)
+      |      AS DECIMAL(28,6)) AS l,
+      |    CAST(ROUND(0.1 * (ROUND(0.2 * d2.y
+      |                            + 0.8 * (d1.y + (d2.y - d1.y)), 6)
+      |                      - d1.y)
+      |               + 0.9 * (d2.y - d1.y), 6) AS DECIMAL(28,6)) AS b
+      |  FROM daily d1, daily d2 WHERE d1.rn = 1 AND d2.rn = 2
+      |  UNION ALL
+      |  SELECT r.rn + 1,
+      |    CAST(ROUND(0.2 * s.y + 0.8 * (r.l + r.b), 6)
+      |      AS DECIMAL(28,6)),
+      |    CAST(ROUND(0.1 * (ROUND(0.2 * s.y + 0.8 * (r.l + r.b), 6) - r.l)
+      |               + 0.9 * r.b, 6) AS DECIMAL(28,6))
+      |  FROM rec r JOIN daily s ON s.rn = r.rn + 1),
+      |fin AS (
+      |  SELECT l, b FROM rec ORDER BY rn DESC LIMIT 1),
+      |nd AS (SELECT count(*) AS n_days FROM daily)
+      |SELECT CAST(h.h AS BIGINT) AS h, CAST(nd.n_days AS BIGINT) AS n_days,
+      |  CAST(ROUND(fin.l + h.h * fin.b, 6) AS DOUBLE) AS forecast
+      |FROM (SELECT unnest(generate_series(1, 7)) AS h) h, fin, nd
+      |ORDER BY h""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -1937,7 +2057,9 @@ object Maintain {
     "q_win_pareto"            -> qWinPareto,
     "q_stats_moments"         -> qStatsMoments,
     "q_time_xcorr"            -> qTimeXcorr,
-    "q_stats_kendall"         -> qStatsKendall
+    "q_stats_kendall"         -> qStatsKendall,
+    "q_agg_percentile_exact"  -> qAggPercentileExact,
+    "q_time_holt"             -> qTimeHolt
   )
 
   val oracles: Map[String, String] = Map(
@@ -1968,6 +2090,8 @@ object Maintain {
     "q_win_pareto"            -> qWinParetoSql,
     "q_stats_moments"         -> qStatsMomentsSql,
     "q_time_xcorr"            -> qTimeXcorrSql,
-    "q_stats_kendall"         -> qStatsKendallSql
+    "q_stats_kendall"         -> qStatsKendallSql,
+    "q_agg_percentile_exact"  -> qAggPercentileExactSql,
+    "q_time_holt"             -> qTimeHoltSql
   )
 }
