@@ -1402,8 +1402,70 @@ object Curation {
       |  count(*) AS n_pairs
       |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------- quality classifier
+
+  /** Logistic quality-classifier INFERENCE over the documents table —
+    * the model-scoring pass every curation pipeline runs to triage a
+    * crawl (fixed pre-trained weights; training happens offline).
+    * Features per doc: token count / 100, stopword ratio, and
+    * distinct-token ratio — each a round-6 quotient of exact integers.
+    * The score is σ(w·x) rounded to 6 dp, then bucketed into deciles
+    * in exact DECIMAL (the q_embed_sim_hist edge discipline), and the
+    * gate compares per-(lang, decile) COUNTS — integers, so the one
+    * `exp` per row sits behind two layers of discreteness.
+    *
+    * At 100 TB: pure map-side scoring (no shuffle until the ≤
+    * |langs|×11-row histogram aggregate); the weights would arrive as
+    * a broadcast, here they are literals.
+    */
+  val qTextClassify: Q = (s, d) => {
+    val stop = Seq("the", "a", "of", "and")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val dl = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"),
+      t => t.isin(stop: _*))).cast("double")
+    val nDist = size(array_distinct(col("toks"))).cast("double")
+    val z = lit(-2.0) + lit(0.8) * round(dl / 100.0, 6) +
+      lit(3.0) * round(nStop / dl, 6) +
+      lit(1.5) * round(nDist / dl, 6)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    Tables.documents(s, d)
+      .select(col("lang"), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("lang"),
+        least(floor(score.cast(DecimalType(9, 6)) * 10), lit(9))
+          .cast("long").as("decile"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "decile")
+  }
+
+  val qTextClassifySql: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(toks,
+      |      t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS nstop,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist
+      |  FROM (SELECT lang,
+      |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0),
+      |sc AS (
+      |  SELECT lang,
+      |    ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.8 * ROUND(dl / 100.0, 6)
+      |      + 3.0 * ROUND(nstop / dl, 6)
+      |      + 1.5 * ROUND(ndist / dl, 6)))), 6) AS score
+      |  FROM f)
+      |SELECT lang,
+      |  CAST(least(floor(CAST(score AS DECIMAL(9,6)) * 10), 9) AS BIGINT)
+      |    AS decile,
+      |  count(*) AS n_docs
+      |FROM sc GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_text_bm25"              -> qTextBm25,
+    "q_text_classify"          -> qTextClassify,
     "q_embed_sim_hist"         -> qEmbedSimHist,
     "q_sample_stratified"      -> qSampleStratified,
     "q_text_winnowing"         -> qTextWinnowing,
@@ -1425,6 +1487,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_text_bm25"              -> qTextBm25Sql,
+    "q_text_classify"          -> qTextClassifySql,
     "q_embed_sim_hist"         -> qEmbedSimHistSql,
     "q_sample_stratified"      -> qSampleStratifiedSql,
     "q_text_winnowing"         -> qTextWinnowingSql,

@@ -2029,6 +2029,179 @@ object Maintain {
       |FROM (SELECT unnest(generate_series(1, 7)) AS h) h, fin, nd
       |ORDER BY h""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_stats_bootstrap — deterministic bootstrap CI for the daily mean.
+  // ---------------------------------------------------------------
+
+  /** Bootstrap 95% confidence interval for the mean daily revenue —
+    * B = 200 resamples of the day series WITH replacement, where draw
+    * (b, j) picks day `lcg(b·10⁵ + j) mod n`: a fixed 31-bit LCG both
+    * engines evaluate in exact BIGINT arithmetic, so the resample
+    * matrix is identical by construction (deterministic-fake
+    * randomness, the repo's standard for seeded sampling). Each
+    * resample mean is an exact-integer-cents sum over one double
+    * division; the CI bounds are exact Type-7 percentiles over the 200
+    * means (the q_agg_percentile_exact parity), and the grand mean
+    * sums round-6 decimals so no order-dependence survives.
+    *
+    * At 100 TB: the fact table collapses to the day series once; the
+    * draw matrix is B×|days| ≈ 10⁵ rows JOINED against that bounded
+    * series — never against the fact table. Everything after the first
+    * aggregate is sub-second work regardless of corpus size.
+    */
+  val qStatsBootstrap: Q = (s, d) => {
+    import s.implicits._
+    val B = 200L
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy("day")).cast("long") - 1)
+      .select(col("idx"), col("cents"))
+      .localCheckpoint(true) // bounded: |days| rows, feeds count + join
+    val n = daily.count()
+    val draws = s.range(0, B * n)
+      .select((col("id") / n + 1).cast("long").as("b"),
+        (col("id") % n + 1).as("j"))
+      .select(col("b"),
+        ((lit(1103515245L) * (col("b") * 100000L + col("j"))
+          + 12345L) % 2147483648L % n).as("idx"))
+    val means = draws.join(daily, "idx")
+      .groupBy("b")
+      .agg((sum(col("cents")).cast("double") / n).as("m"))
+    means.agg(
+      lit(n).as("n_days"),
+      count(lit(1)).as("n_boot"),
+      round(sum(round(col("m"), 6).cast(DecimalType(28, 6)))
+        .cast("double") / B, 4).as("boot_mean"),
+      round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+      round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+  }
+
+  val qStatsBootstrapSql: String =
+    """WITH daily AS (
+      |  SELECT row_number() OVER (ORDER BY day) - 1 AS idx,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |           AS cents
+      |  FROM (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |               value
+      |        FROM events)
+      |  GROUP BY day),
+      |nn AS (SELECT count(*) AS n FROM daily),
+      |draws AS (
+      |  SELECT b.b,
+      |    (1103515245 * (b.b * 100000 + j.j) + 12345) % 2147483648 % nn.n
+      |      AS idx
+      |  FROM (SELECT unnest(generate_series(1, 200)) AS b) b,
+      |       (SELECT unnest(generate_series(1,
+      |          (SELECT count(*) FROM daily))) AS j) j,
+      |       nn),
+      |means AS (
+      |  SELECT dr.b,
+      |    CAST(sum(d.cents) AS DOUBLE) / max(nn.n) AS m
+      |  FROM draws dr JOIN daily d USING (idx), nn
+      |  GROUP BY dr.b)
+      |SELECT (SELECT n FROM nn) AS n_days, count(*) AS n_boot,
+      |  ROUND(CAST(sum(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |        / 200, 4) AS boot_mean,
+      |  ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+      |  ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+      |FROM means""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_graph_kcore — k-core decomposition by iterative peeling.
+  // ---------------------------------------------------------------
+
+  /** 2-core of the co-purchase graph (the support ≥ 2 edge set shared
+    * with [[qGraphAdamicAdar]]): repeatedly peel nodes of degree < 2
+    * until the remainder is stable — pruning every tree appendage —
+    * then emit each surviving node with its degree inside the core,
+    * the standard dense-subgraph screen before community work.
+    * (k = 2 keeps the core non-empty at every shipped scale; the
+    * measured peel depth is 4–11 rounds at sf0.01..sf1 against the 12
+    * unrolled.) Peeling is MONOTONE (nodes only ever leave), so extra
+    * rounds after the fixpoint are no-ops; Spark runs to the measured
+    * fixpoint and FAILS LOUDLY past 12 rounds, and the oracle simply
+    * unrolls 12 peels — identical by monotonicity. Everything is
+    * integer counts; no FP anywhere.
+    *
+    * At 100 TB each round is one semi-join of the edge list against
+    * the surviving-node set plus a degree count — edges ∝ the
+    * support-thresholded graph, never |parts|²; the round count is
+    * bounded by the peel depth (log-ish on real graphs), same
+    * convergence discipline as the dedup label propagation.
+    */
+  val qGraphKcore: Q = (s, d) => {
+    val k = 2
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.alias("a")
+      .join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select(col("p1"), col("p2"))
+      .localCheckpoint(true) // small; reused every peel round
+    val und = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .unionByName(edges.select(col("p2").as("u"), col("p1").as("v")))
+    var alive = und.select(col("u")).distinct()
+      .localCheckpoint(true)
+    var aliveN = alive.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 12) {
+      val next = und
+        .join(alive, "u")
+        .join(alive.withColumnRenamed("u", "v"), "v")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("u"))
+        .localCheckpoint(true)
+      val nextN = next.count()
+      stable = nextN == aliveN
+      alive = next
+      aliveN = nextN
+      rounds += 1
+    }
+    require(stable, s"k-core peeling did not stabilize in $rounds rounds")
+    und
+      .join(alive, "u")
+      .join(alive.withColumnRenamed("u", "v"), "v")
+      .groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .orderBy("u")
+  }
+
+  val qGraphKcoreSql: String = {
+    val peel = (i: Int) =>
+      // MATERIALIZED throughout: each peel references its predecessor
+      // twice and `und` twice — inlined, the plan doubles per round
+      // (the q_graph_triangles lesson; DuckDB spilled >75 GB once)
+      s"""a$i AS MATERIALIZED (
+         |  SELECT und.u AS u FROM und
+         |  JOIN a${i - 1} x ON x.u = und.u
+         |  JOIN a${i - 1} y ON y.u = und.v
+         |  GROUP BY und.u HAVING count(*) >= 2)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT p1 AS u, p2 AS v FROM edges
+      |  UNION ALL SELECT p2, p1 FROM edges),
+      |a0 AS MATERIALIZED (SELECT DISTINCT u FROM und),
+      |${(1 to 12).map(peel).mkString(",\n")}
+      |SELECT und.u AS u, count(*) AS core_degree
+      |FROM und
+      |JOIN a12 x ON x.u = und.u
+      |JOIN a12 y ON y.u = und.v
+      |GROUP BY und.u ORDER BY und.u""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2059,7 +2232,9 @@ object Maintain {
     "q_time_xcorr"            -> qTimeXcorr,
     "q_stats_kendall"         -> qStatsKendall,
     "q_agg_percentile_exact"  -> qAggPercentileExact,
-    "q_time_holt"             -> qTimeHolt
+    "q_time_holt"             -> qTimeHolt,
+    "q_stats_bootstrap"       -> qStatsBootstrap,
+    "q_graph_kcore"           -> qGraphKcore
   )
 
   val oracles: Map[String, String] = Map(
@@ -2092,6 +2267,8 @@ object Maintain {
     "q_time_xcorr"            -> qTimeXcorrSql,
     "q_stats_kendall"         -> qStatsKendallSql,
     "q_agg_percentile_exact"  -> qAggPercentileExactSql,
-    "q_time_holt"             -> qTimeHoltSql
+    "q_time_holt"             -> qTimeHoltSql,
+    "q_stats_bootstrap"       -> qStatsBootstrapSql,
+    "q_graph_kcore"           -> qGraphKcoreSql
   )
 }
