@@ -2202,6 +2202,224 @@ object Maintain {
       |GROUP BY und.u ORDER BY und.u""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q_seq_paths — most common session event paths.
+  // ---------------------------------------------------------------
+
+  /** Top-20 most common session PATHS — the ordered event-type
+    * sequence of each 30-minute-gap session (the [[Windows.qSessionize]]
+    * session definition), the path-mining readout behind funnel design
+    * ("what do users actually do?"). Order within a session is the
+    * total (ts, event_id) key, made deterministic in Spark by sorting
+    * the collected struct array (collect_list alone has no order
+    * contract) and in DuckDB by `string_agg(... ORDER BY ts,
+    * event_id)`. Ranking ties break on the path string itself.
+    *
+    * At 100 TB: one shuffle on user_id feeds the session windows and
+    * the per-session path build; the path table then collapses to
+    * ≤ |distinct paths| combiner-merged counts, and the top-20 is a
+    * TakeOrdered. Pathological sessions are capped upstream by the
+    * gap rule, so no collect grows unbounded.
+    */
+  val qSeqPaths: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val qSeqPathsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |         event_type
+      |  FROM events),
+      |l AS (
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev_ts
+      |  FROM e),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |sn AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM f),
+      |paths AS (
+      |  SELECT user_id, session_no,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM sn GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_mi — mutual information between type and value bucket.
+  // ---------------------------------------------------------------
+
+  /** Mutual information (and normalized MI) between the event type and
+    * the value decile — the dependence screen that catches what
+    * correlation misses (any non-linear association). Buckets are the
+    * fixed-width [[Insights.qDqDrift]] bins (exact decimal edge
+    * discipline); every probability is a ratio of exact integer counts
+    * written as `(c·N)/(ct·cb)` so both engines evaluate the identical
+    * expression tree, and each of the ≤ 50 plogp terms rounds to 6 dp
+    * before an exact DECIMAL sum (the PSI rule — `ln` is the only
+    * libm call).
+    *
+    * At 100 TB: one conditional aggregate over the fact table to the
+    * (type, bucket) grid; everything after runs on ≤ 50 rows.
+    */
+  val qStatsMi: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val rng = ev.agg(min(col("value")).as("v0"),
+                     max(col("value")).as("v1"))
+    val cells = ev.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("value") - col("v0")) /
+          (greatest(col("v1") - col("v0"), lit(1e-12)) / lit(10.0))),
+          lit(9L)).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ≤ |types|×10 rows; feeds 4 aggregates
+    val n = cells.agg(sum(col("c"))).first().getLong(0)
+    val tMarg = cells.groupBy("event_type").agg(sum(col("c")).as("ct"))
+    val bMarg = cells.groupBy("bucket").agg(sum(col("c")).as("cb"))
+    val nd = lit(n).cast("double")
+    val joint = cells
+      .join(broadcast(tMarg), "event_type")
+      .join(broadcast(bMarg), "bucket")
+    val mi = joint.agg(
+      sum(round((col("c") / nd) *
+        log((col("c") * lit(n)).cast("double") /
+            (col("ct") * col("cb")).cast("double")), 6)
+        .cast(DecimalType(28, 6))).cast("double").as("mi"))
+    val ht = tMarg.agg(
+      sum(round((col("ct") / nd) * -log(col("ct") / nd), 6)
+        .cast(DecimalType(28, 6))).cast("double").as("ht"))
+    val hb = bMarg.agg(
+      sum(round((col("cb") / nd) * -log(col("cb") / nd), 6)
+        .cast(DecimalType(28, 6))).cast("double").as("hb"))
+    mi.crossJoin(ht).crossJoin(hb)
+      .select(lit(n).as("n"), round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / sqrt(col("ht") * col("hb")), 6).as("nmi"))
+  }
+
+  val qStatsMiSql: String =
+    """WITH rng AS (
+      |  SELECT min(value) AS v0, max(value) AS v1 FROM events),
+      |cells AS MATERIALIZED (
+      |  SELECT event_type,
+      |    CAST(least(floor((value - v0) /
+      |      (greatest(v1 - v0, 1e-12) / CAST(10.0 AS DOUBLE))), 9)
+      |      AS BIGINT) AS bucket,
+      |    count(*) AS c
+      |  FROM events, rng GROUP BY 1, 2),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |tm AS MATERIALIZED (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS ct
+      |  FROM cells GROUP BY 1),
+      |bm AS MATERIALIZED (
+      |  SELECT bucket, CAST(sum(c) AS BIGINT) AS cb
+      |  FROM cells GROUP BY 1),
+      |mi AS (
+      |  SELECT CAST(sum(CAST(ROUND(
+      |      (c / CAST(n AS DOUBLE)) *
+      |      ln(CAST(c * n AS DOUBLE) / CAST(ct * cb AS DOUBLE)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS mi
+      |  FROM cells JOIN tm USING (event_type) JOIN bm USING (bucket),
+      |       nn),
+      |ht AS (
+      |  SELECT CAST(sum(CAST(ROUND(
+      |      (ct / CAST(n AS DOUBLE)) * -ln(ct / CAST(n AS DOUBLE)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS ht
+      |  FROM tm, nn),
+      |hb AS (
+      |  SELECT CAST(sum(CAST(ROUND(
+      |      (cb / CAST(n AS DOUBLE)) * -ln(cb / CAST(n AS DOUBLE)), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS hb
+      |  FROM bm, nn)
+      |SELECT (SELECT n FROM nn) AS n, ROUND(mi, 6) AS mi_nats,
+      |  ROUND(mi / sqrt(ht * hb), 6) AS nmi
+      |FROM mi, ht, hb""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_agg_stickiness — DAU/MAU engagement ratio per month.
+  // ---------------------------------------------------------------
+
+  /** Monthly engagement stickiness: average daily active users over
+    * monthly active users — THE product-analytics ratio, and a shape
+    * worth gating because it mixes two exact distinct-counts at
+    * different grains in one result. Both distincts are exact
+    * (shuffle-deduped, no HLL); avg DAU is an integer sum over the
+    * month's day count; the ratio is one round-6 quotient.
+    *
+    * At 100 TB: the (day, user) dedup is the one big exchange; the
+    * month rollup rides the same hash partitioning (day maps to its
+    * month), and MAU reuses the deduped set — no second fact scan.
+    */
+  val qAggStickiness: Q = (s, d) => {
+    val dayUser = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // |days|×|users| bound; feeds DAU and MAU
+    val dau = dayUser.groupBy("day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = dayUser
+      .groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_days"), col("mau"),
+        round(col("dau_sum").cast("double") / col("n_days"), 4)
+          .as("avg_dau"),
+        round(col("dau_sum").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
+  val qAggStickinessSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  user_id
+      |  FROM events),
+      |dau AS (
+      |  SELECT date_trunc('month', day) AS month, count(*) AS n_days,
+      |         CAST(sum(dau) AS BIGINT) AS dau_sum
+      |  FROM (SELECT day, count(*) AS dau FROM du GROUP BY 1)
+      |  GROUP BY 1),
+      |mau AS (
+      |  SELECT date_trunc('month', day) AS month,
+      |         count(DISTINCT user_id) AS mau
+      |  FROM du GROUP BY 1)
+      |SELECT CAST(month AS TIMESTAMP) AS month, n_days, mau,
+      |  ROUND(CAST(dau_sum AS DOUBLE) / n_days, 4) AS avg_dau,
+      |  ROUND(CAST(dau_sum AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM dau JOIN mau USING (month) ORDER BY month""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2234,7 +2452,10 @@ object Maintain {
     "q_agg_percentile_exact"  -> qAggPercentileExact,
     "q_time_holt"             -> qTimeHolt,
     "q_stats_bootstrap"       -> qStatsBootstrap,
-    "q_graph_kcore"           -> qGraphKcore
+    "q_graph_kcore"           -> qGraphKcore,
+    "q_seq_paths"             -> qSeqPaths,
+    "q_stats_mi"              -> qStatsMi,
+    "q_agg_stickiness"        -> qAggStickiness
   )
 
   val oracles: Map[String, String] = Map(
@@ -2269,6 +2490,9 @@ object Maintain {
     "q_agg_percentile_exact"  -> qAggPercentileExactSql,
     "q_time_holt"             -> qTimeHoltSql,
     "q_stats_bootstrap"       -> qStatsBootstrapSql,
-    "q_graph_kcore"           -> qGraphKcoreSql
+    "q_graph_kcore"           -> qGraphKcoreSql,
+    "q_seq_paths"             -> qSeqPathsSql,
+    "q_stats_mi"              -> qStatsMiSql,
+    "q_agg_stickiness"        -> qAggStickinessSql
   )
 }
