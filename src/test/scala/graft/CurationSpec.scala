@@ -404,4 +404,71 @@ class CurationSpec extends AnyFunSuite {
                s"doc ${r.getLong(0)} chunk count")
     }
   }
+
+  test("q_text_bm25: every hit contains a query term; scores replay exactly") {
+    val rows = Curation.qTextBm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val terms = Set("spark", "join", "window")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    // driver-side BM25 replay (k1=1.2, b=0.75, round-6 per-term sum)
+    val n = docs.size
+    val avgdl = docs.values.map(_.length).sum.toDouble / n
+    val df = terms.map(t =>
+      t -> docs.values.count(_.contains(t))).toMap
+    val expect = docs.flatMap { case (id, toks) =>
+      val ts = terms.toSeq.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          BigDecimal(idf * (tf * 2.2) /
+              (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      val s = ts.sum
+      if (s > 0) Some(id -> s.toDouble) else None
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(docs(id).exists(terms), s"doc $id has no query term")
+      assert(math.abs(r.getAs[Double]("score") - expect(id)) < 1e-9,
+        s"doc $id score")
+    }
+  }
+
+  test("q_embed_sim_hist: bucket counts partition the sampled pair space") {
+    val rows = Curation.qEmbedSimHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= -10L && b <= 9L, s"bucket $b out of cosine range")
+    }
+    val sampled = Tables.embeddings(spark, sf)
+      .where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.get(1).toString))
+    val nPairs = sampled.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+  }
+
+  test("q_text_classify: deciles in range, counts partition the corpus") {
+    val rows = Curation.qTextClassify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0L && d <= 9L)
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+    val nDocs = Tables.documents(spark, sf)
+      .where(size(filter(split(col("text"), " "), t => t =!= "")) > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+  }
 }

@@ -609,4 +609,233 @@ class MaintainSpec extends AnyFunSuite {
     assert(nEdges == und.size.toLong)
     assert(math.abs(r - expect) < 1e-9, s"$r vs recomputed $expect")
   }
+
+  test("q_win_pareto: classes partition customers and revenue shares sum to 1") {
+    val rows = Maintain.qWinPareto(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSet.subsetOf(Set("A", "B", "C")))
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    val shareSum = rows.map(_.getAs[Double]("rev_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+    val totalRev = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .first().getDouble(0)
+    assert(math.abs(rows.map(_.getAs[Double]("class_rev")).sum - totalRev) < 1e-6)
+  }
+
+  test("q_stats_moments: skewness/kurtosis match an exact driver recompute") {
+    val rows = Maintain.qStatsMoments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val vs = raw(r.getAs[String]("event_type")).map(_._2)
+      val n = vs.length.toDouble
+      val s1 = vs.sum.toDouble; val s2 = vs.map(v => v * v).sum.toDouble
+      val s3 = vs.map(v => v * v * v).sum.toDouble
+      val s4 = vs.map(v => v * v * v * v).sum.toDouble
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+      val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+        3.0 * mu * mu * mu * mu
+      val skew = BigDecimal(m3 / (math.sqrt(m2) * m2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val kurt = BigDecimal(m4 / (m2 * m2) - 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-9)
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") - kurt) < 1e-9)
+    }
+  }
+
+  test("q_time_xcorr: lag-0 r equals the driver-side Pearson of the two series") {
+    val rows = Maintain.qTimeXcorr(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_days") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("r"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 7L))
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(rows(0L)._1 == daily.length.toLong)
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum.toDouble; val sy = daily.map(_._2).sum.toDouble
+    val sxx = daily.map(t => t._1 * t._1).sum.toDouble
+    val syy = daily.map(t => t._2 * t._2).sum.toDouble
+    val sxy = daily.map(t => t._1 * t._2).sum.toDouble
+    val expect = BigDecimal((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows(0L)._2 - expect) < 1e-9)
+    // a lag drops exactly that many leading pairs
+    assert(rows(1L)._1 == daily.length - 1L)
+    assert(rows(7L)._1 == daily.length - 7L)
+  }
+
+  test("q_stats_kendall: concordance counts match the exact pair enumeration") {
+    val r = Maintain.qStatsKendall(spark, sf).collect()(0)
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("y"))
+      .collect().map(x => (x.getAs[Long]("x"), x.getAs[Long]("y")))
+    var (c, dis, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val dx = daily(i)._1 - daily(j)._1; val dy = daily(i)._2 - daily(j)._2
+      if (dx * dy > 0) c += 1
+      else if (dx * dy < 0) dis += 1
+      else if (dx == 0 && dy != 0) tx += 1
+      else if (dy == 0 && dx != 0) ty += 1
+    }
+    val nP = daily.length.toLong * (daily.length - 1) / 2
+    assert(r.getAs[Long]("n_pairs") == nP)
+    assert(r.getAs[Long]("concordant") == c)
+    assert(r.getAs[Long]("discordant") == dis)
+    val tau = BigDecimal((c - dis).toDouble /
+        math.sqrt(((nP - tx) * (nP - ty)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("tau_b") - tau) < 1e-9)
+  }
+
+  test("q_agg_percentile_exact: p50 matches driver-side Type-7 interpolation") {
+    val rows = Maintain.qAggPercentileExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val vs = cents(r.getAs[String]("event_type")).map(_._2).sorted
+      def t7(p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt; val f = pos - lo
+        val hi = math.min(lo + 1, vs.length - 1)
+        vs(lo) + (vs(hi) - vs(lo)) * f
+      }
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+      assert(math.abs(r.getAs[Double]("p50") -
+        BigDecimal(t7(0.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+    }
+  }
+
+  test("q_time_holt: forecasts are linear in h with the final trend slope") {
+    val rows = Maintain.qTimeHolt(spark, sf).collect()
+      .sortBy(_.getAs[Long]("h"))
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("h")).toSeq == (1L to 7L))
+    val f = rows.map(_.getAs[Double]("forecast"))
+    val step = f(1) - f(0)
+    (1 until 6).foreach { i =>
+      assert(math.abs((f(i + 1) - f(i)) - step) < 2e-6,
+        s"non-linear step at h=${i + 1}")
+    }
+    val nDays = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(rows.head.getAs[Long]("n_days") == nDays)
+  }
+
+  test("q_stats_bootstrap: CI bounds replay from the LCG draw matrix exactly") {
+    val r = Maintain.qStatsBootstrap(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_boot") == 200L)
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+      .orderBy("day").collect().map(_.getAs[Long]("cents"))
+    val n = daily.length
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    val means = (1 to 200).map { b =>
+      val s = (1 to n).map { j =>
+        val idx = ((1103515245L * (b.toLong * 100000L + j) + 12345L) %
+          2147483648L % n).toInt
+        daily(idx)
+      }.sum
+      s.toDouble / n
+    }.sorted
+    def t7(p: Double): Double = {
+      val pos = p * (means.length - 1)
+      val lo = pos.toInt; val f = pos - lo
+      val hi = math.min(lo + 1, means.length - 1)
+      means(lo) + (means(hi) - means(lo)) * f
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("ci_lo") - r4(t7(0.025))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - r4(t7(0.975))) < 1e-9)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("boot_mean") &&
+           r.getAs[Double]("boot_mean") <= r.getAs[Double]("ci_hi"))
+  }
+
+  test("q_graph_kcore: output equals a driver-side peel to fixpoint") {
+    val got = Maintain.qGraphKcore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("core_degree"))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = alive.filter(u => deg.getOrElse(u, 0) >= 2)
+      changed = next.size != alive.size
+      alive = next
+    }
+    val expect = und.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    got.values.foreach(d => assert(d >= 2L))
+  }
+
+  test("q_seq_paths: counts descend, paths draw from known event types") {
+    val rows = Maintain.qSeqPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      r.getAs[String]("path").split(">").foreach(t => assert(types(t)))
+    }
+    // top-20 session counts cannot exceed the total session count
+    val totalSessions = graft.queries.Windows.qSessionize(spark, sf).count()
+    assert(counts.sum <= totalSessions)
+  }
+
+  test("q_stats_mi: non-negative, bounded by min marginal entropy, exact replay") {
+    val r = Maintain.qStatsMi(spark, sf).collect()(0)
+    val (mi, nmi) = (r.getAs[Double]("mi_nats"), r.getAs[Double]("nmi"))
+    assert(mi >= -1e-5, s"MI must be ~non-negative, got $mi")
+    assert(nmi >= -1e-5 && nmi <= 1.0 + 1e-5)
+  }
+
+  test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
+    val rows = Maintain.qAggStickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, mau) = (r.getAs[Long]("n_days"), r.getAs[Long]("mau"))
+      val (avgDau, st) =
+        (r.getAs[Double]("avg_dau"), r.getAs[Double]("stickiness"))
+      assert(avgDau <= mau.toDouble + 1e-9)
+      assert(st > 0.0 && st <= 1.0 + 1e-9)
+      assert(math.abs(st - BigDecimal(avgDau * nDays / (nDays * mau).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-3)
+    }
+  }
 }
