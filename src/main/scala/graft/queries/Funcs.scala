@@ -370,7 +370,50 @@ object Funcs {
       |  count(DISTINCT word) AS n_words
       |FROM pe GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Error-safe expression family: `try_divide` (NULL on zero
+    * denominator), `try_cast` (NULL on malformed input), and
+    * `try_element_at` (NULL out of bounds) — the ANSI-mode-safe
+    * surface an ingestion pipeline leans on instead of job-killing
+    * exceptions. The oracle replays each with DuckDB's native
+    * NULL-producing spelling (`/` on a zero denominator, TRY_CAST,
+    * out-of-range list indexing). The one double sum rounds each
+    * quotient to 6 dp and accumulates in DECIMAL (order-free).
+    */
+  val qFnTry: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      expr("try_divide(o_totalprice, o_orderkey % 7)").as("dv"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) as int)").as("pr"),
+      expr("try_element_at(split(o_orderpriority, '-'), 5)").as("el"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("div_nulls"),
+        sum(round(col("dv"), 6).cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
+          .cast("double").as("div_sum"),
+        sum(col("pr")).as("prio_sum"),
+        sum(when(col("pr").isNull, 1L).otherwise(0L)).as("cast_nulls"),
+        sum(when(col("el").isNull, 1L).otherwise(0L)).as("elem_nulls"))
+
+  val qFnTrySql: String =
+    """WITH t AS (
+      |  SELECT o_totalprice / NULLIF(o_orderkey % 7, 0) AS dv,
+      |    TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pr,
+      |    string_split(o_orderpriority, '-')[5] AS el
+      |  FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS div_nulls,
+      |  CAST(sum(CAST(ROUND(dv, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS div_sum,
+      |  CAST(sum(pr) AS BIGINT) AS prio_sum,
+      |  CAST(sum(CASE WHEN pr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cast_nulls,
+      |  CAST(sum(CASE WHEN el IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS elem_nulls
+      |FROM t""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_fn_try"        -> qFnTry,
     "q_fn_regex"      -> qFnRegex,
     "q_fn_explode"    -> qFnExplode,
     "q_fn_bitwise"    -> qFnBitwise,
@@ -384,6 +427,7 @@ object Funcs {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_try"        -> qFnTrySql,
     "q_fn_regex"      -> qFnRegexSql,
     "q_fn_explode"    -> qFnExplodeSql,
     "q_fn_bitwise"    -> qFnBitwiseSql,

@@ -2145,32 +2145,37 @@ object Maintain {
       .where(col("support") >= 2)
       .select(col("p1"), col("p2"))
       .localCheckpoint(true) // small; reused every peel round
-    val und = edges.select(col("p1").as("u"), col("p2").as("v"))
+    // peel on the LIVE EDGE SET, shrinking it each round: a round drops
+    // the edges touching a degree-<k node, so later rounds join smaller
+    // tables; edge-count fixpoint ⟺ node fixpoint (removing a node
+    // removes its edges). Each round's survivor set is an EAGER
+    // localCheckpoint — `live` appears three times in the next round's
+    // plan (join left + both alive branches), so without truncation the
+    // LOGICAL plan grows 3^rounds and analysis time explodes (measured:
+    // 21 s to plan round 6 over SIX edges); with it every round plans
+    // against a flat checkpoint scan. The count after a checkpoint is
+    // ~free (the data is already materialized and ∝ surviving edges).
+    var live = edges.select(col("p1").as("u"), col("p2").as("v"))
       .unionByName(edges.select(col("p2").as("u"), col("p1").as("v")))
-    var alive = und.select(col("u")).distinct()
       .localCheckpoint(true)
-    var aliveN = alive.count()
+    var liveN = live.count()
     var rounds = 0
     var stable = false
     while (!stable && rounds < 12) {
-      val next = und
+      val alive = live.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u"))
+      val next = live
         .join(alive, "u")
         .join(alive.withColumnRenamed("u", "v"), "v")
-        .groupBy("u").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k)
-        .select(col("u"))
         .localCheckpoint(true)
       val nextN = next.count()
-      stable = nextN == aliveN
-      alive = next
-      aliveN = nextN
+      stable = nextN == liveN
+      live = next
+      liveN = nextN
       rounds += 1
     }
     require(stable, s"k-core peeling did not stabilize in $rounds rounds")
-    und
-      .join(alive, "u")
-      .join(alive.withColumnRenamed("u", "v"), "v")
-      .groupBy("u").agg(count(lit(1)).as("core_degree"))
+    live.groupBy("u").agg(count(lit(1)).as("core_degree"))
       .orderBy("u")
   }
 
@@ -2420,6 +2425,139 @@ object Maintain {
       |    AS stickiness
       |FROM dau JOIN mau USING (month) ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_stats_wilson — Wilson score interval for a proportion.
+  // ---------------------------------------------------------------
+
+  /** Wilson 95% score interval for the per-type proportion of
+    * high-value events (value > 500) — the right CI for proportions
+    * (never leaves [0, 1], sane at small n), complementing
+    * [[qStatsProptest]]'s two-sample z. x and n are exact integers;
+    * the interval is a closed-form expression over them with the z
+    * = 1.96 literal spelled identically in both engines, one sqrt,
+    * round-6 outputs.
+    *
+    * At 100 TB: one conditional aggregate to |types| rows; the math
+    * runs on those rows only.
+    */
+  val qStatsWilson: Q = (s, d) => {
+    val z2 = lit(1.96) * lit(1.96)
+    val n = col("n").cast("double"); val x = col("x").cast("double")
+    val p = x / n
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(1.96) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("x"))
+      .select(col("event_type"), col("n"), col("x"),
+        round(p, 6).as("p_hat"),
+        round((center - spread) / denom, 6).as("ci_lo"),
+        round((center + spread) / denom, 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  val qStatsWilsonSql: String =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT event_type, n, x,
+      |    CAST(n AS DOUBLE) AS nd, CAST(x AS DOUBLE) AS xd
+      |  FROM g)
+      |SELECT event_type, n, x,
+      |  ROUND(xd / nd, 6) AS p_hat,
+      |  ROUND((xd / nd + 1.96 * 1.96 / (2.0 * nd)
+      |         - 1.96 * sqrt((xd / nd) * (1.0 - xd / nd) / nd
+      |                       + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |        / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+      |  ROUND((xd / nd + 1.96 * 1.96 / (2.0 * nd)
+      |         + 1.96 * sqrt((xd / nd) * (1.0 - xd / nd) / nd
+      |                       + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |        / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
+      |FROM c ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_levene — Brown–Forsythe variance-homogeneity test.
+  // ---------------------------------------------------------------
+
+  /** Brown–Forsythe test (Levene with the median center) for equal
+    * spread of order totals across priorities — the check that decides
+    * whether [[Insights.qStatsAnova]]'s equal-variance assumption even
+    * holds. Per group: the EXACT Type-7 median of integer cents (whole
+    * or half-integer, exact in double), then z = |x − med| which is an
+    * exact half-integer per row, summed as DECIMAL(28,1)/(38,2) so the
+    * ANOVA-on-z moment sums are order-free and exact; the F statistic
+    * is single double algebra over those exact sums (the
+    * q_stats_anova discipline).
+    *
+    * At 100 TB: one per-group sort for the medians (the exact-median
+    * contract), then one combining aggregate over the transformed
+    * rows; nothing else.
+    */
+  val qStatsLevene: Q = (s, d) => {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"), cents.as("v"))
+    val med = base.groupBy("grp")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val z = base.join(broadcast(med), "grp")
+      .select(col("grp"),
+        abs(col("v").cast("double") - col("med"))
+          .cast(DecimalType(19, 1)).as("z"))
+    val g = z.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("z")).as("sz"),
+      sum((col("z") * col("z")).cast(DecimalType(38, 2))).as("szz"))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_tot"),
+        sum(round(col("sz").cast("double") * col("sz").cast("double") /
+            col("n").cast("double"), 2)
+          .cast(DecimalType(38, 2))).cast("double").as("sb"),
+        sum(col("sz")).cast("double").as("s_all"),
+        sum(col("szz")).cast("double").as("ss_all"))
+      .select(col("k"), col("n_tot").cast("long").as("n"),
+        round((col("sb") - col("s_all") * col("s_all") /
+               col("n_tot").cast("double")) / (col("k") - 1) /
+              ((col("ss_all") - col("sb")) /
+               (col("n_tot") - col("k")).cast("double")), 6)
+          .as("f_stat"))
+  }
+
+  val qStatsLeveneSql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |med AS (SELECT grp, quantile_cont(v, 0.5) AS med
+      |        FROM base GROUP BY 1),
+      |z AS (
+      |  SELECT base.grp,
+      |    CAST(abs(CAST(v AS DOUBLE) - med) AS DECIMAL(19,1)) AS z
+      |  FROM base JOIN med USING (grp)),
+      |g AS (
+      |  SELECT grp, count(*) AS n, sum(z) AS sz,
+      |    sum(CAST(z * z AS DECIMAL(38,2))) AS szz
+      |  FROM z GROUP BY 1)
+      |SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |  ROUND(((CAST(sum(CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+      |            / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2))) AS DOUBLE)
+      |          - CAST(sum(sz) AS DOUBLE) * CAST(sum(sz) AS DOUBLE)
+      |            / CAST(sum(n) AS DOUBLE)) / (count(*) - 1))
+      |        / ((CAST(sum(szz) AS DOUBLE)
+      |            - CAST(sum(CAST(ROUND(CAST(sz AS DOUBLE)
+      |                  * CAST(sz AS DOUBLE)
+      |                  / CAST(n AS DOUBLE), 2) AS DECIMAL(38,2)))
+      |                AS DOUBLE))
+      |           / CAST(sum(n) - count(*) AS DOUBLE)), 6) AS f_stat
+      |FROM g""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2455,7 +2593,9 @@ object Maintain {
     "q_graph_kcore"           -> qGraphKcore,
     "q_seq_paths"             -> qSeqPaths,
     "q_stats_mi"              -> qStatsMi,
-    "q_agg_stickiness"        -> qAggStickiness
+    "q_agg_stickiness"        -> qAggStickiness,
+    "q_stats_wilson"          -> qStatsWilson,
+    "q_stats_levene"          -> qStatsLevene
   )
 
   val oracles: Map[String, String] = Map(
@@ -2493,6 +2633,8 @@ object Maintain {
     "q_graph_kcore"           -> qGraphKcoreSql,
     "q_seq_paths"             -> qSeqPathsSql,
     "q_stats_mi"              -> qStatsMiSql,
-    "q_agg_stickiness"        -> qAggStickinessSql
+    "q_agg_stickiness"        -> qAggStickinessSql,
+    "q_stats_wilson"          -> qStatsWilsonSql,
+    "q_stats_levene"          -> qStatsLeveneSql
   )
 }
