@@ -2558,6 +2558,182 @@ object Maintain {
       |           / CAST(sum(n) - count(*) AS DOUBLE)), 6) AS f_stat
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_dq_key_skew — shuffle-key skew diagnosis.
+  // ---------------------------------------------------------------
+
+  /** Join/shuffle-key skew diagnosis for `l_orderkey` — the profiling
+    * pass that DECIDES whether a key needs salting ([[Skew]]'s
+    * operators are the treatment; this is the diagnosis): per-key row
+    * counts, their exact p50/p99 (Type-7, integer inputs), the max,
+    * and the max/mean skew factor. Everything is integer counts plus
+    * round-6/round-4 quotients.
+    *
+    * At 100 TB: one combining aggregate to |keys| rows, then the
+    * percentile contract over THAT (the profile is per-key, never
+    * per-row).
+    */
+  val qDqKeySkew: Q = (s, d) => {
+    val perKey = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_rows"),
+      round(expr("percentile(c, 0.5)"), 4).as("p50"),
+      round(expr("percentile(c, 0.99)"), 4).as("p99"),
+      round(max(col("c")).cast("double") /
+        (sum(col("c")).cast("double") / count(lit(1))), 6)
+        .as("skew_factor"))
+  }
+
+  val qDqKeySkewSql: String =
+    """WITH k AS (
+      |  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  max(c) AS max_rows,
+      |  ROUND(quantile_cont(c, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(c, 0.99), 4) AS p99,
+      |  ROUND(CAST(max(c) AS DOUBLE) /
+      |        (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS skew_factor
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_peaks — local-maximum peak detection on the daily series.
+  // ---------------------------------------------------------------
+
+  /** Peak detection over daily revenue: a day is a PEAK when it
+    * strictly exceeds both neighbors AND its revenue is ≥ 1.02× the
+    * trailing-7-day median — the alerting primitive behind
+    * [[Insights.qDqAnomaly]]'s z-screen, in robust (median) form
+    * (1.02 keeps the peak set non-empty at every shipped scale; the
+    * threshold is the tuning knob). The 1.02× test multiplies exact
+    * integer cents by 100 against median×102 so both sides stay exact
+    * (the median is at worst a half-cent, ×102 an exact multiple of
+    * 51); neighbors via lag/lead are exact integers. No FP comparison
+    * anywhere — the ratio column is round-6 display only.
+    *
+    * At 100 TB: the firehose collapses to the day grain first; all
+    * windows run over that bounded series.
+    */
+  val qTimePeaks: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val w7 = wOrd.rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(wOrd))
+      .withColumn("next", lead(col("cents"), 1).over(wOrd))
+      .withColumn("med7", expr("percentile(cents, 0.5)").over(w7))
+      .where(col("prev").isNotNull && col("next").isNotNull &&
+        col("cents") > col("prev") && col("cents") > col("next") &&
+        col("cents").cast("double") * 100.0 >= col("med7") * 102.0)
+      .select(col("day"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+        round(col("cents").cast("double") / col("med7"), 6)
+          .as("vs_med7"))
+      .orderBy("day")
+  }
+
+  val qTimePeaksSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, cents,
+      |    lag(cents, 1) OVER (ORDER BY day) AS prev,
+      |    lead(cents, 1) OVER (ORDER BY day) AS next,
+      |    quantile_cont(cents, 0.5) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |  FROM daily)
+      |SELECT CAST(day AS TIMESTAMP) AS day,
+      |  ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+      |  ROUND(CAST(cents AS DOUBLE) / med7, 6) AS vs_med7
+      |FROM w
+      |WHERE prev IS NOT NULL AND next IS NOT NULL
+      |  AND cents > prev AND cents > next
+      |  AND CAST(cents AS DOUBLE) * 100.0 >= med7 * 102.0
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_simpson — stratification-reversal (Simpson) screen.
+  // ---------------------------------------------------------------
+
+  /** Simpson's-paradox screen: does the purchase-rate difference
+    * between two user cohorts (even/odd user id) REVERSE inside any
+    * event-type stratum relative to the overall difference? Emits the
+    * overall row plus one row per stratum with both cohorts' exact
+    * counts, the round-6 rate difference, and the reversal flag — the
+    * aggregation-bias audit run before trusting any cohort metric.
+    * All decisions compare integer cross-products (x1·n2 vs x2·n1),
+    * never floats, so the flag cannot wobble.
+    *
+    * At 100 TB: one conditional aggregate to |types|+1 rows.
+    */
+  val qStatsSimpson: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2)) === 0).as("cohort_a"),
+        (col("event_type") === "purchase").as("hit"))
+    def cells(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      sum(when(col("cohort_a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cohort_a") && col("hit"), 1L).otherwise(0L)).as("x1"),
+      sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("cohort_a") && col("hit"), 1L).otherwise(0L)).as("x2"))
+    val overall = cells(ev.groupBy())
+      .select(lit("ALL").as("stratum"), col("n1"), col("x1"),
+        col("n2"), col("x2"))
+    val strata = cells(ev.groupBy(col("event_type")))
+      .select(col("event_type").as("stratum"), col("n1"), col("x1"),
+        col("n2"), col("x2"))
+    val all = overall.unionByName(strata)
+    val sign = col("x1") * col("n2") - col("x2") * col("n1")
+    val ovSign = all.where(col("stratum") === "ALL")
+      .select(sign.as("ov_sign"))
+    all.crossJoin(broadcast(ovSign))
+      .select(col("stratum"), col("n1"), col("x1"), col("n2"), col("x2"),
+        round(col("x1").cast("double") / col("n1") -
+              col("x2").cast("double") / col("n2"), 6).as("rate_diff"),
+        (sign * col("ov_sign") < 0).as("reversed"))
+      .orderBy("stratum")
+  }
+
+  val qStatsSimpsonSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id % 2 = 0 AS cohort_a,
+      |    event_type = 'purchase' AS hit
+      |  FROM events),
+      |cells AS (
+      |  SELECT 'ALL' AS stratum,
+      |    CAST(sum(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN cohort_a AND hit THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(sum(CASE WHEN NOT cohort_a AND hit THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x2
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT event_type AS stratum,
+      |    CAST(sum(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN cohort_a AND hit THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN NOT cohort_a AND hit THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM ev GROUP BY event_type),
+      |ov AS (
+      |  SELECT x1 * n2 - x2 * n1 AS ov_sign FROM cells
+      |  WHERE stratum = 'ALL')
+      |SELECT stratum, n1, x1, n2, x2,
+      |  ROUND(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6)
+      |    AS rate_diff,
+      |  (x1 * n2 - x2 * n1) * ov_sign < 0 AS reversed
+      |FROM cells, ov ORDER BY stratum""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2595,7 +2771,10 @@ object Maintain {
     "q_stats_mi"              -> qStatsMi,
     "q_agg_stickiness"        -> qAggStickiness,
     "q_stats_wilson"          -> qStatsWilson,
-    "q_stats_levene"          -> qStatsLevene
+    "q_stats_levene"          -> qStatsLevene,
+    "q_dq_key_skew"           -> qDqKeySkew,
+    "q_time_peaks"            -> qTimePeaks,
+    "q_stats_simpson"         -> qStatsSimpson
   )
 
   val oracles: Map[String, String] = Map(
@@ -2635,6 +2814,9 @@ object Maintain {
     "q_stats_mi"              -> qStatsMiSql,
     "q_agg_stickiness"        -> qAggStickinessSql,
     "q_stats_wilson"          -> qStatsWilsonSql,
-    "q_stats_levene"          -> qStatsLeveneSql
+    "q_stats_levene"          -> qStatsLeveneSql,
+    "q_dq_key_skew"           -> qDqKeySkewSql,
+    "q_time_peaks"            -> qTimePeaksSql,
+    "q_stats_simpson"         -> qStatsSimpsonSql
   )
 }

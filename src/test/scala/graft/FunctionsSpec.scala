@@ -122,4 +122,22 @@ class FunctionsSpec extends AnyFunSuite {
       .first().getLong(0)
     assert(byBucket.collect { case (k, v) if k >= 0 => v }.sum == nTok)
   }
+
+  test("q_fn_try: null accounting matches the raw predicates") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.Funcs.qFnTry(spark, sf).collect()(0)
+    val orders = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderpriority"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.getAs[Long]("n_rows") == orders.length.toLong)
+    // try_divide nulls are exactly the zero denominators
+    assert(r.getAs[Long]("div_nulls") == orders.count(_._1 % 7 == 0).toLong)
+    // every priority leads with a digit → zero cast nulls, exact sum
+    assert(r.getAs[Long]("cast_nulls") == 0L)
+    assert(r.getAs[Long]("prio_sum") ==
+      orders.map(_._2.substring(0, 1).toLong).sum)
+    // priorities are two '-'-joined tokens → element 5 always null
+    assert(r.getAs[Long]("elem_nulls") == orders.length.toLong)
+  }
 }

@@ -825,6 +825,103 @@ class MaintainSpec extends AnyFunSuite {
     assert(nmi >= -1e-5 && nmi <= 1.0 + 1e-5)
   }
 
+  test("q_stats_wilson: interval brackets p_hat and stays inside [0,1]") {
+    val rows = Maintain.qStatsWilson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, p) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+        r.getAs[Double]("p_hat"))
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, s"Wilson CI outside [0,1]: $lo..$hi")
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"p_hat $p outside CI $lo..$hi")
+      assert(r.getAs[Long]("x") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q_stats_levene: F matches a driver-side Brown-Forsythe recompute") {
+    val r = Maintain.qStatsLevene(spark, sf).collect()(0)
+    val groups = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    def t7med(vs: Array[Long]): Double = {
+      val pos = 0.5 * (vs.length - 1)
+      val lo = pos.toInt; val f = pos - lo
+      val hi = math.min(lo + 1, vs.length - 1)
+      vs(lo) + (vs(hi) - vs(lo)) * f
+    }
+    val z = groups.map { case (g, vs) =>
+      val m = t7med(vs); g -> vs.map(v => math.abs(v - m))
+    }
+    val k = z.size.toDouble
+    val nTot = z.values.map(_.length).sum.toDouble
+    val sb = z.values.map { zs =>
+      val s = zs.sum
+      BigDecimal(s * s / zs.length.toDouble)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val sAll = z.values.map(_.sum).sum
+    val ssAll = z.values.flatMap(_.map(x => BigDecimal(x) * BigDecimal(x))).sum.toDouble
+    val f = ((sb - sAll * sAll / nTot) / (k - 1)) /
+      ((ssAll - sb) / (nTot - k))
+    val expect = BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(r.getAs[Long]("k") == z.size.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - expect) < 1e-6,
+      s"${r.getAs[Double]("f_stat")} vs $expect")
+  }
+
+  test("q_dq_key_skew: max >= p99 >= p50 and skew factor replays") {
+    val r = Maintain.qDqKeySkew(spark, sf).collect()(0)
+    assert(r.getAs[Long]("max_rows") >= r.getAs[Double]("p99").toLong)
+    assert(r.getAs[Double]("p99") >= r.getAs[Double]("p50"))
+    val mean = r.getAs[Long]("n_rows").toDouble / r.getAs[Long]("n_keys")
+    val expect = BigDecimal(r.getAs[Long]("max_rows") / mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("skew_factor") - expect) < 1e-9)
+  }
+
+  test("q_time_peaks: every peak strictly beats both neighbors and the bar") {
+    val peaks = Maintain.qTimePeaks(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day").getTime).toSet
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("cents")))
+    assert(peaks.nonEmpty)
+    daily.indices.drop(1).dropRight(1).foreach { i =>
+      val isLocMax = daily(i)._2 > daily(i - 1)._2 &&
+        daily(i)._2 > daily(i + 1)._2
+      val med = {
+        val win = daily.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+        val pos = 0.5 * (win.length - 1); val lo = pos.toInt
+        val f = pos - lo; val hi = math.min(lo + 1, win.length - 1)
+        win(lo) + (win(hi) - win(lo)) * f
+      }
+      val expected = isLocMax && daily(i)._2 * 100.0 >= med * 102.0
+      assert(peaks.contains(daily(i)._1) == expected, s"day index $i")
+    }
+  }
+
+  test("q_stats_simpson: cells partition the events and ALL row is self-consistent") {
+    val rows = Maintain.qStatsSimpson(spark, sf).collect()
+    val all = rows.find(_.getAs[String]("stratum") == "ALL").get
+    assert(!all.getAs[Boolean]("reversed"), "ALL cannot reverse against itself")
+    val strata = rows.filter(_.getAs[String]("stratum") != "ALL")
+    assert(strata.map(_.getAs[Long]("n1")).sum == all.getAs[Long]("n1"))
+    assert(strata.map(_.getAs[Long]("n2")).sum == all.getAs[Long]("n2"))
+    val nEvents = Tables.events(spark, sf).count()
+    assert(all.getAs[Long]("n1") + all.getAs[Long]("n2") == nEvents)
+    // purchase stratum: every event is a hit for its cohort
+    strata.filter(_.getAs[String]("stratum") == "purchase").foreach { r =>
+      assert(r.getAs[Long]("x1") == r.getAs[Long]("n1"))
+      assert(r.getAs[Long]("x2") == r.getAs[Long]("n2"))
+    }
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
