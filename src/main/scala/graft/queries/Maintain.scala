@@ -2734,6 +2734,169 @@ object Maintain {
       |  (x1 * n2 - x2 * n1) * ov_sign < 0 AS reversed
       |FROM cells, ov ORDER BY stratum""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_stats_effect — Cohen's d and Cliff's delta effect sizes.
+  // ---------------------------------------------------------------
+
+  /** Effect sizes between the `click` and `view` value distributions:
+    * Cohen's d (standardized mean difference, from exact decimal
+    * moment sums) and Cliff's delta (the ordinal P(x>y) − P(x<y),
+    * derived from the same grouped-value-domain rank machinery as
+    * [[Insights.qStatsMannWhitney]]) — the "how big, not just how
+    * significant" companions to the repo's test battery. All rank
+    * inputs are exact integers/dyadic halves; d's algebra runs over
+    * exact decimal sums; two round-6 outputs.
+    *
+    * At 100 TB: one combiner-collapsed aggregate to the ≤ |distinct
+    * values| domain, one window over that bounded table, one reduce.
+    */
+  val qStatsEffect: Q = (s, d) => {
+    val g = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("value").cast(DecimalType(18, 2)).as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d2"),
+        sum(when(col("event_type") === "click",
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(0)))
+          .as("s1"),
+        sum(when(col("event_type") === "view",
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(0)))
+          .as("s2"),
+        sum(when(col("event_type") === "click",
+          (col("value").cast(DecimalType(18, 2)) *
+           col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 4))).otherwise(lit(0))).as("ss1"),
+        sum(when(col("event_type") === "view",
+          (col("value").cast(DecimalType(18, 2)) *
+           col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 4))).otherwise(lit(0))).as("ss2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("below2",
+      coalesce(sum("d2").over(w), lit(0L)))
+    val a = ranked.agg(
+      sum("d1").as("n1"), sum("d2").as("n2"),
+      sum("s1").as("s1"), sum("s2").as("s2"),
+      sum("ss1").as("ss1"), sum("ss2").as("ss2"),
+      // 2·U1 = Σ d1·(2·views_below + views_tied) — stays integral
+      sum(col("d1") * (col("below2") * 2 + col("d2"))).as("u1x2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1
+    val m2 = col("s2").cast("double") / n2
+    val var1 = (col("ss1").cast("double") - n1 * m1 * m1) / (n1 - 1)
+    val var2 = (col("ss2").cast("double") - n2 * m2 * m2) / (n2 - 1)
+    val pooled = sqrt(((n1 - 1) * var1 + (n2 - 1) * var2) / (n1 + n2 - 2))
+    a.select(col("n1"), col("n2"),
+      round((m1 - m2) / pooled, 6).as("cohens_d"),
+      round(col("u1x2").cast("double") / (n1 * n2) - 1.0, 6)
+        .as("cliffs_delta"))
+  }
+
+  val qStatsEffectSql: String =
+    """WITH g AS (
+      |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d2,
+      |    sum(CASE WHEN event_type = 'click'
+      |        THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS s1,
+      |    sum(CASE WHEN event_type = 'view'
+      |        THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS s2,
+      |    sum(CASE WHEN event_type = 'click'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) *
+      |                  CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))
+      |        ELSE 0 END) AS ss1,
+      |    sum(CASE WHEN event_type = 'view'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) *
+      |                  CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))
+      |        ELSE 0 END) AS ss2
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), r AS (
+      |  SELECT *, coalesce(CAST(sum(d2) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |    0) AS below2
+      |  FROM g
+      |), a AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS n1,
+      |    CAST(sum(d2) AS BIGINT) AS n2,
+      |    sum(s1) AS s1, sum(s2) AS s2, sum(ss1) AS ss1, sum(ss2) AS ss2,
+      |    CAST(sum(d1 * (below2 * 2 + d2)) AS BIGINT) AS u1x2
+      |  FROM r
+      |), c AS (
+      |  SELECT n1, n2, u1x2,
+      |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d
+      |  FROM a)
+      |SELECT n1, n2,
+      |  ROUND((m1 - m2) /
+      |    sqrt(((n1d - 1) * ((ss1d - n1d * m1 * m1) / (n1d - 1))
+      |          + (n2d - 1) * ((ss2d - n2d * m2 * m2) / (n2d - 1)))
+      |         / (n1d + n2d - 2)), 6) AS cohens_d,
+      |  ROUND(CAST(u1x2 AS DOUBLE) / (n1d * n2d) - 1.0, 6)
+      |    AS cliffs_delta
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_profile_freq — top-k frequent values per column.
+  // ---------------------------------------------------------------
+
+  /** Top-3 most frequent values per categorical column of `orders` —
+    * the frequent-values half of a data profile (the moments half is
+    * [[Insights]]' column profiler). The column stack is built
+    * map-side (explode of a literal struct array — no UNPIVOT shuffle),
+    * then one combining count per (column, value) and a top-3 window
+    * per column with (count desc, value asc) total order.
+    *
+    * At 100 TB: |columns| × |distinct| aggregate rows; the rank window
+    * partitions per column over those aggregates only.
+    */
+  val qProfileFreq: Q = (s, d) => {
+    val stacked = Tables.orders(s, d)
+      .select(explode(array(
+        struct(lit("o_orderstatus").as("column"),
+          col("o_orderstatus").cast("string").as("value")),
+        struct(lit("o_orderpriority").as("column"),
+          col("o_orderpriority").cast("string").as("value")),
+        struct(lit("order_year").as("column"),
+          year(col("o_orderdate")).cast("string").as("value"))))
+        .as("cv"))
+      .select(col("cv.column").as("column"), col("cv.value").as("value"))
+    val counts = stacked.groupBy("column", "value")
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy("column")
+      .orderBy(col("n").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .orderBy("column", "rank")
+  }
+
+  val qProfileFreqSql: String =
+    """WITH stacked AS (
+      |  SELECT 'o_orderstatus' AS "column",
+      |         CAST(o_orderstatus AS VARCHAR) AS "value"
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'order_year',
+      |         CAST(CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+      |           AS VARCHAR)
+      |  FROM orders),
+      |counts AS (
+      |  SELECT "column", "value", count(*) AS n
+      |  FROM stacked GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY "column"
+      |    ORDER BY n DESC, "value" ASC) AS rank
+      |  FROM counts)
+      |SELECT "column", "value", n, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY "column", rank""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2774,7 +2937,9 @@ object Maintain {
     "q_stats_levene"          -> qStatsLevene,
     "q_dq_key_skew"           -> qDqKeySkew,
     "q_time_peaks"            -> qTimePeaks,
-    "q_stats_simpson"         -> qStatsSimpson
+    "q_stats_simpson"         -> qStatsSimpson,
+    "q_stats_effect"          -> qStatsEffect,
+    "q_profile_freq"          -> qProfileFreq
   )
 
   val oracles: Map[String, String] = Map(
@@ -2817,6 +2982,8 @@ object Maintain {
     "q_stats_levene"          -> qStatsLeveneSql,
     "q_dq_key_skew"           -> qDqKeySkewSql,
     "q_time_peaks"            -> qTimePeaksSql,
-    "q_stats_simpson"         -> qStatsSimpsonSql
+    "q_stats_simpson"         -> qStatsSimpsonSql,
+    "q_stats_effect"          -> qStatsEffectSql,
+    "q_profile_freq"          -> qProfileFreqSql
   )
 }

@@ -922,6 +922,50 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_effect: Cliff's delta replays from the exact pair count") {
+    val r = Maintain.qStatsEffect(spark, sf).collect()(0)
+    val vals = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val clicks = vals.filter(_._1 == "click").map(_._2)
+    val views = vals.filter(_._1 == "view").map(_._2)
+    assert(r.getAs[Long]("n1") == clicks.length.toLong)
+    assert(r.getAs[Long]("n2") == views.length.toLong)
+    var gt = 0L; var lt = 0L
+    for (c <- clicks; v <- views) {
+      if (c > v) gt += 1 else if (c < v) lt += 1
+    }
+    val delta = BigDecimal((gt - lt).toDouble /
+        (clicks.length.toLong * views.length).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 1e-9,
+      s"${r.getAs[Double]("cliffs_delta")} vs $delta")
+    assert(math.abs(r.getAs[Double]("cohens_d")) < 10.0)
+  }
+
+  test("q_profile_freq: per-column top-3 by exact counts, ranks dense") {
+    val rows = Maintain.qProfileFreq(spark, sf).collect()
+    val byCol = rows.groupBy(_.getAs[String]("column"))
+    assert(byCol.keySet ==
+      Set("o_orderstatus", "o_orderpriority", "order_year"))
+    byCol.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+    // counts agree with a direct groupBy
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
+    byCol("o_orderpriority").foreach { r =>
+      assert(direct(r.getAs[String]("value")) == r.getAs[Long]("n"))
+    }
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
