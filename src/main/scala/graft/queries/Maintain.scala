@@ -2897,6 +2897,204 @@ object Maintain {
       |SELECT "column", "value", n, rank FROM ranked
       |WHERE rank <= 3 ORDER BY "column", rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_sample_neyman — optimal (Neyman) stratified allocation.
+  // ---------------------------------------------------------------
+
+  /** Neyman-allocated stratified sample of orders: 1 000 samples
+    * distributed across priority strata ∝ N_h·σ_h (high-variance
+    * strata get proportionally more), with the leftover seats assigned
+    * by largest remainder, then per-stratum selection by md5 hash
+    * order (the [[qSampleConsistent]] determinism rule — same sample
+    * every engine, every run). σ_h comes from exact decimal moments;
+    * the allocation quotients are identical doubles in both engines
+    * (exact integer/decimal inputs, one sqrt), and remainder ties
+    * break on the stratum name.
+    *
+    * At 100 TB: moments are one combining aggregate; the selection
+    * window sorts only within strata and is bounded by the allocation
+    * (a threshold-on-hash two-pass replaces the rank window when
+    * strata are huge — documented trade).
+    */
+  val qSampleNeyman: Q = (s, d) => {
+    val total = 1000L
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("stratum"),
+        cents.as("v"))
+    val m = base.groupBy("stratum").agg(
+      count(lit(1)).as("nh"),
+      sum(col("v")).as("sv"),
+      sum((col("v").cast(DecimalType(19, 0)) *
+           col("v").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .as("svv"))
+    val nh = col("nh").cast("double")
+    val sd = sqrt((col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") / nh) /
+      (nh - 1))
+    val weighted = m.withColumn("w", nh * sd)
+    val wSum = Window.partitionBy()
+    val alloc = weighted
+      .withColumn("share", col("w") * total / sum(col("w")).over(wSum))
+      .withColumn("base_n", floor(col("share")).cast("long"))
+      .withColumn("rem", col("share") - col("base_n"))
+      .withColumn("leftover",
+        (lit(total) - sum(col("base_n")).over(wSum)).cast("long"))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum").asc)))
+      .withColumn("n_alloc",
+        col("base_n") + when(col("rrank") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("nh"), col("n_alloc"))
+    val picked = base.join(broadcast(alloc), "stratum")
+      .withColumn("hk", md5(col("o_orderkey").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum")
+          .orderBy(col("hk").asc, col("o_orderkey").asc)))
+      .where(col("rn") <= col("n_alloc"))
+    picked.groupBy("stratum")
+      .agg(max(col("nh")).as("n_stratum"),
+        count(lit(1)).as("n_sampled"),
+        round(sum(col("v")).cast("double") / count(lit(1)) / 100.0, 4)
+          .as("sample_mean"))
+      .orderBy("stratum")
+  }
+
+  val qSampleNeymanSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority AS stratum,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |m AS (
+      |  SELECT stratum, count(*) AS nh,
+      |    CAST(sum(v) AS BIGINT) AS sv,
+      |    sum(CAST(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))
+      |        AS DECIMAL(38,0))) AS svv
+      |  FROM base GROUP BY 1),
+      |w AS (
+      |  SELECT stratum, nh,
+      |    CAST(nh AS DOUBLE) *
+      |    sqrt((CAST(svv AS DOUBLE)
+      |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |            / CAST(nh AS DOUBLE))
+      |         / (CAST(nh AS DOUBLE) - 1)) AS wgt
+      |  FROM m),
+      |a AS (
+      |  SELECT stratum, nh,
+      |    wgt * 1000 / sum(wgt) OVER () AS share
+      |  FROM w),
+      |b AS (
+      |  SELECT stratum, nh,
+      |    CAST(floor(share) AS BIGINT) AS base_n,
+      |    share - floor(share) AS rem,
+      |    1000 - CAST(sum(floor(share)) OVER () AS BIGINT) AS leftover,
+      |    row_number() OVER (ORDER BY share - floor(share) DESC,
+      |                       stratum ASC) AS rrank
+      |  FROM a),
+      |alloc AS (
+      |  SELECT stratum, nh,
+      |    base_n + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+      |      AS n_alloc
+      |  FROM b),
+      |picked AS (
+      |  SELECT base.stratum, v, nh, n_alloc,
+      |    row_number() OVER (PARTITION BY base.stratum
+      |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+      |               o_orderkey ASC) AS rn
+      |  FROM base JOIN alloc USING (stratum))
+      |SELECT stratum, max(nh) AS n_stratum, count(*) AS n_sampled,
+      |  ROUND(CAST(sum(v) AS DOUBLE) / count(*) / 100.0, 4)
+      |    AS sample_mean
+      |FROM picked WHERE rn <= n_alloc
+      |GROUP BY 1 ORDER BY stratum""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_rank_rbo — rank-biased overlap between two revenue rankings.
+  // ---------------------------------------------------------------
+
+  /** Rank-biased overlap (RBO, p = 0.9, truncated at k = 20) between
+    * the part-revenue rankings of 1995's first and second halves — the
+    * top-weighted "did the leaderboard change?" metric that plain
+    * set-overlap misses. Revenue is an exact decimal
+    * Σ extendedprice·(1−discount); each list orders by (revenue desc,
+    * partkey asc), a total order. A shared part with ranks (ra, rb)
+    * joins every prefix depth d ≥ max(ra, rb), so the per-depth
+    * overlap X_d is one integer count; each depth term
+    * (1−p)·p^(d−1)·X_d/d rounds to 6 dp into an exact DECIMAL sum (the
+    * PSI discipline — `pow`'s ≤1 ulp sits far below the round).
+    *
+    * At 100 TB the two rankings are TakeOrdered-k results (k = 20),
+    * so the RBO math runs on ≤ 2k rows regardless of corpus size.
+    */
+  val qRankRbo: Q = (s, d) => {
+    val k = 20
+    val li = Tables.lineitem(s, d)
+      .where(year(col("l_shipdate")) === 1995)
+      .select(col("l_partkey"),
+        month(col("l_shipdate")).as("m"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+         (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 4)).as("rev"))
+    def topk(half: org.apache.spark.sql.Column, name: String) = {
+      val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      li.where(half).groupBy("l_partkey")
+        .agg(sum(col("rev")).as("rev"))
+        .withColumn(name, row_number().over(w))
+        .where(col(name) <= k)
+        .select(col("l_partkey"), col(name))
+    }
+    val a = topk(col("m") <= 6, "ra")
+    val b = topk(col("m") > 6, "rb")
+    val shared = a.join(b, "l_partkey")
+      .select(greatest(col("ra"), col("rb")).as("dmin"))
+    val depths = Tables.nation(s, d) // any 25-row table beats a range()
+      .select((col("n_nationkey") + 1).cast("int").as("depth"))
+      .where(col("depth") <= k)
+    depths.join(broadcast(shared), col("dmin") <= col("depth"), "left")
+      .groupBy("depth")
+      .agg(sum(when(col("dmin").isNotNull, 1L).otherwise(0L)).as("xd"))
+      .agg(
+        lit(k).as("k"),
+        max(when(col("depth") === k, col("xd"))).as("overlap_at_k"),
+        sum(round(lit(0.1) * pow(lit(0.9), col("depth") - 1) *
+          col("xd") / col("depth"), 6).cast(DecimalType(18, 6)))
+          .cast("double").as("rbo_min"))
+  }
+
+  val qRankRboSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, month(CAST(l_shipdate AS DATE)) AS m,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(28,4)) AS rev
+      |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995),
+      |a AS (
+      |  SELECT l_partkey, row_number() OVER (ORDER BY sum(rev) DESC,
+      |    l_partkey ASC) AS ra
+      |  FROM li WHERE m <= 6 GROUP BY l_partkey
+      |  ORDER BY sum(rev) DESC, l_partkey ASC LIMIT 20),
+      |b AS (
+      |  SELECT l_partkey, row_number() OVER (ORDER BY sum(rev) DESC,
+      |    l_partkey ASC) AS rb
+      |  FROM li WHERE m > 6 GROUP BY l_partkey
+      |  ORDER BY sum(rev) DESC, l_partkey ASC LIMIT 20),
+      |shared AS (
+      |  SELECT greatest(ra, rb) AS dmin FROM a JOIN b USING (l_partkey)),
+      |xd AS (
+      |  SELECT d.depth,
+      |    CAST(sum(CASE WHEN s.dmin IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS xd
+      |  FROM (SELECT unnest(generate_series(1, 20)) AS depth) d
+      |  LEFT JOIN shared s ON s.dmin <= d.depth
+      |  GROUP BY 1)
+      |SELECT 20 AS k,
+      |  max(CASE WHEN depth = 20 THEN xd END) AS overlap_at_k,
+      |  CAST(sum(CAST(ROUND(0.1 * power(0.9, depth - 1) * xd / depth, 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS rbo_min
+      |FROM xd""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -2939,7 +3137,9 @@ object Maintain {
     "q_time_peaks"            -> qTimePeaks,
     "q_stats_simpson"         -> qStatsSimpson,
     "q_stats_effect"          -> qStatsEffect,
-    "q_profile_freq"          -> qProfileFreq
+    "q_profile_freq"          -> qProfileFreq,
+    "q_sample_neyman"         -> qSampleNeyman,
+    "q_rank_rbo"              -> qRankRbo
   )
 
   val oracles: Map[String, String] = Map(
@@ -2984,6 +3184,8 @@ object Maintain {
     "q_time_peaks"            -> qTimePeaksSql,
     "q_stats_simpson"         -> qStatsSimpsonSql,
     "q_stats_effect"          -> qStatsEffectSql,
-    "q_profile_freq"          -> qProfileFreqSql
+    "q_profile_freq"          -> qProfileFreqSql,
+    "q_sample_neyman"         -> qSampleNeymanSql,
+    "q_rank_rbo"              -> qRankRboSql
   )
 }

@@ -966,6 +966,52 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_neyman: allocation sums to 1000 and respects Neyman weights") {
+    val rows = Maintain.qSampleNeyman(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum == 1000L)
+    // strata partition the order population
+    assert(rows.map(_.getAs[Long]("n_stratum")).sum ==
+      Tables.orders(spark, sf).count())
+    // allocation proportional to N_h * sd_h (largest-remainder): verify
+    // against a driver-side recompute of the weights
+    val g = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val w = g.map { case (k, vs0) =>
+      val vs = vs0.map(_._2)
+      val n = vs.length.toDouble
+      val s = vs.sum.toDouble
+      val ss = vs.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      k -> n * math.sqrt((ss - s * s / n) / (n - 1))
+    }
+    val wSum = w.values.sum
+    val shares = w.view.mapValues(_ * 1000 / wSum).toMap
+    val baseN = shares.view.mapValues(s => math.floor(s).toLong).toMap
+    val leftover = 1000L - baseN.values.sum
+    val byRem = shares.map { case (k, s) => (k, s - math.floor(s)) }
+      .toSeq.sortBy { case (k, r) => (-r, k) }
+    val expect = baseN ++ byRem.take(leftover.toInt)
+      .map { case (k, _) => k -> (baseN(k) + 1) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") ==
+        expect(r.getAs[String]("stratum")),
+        s"stratum ${r.getAs[String]("stratum")}")
+    }
+  }
+
+  test("q_rank_rbo: bounded by [0,1] and consistent with the k overlap") {
+    val r = Maintain.qRankRbo(spark, sf).collect()(0)
+    val (rbo, ov) = (r.getAs[Double]("rbo_min"), r.getAs[Long]("overlap_at_k"))
+    assert(rbo >= 0.0 && rbo <= 1.0 + 1e-9)
+    assert(ov >= 0L && ov <= 20L)
+    // identical lists would give rbo_min = sum((1-p) p^(d-1)) < 1;
+    // the overlap fraction at k upper-bounds nothing, but zero overlap
+    // forces rbo = 0
+    if (ov == 0L) assert(rbo == 0.0)
+    if (rbo > 0.0) assert(ov > 0L)
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)

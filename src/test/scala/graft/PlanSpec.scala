@@ -538,7 +538,23 @@ class PlanSpec extends AnyFunSuite {
                           // 10-row query-vector batch broadcast
                           "q_sim_batch_topk",
                           // 1-row key-stats × 1-row gap-stats combine
-                          "q_dq_pk_gaps")
+                          "q_dq_pk_gaps",
+                          // 1-row corpus-total broadcast
+                          "q_dq_entropy",
+                          // 1-row query-vector + ground-truth broadcast
+                          "q_embed_ann_recall",
+                          // non-equi pair joins over the AGGREGATED
+                          // day series (≤ |days|² comparisons by
+                          // contract, never the fact table)
+                          "q_stats_theilsen", "q_stats_kendall",
+                          // 1-row value-range + ≤50-row marginals
+                          "q_stats_mi",
+                          // 1-row overall-sign broadcast
+                          "q_stats_simpson",
+                          // 1-row (n_docs, avgdl) stats broadcast
+                          "q_text_bm25",
+                          // ≤20-row shared-rank list × 20-depth series
+                          "q_rank_rbo")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
