@@ -3095,6 +3095,157 @@ object Maintain {
       |    AS DECIMAL(18,6))) AS DOUBLE) AS rbo_min
       |FROM xd""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_text_repetition — intra-document repetition signals.
+  // ---------------------------------------------------------------
+
+  /** Intra-document repetition profile per language — the
+    * Gopher-style "repetitious text" screens a curation pass filters
+    * on: the duplicate-3-gram fraction (1 − distinct/total sliding
+    * 3-grams) and the top-token share (most frequent token / doc
+    * length), averaged per language with a flagged-document count.
+    * Both signals are ROW-LOCAL array expressions (no explode, no
+    * shuffle until the |langs|-row rollup); each per-doc ratio rounds
+    * to 6 dp and the averages sum those rounded decimals, so the
+    * aggregate is order-free in both engines.
+    *
+    * At 100 TB: pure map-side scoring — the codegen'd array kernels
+    * run inside the scan stage; only ≤ |langs| rows move.
+    */
+  val qTextRepetition: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val dl = size(col("toks"))
+    val grams = transform(sequence(lit(0), dl - 3),
+      i => concat_ws(" ", col("toks")(i), col("toks")(i + 1),
+        col("toks")(i + 2)))
+    val rep3 = round(lit(1.0) -
+      size(array_distinct(col("grams"))).cast("double") /
+      size(col("grams")).cast("double"), 6)
+    val topShare = round(
+      array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t)))).cast("double") /
+      dl.cast("double"), 6)
+    Tables.documents(s, d)
+      .select(col("lang"), toks.as("toks"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("grams", grams)
+      .select(col("lang"), rep3.as("rep3"), topShare.as("top_share"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("rep3").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_rep3"),
+        round(sum(col("top_share").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_top_share"),
+        sum(when(col("rep3") > 0.2 || col("top_share") > 0.1, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT lang,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang,
+      |    list_transform(generate_series(1, len(ts) - 2),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS grams,
+      |    ts
+      |  FROM toks WHERE len(ts) >= 3),
+      |r AS (
+      |  SELECT lang,
+      |    ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+      |                / len(grams), 6) AS rep3,
+      |    ROUND(CAST(list_max(list_transform(list_distinct(ts),
+      |        t -> len(list_filter(ts, x -> x = t)))) AS DOUBLE)
+      |      / len(ts), 6) AS top_share
+      |  FROM g)
+      |SELECT lang, count(*) AS n_docs,
+      |  ROUND(CAST(sum(CAST(rep3 AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(*), 6) AS avg_rep3,
+      |  ROUND(CAST(sum(CAST(top_share AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(*), 6) AS avg_top_share,
+      |  CAST(sum(CASE WHEN rep3 > 0.2 OR top_share > 0.1
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM r GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_runs — Wald–Wolfowitz runs test on daily movements.
+  // ---------------------------------------------------------------
+
+  /** Wald–Wolfowitz runs test on the up/down sequence of daily
+    * revenue — "is the series random, trending, or mean-reverting?"
+    * (too few runs → momentum; too many → oscillation), rounding out
+    * the time-series test battery. Signs come from exact integer-cent
+    * differences (zeros dropped, the standard treatment); the run
+    * count is one lag comparison; μ, σ, z are closed-form doubles over
+    * exact integers, round-6.
+    *
+    * At 100 TB: day-grain collapse first; the sign/lag machinery runs
+    * on the bounded series.
+    */
+  val qStatsRuns: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val signs = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("diff", col("cents") - lag(col("cents"), 1).over(wOrd))
+      .where(col("diff").isNotNull && col("diff") =!= 0)
+      .withColumn("sgn", when(col("diff") > 0, 1L).otherwise(-1L))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(wOrd).isNull ||
+          lag(col("sgn"), 1).over(wOrd) =!= col("sgn"), 1L)
+          .otherwise(0L))
+    val a = signs.agg(
+      sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+      sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+      sum(col("chg")).as("runs"))
+    val n1 = col("n_up").cast("double"); val n2 = col("n_down").cast("double")
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+    val sig = sqrt(lit(2.0) * n1 * n2 *
+      (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+    a.select(col("n_up"), col("n_down"), col("runs"),
+      round(mu, 6).as("expected_runs"),
+      round((col("runs").cast("double") - mu) / sig, 6).as("z"))
+  }
+
+  val qStatsRunsSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |dd AS (
+      |  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff
+      |  FROM daily),
+      |sg AS (
+      |  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM dd WHERE diff IS NOT NULL AND diff <> 0),
+      |ch AS (
+      |  SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+      |                     OR lag(sgn) OVER (ORDER BY day) <> sgn
+      |                   THEN 1 ELSE 0 END AS chg
+      |  FROM sg),
+      |a AS (
+      |  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_up,
+      |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_down,
+      |    CAST(sum(chg) AS BIGINT) AS runs
+      |  FROM ch),
+      |c AS (
+      |  SELECT n_up, n_down, runs,
+      |    CAST(n_up AS DOUBLE) AS n1, CAST(n_down AS DOUBLE) AS n2
+      |  FROM a)
+      |SELECT n_up, n_down, runs,
+      |  ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+      |  ROUND((CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+      |        / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |               / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+      |FROM c""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3139,7 +3290,9 @@ object Maintain {
     "q_stats_effect"          -> qStatsEffect,
     "q_profile_freq"          -> qProfileFreq,
     "q_sample_neyman"         -> qSampleNeyman,
-    "q_rank_rbo"              -> qRankRbo
+    "q_rank_rbo"              -> qRankRbo,
+    "q_text_repetition"       -> qTextRepetition,
+    "q_stats_runs"            -> qStatsRuns
   )
 
   val oracles: Map[String, String] = Map(
@@ -3186,6 +3339,8 @@ object Maintain {
     "q_stats_effect"          -> qStatsEffectSql,
     "q_profile_freq"          -> qProfileFreqSql,
     "q_sample_neyman"         -> qSampleNeymanSql,
-    "q_rank_rbo"              -> qRankRboSql
+    "q_rank_rbo"              -> qRankRboSql,
+    "q_text_repetition"       -> qTextRepetitionSql,
+    "q_stats_runs"            -> qStatsRunsSql
   )
 }

@@ -1012,6 +1012,53 @@ class MaintainSpec extends AnyFunSuite {
     if (rbo > 0.0) assert(ov > 0L)
   }
 
+  test("q_text_repetition: ratios replay from a driver-side token walk") {
+    val rows = Maintain.qTextRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)
+        .split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._2.length >= 3).groupBy(_._1)
+    rows.foreach { r =>
+      val g = docs(r.getAs[String]("lang")).map(_._2)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val rep3s = g.map { ts =>
+        val grams = ts.sliding(3).map(_.mkString(" ")).toSeq
+        r6(1.0 - grams.distinct.length.toDouble / grams.length)
+      }
+      val shares = g.map { ts =>
+        r6(ts.groupBy(identity).values.map(_.size).max.toDouble / ts.length)
+      }
+      val expRep = r6((rep3s.sum / g.length).toDouble).toDouble
+      val expShare = r6((shares.sum / g.length).toDouble).toDouble
+      assert(math.abs(r.getAs[Double]("avg_rep3") - expRep) < 1e-9)
+      assert(math.abs(r.getAs[Double]("avg_top_share") - expShare) < 1e-9)
+      val flagged = rep3s.zip(shares)
+        .count { case (a, b) => a.toDouble > 0.2 || b.toDouble > 0.1 }
+      assert(r.getAs[Long]("n_flagged") == flagged.toLong)
+    }
+  }
+
+  test("q_stats_runs: run count matches a driver-side sign walk") {
+    val r = Maintain.qStatsRuns(spark, sf).collect()(0)
+    val cents = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("c"))
+      .orderBy("day").collect().map(_.getAs[Long]("c"))
+    val sgns = cents.zip(cents.tail).map { case (a, b) => b - a }
+      .filter(_ != 0L).map(d => if (d > 0) 1 else -1)
+    val runs = if (sgns.isEmpty) 0
+      else 1 + sgns.zip(sgns.tail).count { case (a, b) => a != b }
+    assert(r.getAs[Long]("n_up") == sgns.count(_ == 1).toLong)
+    assert(r.getAs[Long]("n_down") == sgns.count(_ == -1).toLong)
+    assert(r.getAs[Long]("runs") == runs.toLong)
+    assert(r.getAs[Long]("runs") <= sgns.length.toLong)
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
