@@ -3246,6 +3246,155 @@ object Maintain {
       |               / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_text_udiv — unigram KL divergence of each doc vs the corpus.
+  // ---------------------------------------------------------------
+
+  /** Per-document unigram KL divergence against the corpus
+    * distribution, averaged per language — the CCNet-style "does this
+    * document look like the corpus?" filter signal (high KL = jargon /
+    * boilerplate / wrong-language). Corpus token counts are one tiny
+    * aggregate joined broadcast; each doc's KL is
+    * Σ_t p_doc·ln(p_doc/p_corpus) over its own tokens with every term
+    * rounded to 6 dp into a DECIMAL sum (PSI discipline), and the
+    * per-language average sums those rounded per-doc KLs the same way.
+    * All probabilities are ratios of exact integer counts written as
+    * (c_doc·N_corpus)/(dl·c_corpus) — identical trees in both engines.
+    *
+    * At 100 TB: the corpus distribution is a combiner-collapsed
+    * |vocab|-row broadcast; the per-doc pass is one explode + local
+    * re-aggregation keyed by doc (the token stream never joins
+    * anything bigger than the broadcast).
+    */
+  val qTextUdiv: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+    val corpus = base.groupBy("tok").agg(count(lit(1)).as("ct"))
+    val nCorpus = base.agg(count(lit(1))).first().getLong(0)
+    val docTok = base.groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("cd"))
+    val dl = Window.partitionBy("doc_id")
+    val kl = docTok
+      .withColumn("dlen", sum(col("cd")).over(dl))
+      .join(broadcast(corpus), "tok")
+      .groupBy("doc_id", "lang")
+      .agg(sum(round((col("cd") / col("dlen")) *
+        log((col("cd") * lit(nCorpus)).cast("double") /
+            (col("dlen") * col("ct")).cast("double")), 6)
+        .cast(DecimalType(18, 6))).as("kl"))
+    kl.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("kl")).cast("double") / count(lit(1)), 6)
+          .as("avg_kl"),
+        round(max(col("kl")).cast("double"), 6).as("max_kl"))
+      .orderBy("lang")
+  }
+
+  val qTextUdivSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0)) AS tok
+      |  FROM documents),
+      |corpus AS (SELECT tok, count(*) AS ct FROM base GROUP BY 1),
+      |nc AS (SELECT count(*) AS n FROM base),
+      |dt AS (
+      |  SELECT doc_id, lang, tok, count(*) AS cd
+      |  FROM base GROUP BY 1, 2, 3),
+      |dl AS (
+      |  SELECT *, CAST(sum(cd) OVER (PARTITION BY doc_id) AS BIGINT)
+      |    AS dlen
+      |  FROM dt),
+      |kl AS (
+      |  SELECT doc_id, lang,
+      |    sum(CAST(ROUND((cd / CAST(dlen AS DOUBLE)) *
+      |      ln(CAST(cd * nc.n AS DOUBLE) / CAST(dlen * ct AS DOUBLE)),
+      |      6) AS DECIMAL(18,6))) AS kl
+      |  FROM dl JOIN corpus USING (tok), nc
+      |  GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |  ROUND(CAST(sum(kl) AS DOUBLE) / count(*), 6) AS avg_kl,
+      |  ROUND(CAST(max(kl) AS DOUBLE), 6) AS max_kl
+      |FROM kl GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_eval_lift — decile gains/lift chart for a score column.
+  // ---------------------------------------------------------------
+
+  /** Decile gains chart: rank users by their total event value
+    * (the "model score"), cut into deciles, and report each decile's
+    * purchaser rate plus cumulative lift over the base rate — THE
+    * model-evaluation table for any ranking/propensity score. Deciles
+    * come from ntile(10) over the total (value desc, user_id asc)
+    * order — deterministic in both engines; rates and lifts are
+    * round-6 ratios of exact integer counts (cumulative sums over the
+    * 10-row decile table).
+    *
+    * At 100 TB: one combining aggregate to |users|, one global ntile
+    * window over the aggregate (the documented exact-decile contract;
+    * the sketch-based approximate cut is the scale path), then 10-row
+    * math.
+    */
+  val qEvalLift: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchaser"))
+    val cut = users.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc,
+        col("user_id").asc)))
+    val byDecile = cut.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("purchaser")).as("n_purchasers"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byDecile
+      .withColumn("cum_u", sum(col("n_users")).over(wCum))
+      .withColumn("cum_p", sum(col("n_purchasers")).over(wCum))
+      .withColumn("tot_u", sum(col("n_users")).over(wAll))
+      .withColumn("tot_p", sum(col("n_purchasers")).over(wAll))
+      .select(col("decile"), col("n_users"), col("n_purchasers"),
+        round(col("n_purchasers").cast("double") / col("n_users"), 6)
+          .as("rate"),
+        round((col("cum_p").cast("double") / col("cum_u")) /
+          (col("tot_p").cast("double") / col("tot_u")), 6)
+          .as("cum_lift"))
+      .orderBy("decile")
+  }
+
+  val qEvalLiftSql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS score,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS purchaser
+      |  FROM events GROUP BY 1),
+      |cut AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id ASC)
+      |    AS decile
+      |  FROM users),
+      |bd AS (
+      |  SELECT decile, count(*) AS n_users,
+      |    CAST(sum(purchaser) AS BIGINT) AS n_purchasers
+      |  FROM cut GROUP BY 1),
+      |c AS (
+      |  SELECT *,
+      |    CAST(sum(n_users) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u,
+      |    CAST(sum(n_purchasers) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p,
+      |    CAST(sum(n_users) OVER () AS BIGINT) AS tot_u,
+      |    CAST(sum(n_purchasers) OVER () AS BIGINT) AS tot_p
+      |  FROM bd)
+      |SELECT decile, n_users, n_purchasers,
+      |  ROUND(CAST(n_purchasers AS DOUBLE) / n_users, 6) AS rate,
+      |  ROUND((CAST(cum_p AS DOUBLE) / cum_u) /
+      |        (CAST(tot_p AS DOUBLE) / tot_u), 6) AS cum_lift
+      |FROM c ORDER BY decile""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3292,7 +3441,9 @@ object Maintain {
     "q_sample_neyman"         -> qSampleNeyman,
     "q_rank_rbo"              -> qRankRbo,
     "q_text_repetition"       -> qTextRepetition,
-    "q_stats_runs"            -> qStatsRuns
+    "q_stats_runs"            -> qStatsRuns,
+    "q_text_udiv"             -> qTextUdiv,
+    "q_eval_lift"             -> qEvalLift
   )
 
   val oracles: Map[String, String] = Map(
@@ -3341,6 +3492,8 @@ object Maintain {
     "q_sample_neyman"         -> qSampleNeymanSql,
     "q_rank_rbo"              -> qRankRboSql,
     "q_text_repetition"       -> qTextRepetitionSql,
-    "q_stats_runs"            -> qStatsRunsSql
+    "q_stats_runs"            -> qStatsRunsSql,
+    "q_text_udiv"             -> qTextUdivSql,
+    "q_eval_lift"             -> qEvalLiftSql
   )
 }

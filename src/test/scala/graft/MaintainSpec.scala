@@ -1059,6 +1059,37 @@ class MaintainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("runs") <= sgns.length.toLong)
   }
 
+  test("q_text_udiv: KL is non-negative and a uniform corpus doc scores ~0") {
+    val rows = Maintain.qTextUdiv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Gibbs: KL(p_doc || p_corpus) >= 0 up to the 6-dp term rounding
+      assert(r.getAs[Double]("avg_kl") >= -1e-4,
+        s"lang ${r.getAs[String]("lang")}: avg KL ${r.getAs[Double]("avg_kl")}")
+      assert(r.getAs[Double]("max_kl") >= r.getAs[Double]("avg_kl") - 1e-9)
+    }
+    val nDocs = Tables.documents(spark, sf)
+      .where(size(filter(split(col("text"), " "), t => t =!= "")) > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+  }
+
+  test("q_eval_lift: deciles partition users, top decile lift >= 1 ordering") {
+    val rows = Maintain.qEvalLift(spark, sf).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // the last cumulative lift covers everyone → exactly 1
+    assert(math.abs(rows.last.getAs[Double]("cum_lift") - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchasers") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Double]("rate") >= 0.0 &&
+             r.getAs[Double]("rate") <= 1.0)
+    }
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
