@@ -3395,6 +3395,96 @@ object Maintain {
       |        (CAST(tot_p AS DOUBLE) / tot_u), 6) AS cum_lift
       |FROM c ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_time_stl — classical seasonal decomposition (trend + weekday).
+  // ---------------------------------------------------------------
+
+  /** Classical decomposition of daily revenue: centered 7-day
+    * moving-average trend, per-weekday seasonal index over the
+    * detrended series, and the residual sd — the decomposition
+    * [[Insights.qTimeSeasonality]]'s one-number seasonality score
+    * summarizes. Exactness: the MA is rounded to a 4-dp DECIMAL (its
+    * input sum is an exact integer, the ÷7 quotient is the same
+    * double in both engines), so detrended values are EXACT decimals;
+    * seasonal indices and the residual variance then run entirely in
+    * decimal sums with one final quotient each. Weekday is Monday=0
+    * in both engines (Spark `weekday`, DuckDB `isodow − 1`).
+    *
+    * At 100 TB: day-grain collapse first; every window runs over the
+    * bounded day series.
+    */
+  val qTimeStl: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val w7 = wOrd.rowsBetween(-3, 3)
+    val detr = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("ma", round(sum(col("cents")).over(w7) / 7.0, 4)
+        .cast(DecimalType(28, 4)))
+      .where(col("n7") === 7) // centered window fully populated
+      .select(weekday(col("day")).as("dow"),
+        (col("cents").cast(DecimalType(28, 4)) - col("ma")).as("detr"))
+    val seasonal = detr.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("detr")).as("sdetr"))
+      .withColumn("seasonal",
+        round(col("sdetr").cast("double") / col("n_days") / 100.0, 4)
+          .cast(DecimalType(28, 4)))
+    val resid = detr.join(broadcast(seasonal.select(col("dow"),
+        (col("seasonal") * 100).as("s"))), "dow")
+      .select((col("detr") - col("s")).cast(DecimalType(19, 4)).as("r"))
+    val sd = resid.agg(
+      round(sqrt((sum((col("r") * col("r")).cast(DecimalType(38, 8)))
+        .cast("double") -
+        sum(col("r")).cast("double") * sum(col("r")).cast("double") /
+          count(lit(1))) / (count(lit(1)) - 1)) / 100.0, 4)
+        .as("resid_sd"))
+    seasonal.crossJoin(broadcast(sd))
+      .select(col("dow"), col("n_days"),
+        col("seasonal").cast("double").as("seasonal"),
+        col("resid_sd"))
+      .orderBy("dow")
+  }
+
+  val qTimeStlSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |ma AS (
+      |  SELECT day, cents,
+      |    count(*) OVER w AS n7,
+      |    CAST(ROUND(CAST(sum(cents) OVER w AS DOUBLE) / 7.0, 4)
+      |      AS DECIMAL(28,4)) AS ma
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |               AND 3 FOLLOWING)),
+      |detr AS (
+      |  SELECT isodow(day) - 1 AS dow,
+      |    CAST(cents AS DECIMAL(28,4)) - ma AS detr
+      |  FROM ma WHERE n7 = 7),
+      |seasonal AS (
+      |  SELECT dow, count(*) AS n_days, sum(detr) AS sdetr,
+      |    CAST(ROUND(CAST(sum(detr) AS DOUBLE) / count(*) / 100.0, 4)
+      |      AS DECIMAL(28,4)) AS seasonal
+      |  FROM detr GROUP BY 1),
+      |resid AS (
+      |  SELECT CAST(detr.detr - seasonal.seasonal * 100
+      |    AS DECIMAL(19,4)) AS r
+      |  FROM detr JOIN seasonal USING (dow)),
+      |sd AS (
+      |  SELECT ROUND(sqrt((CAST(sum(CAST(r * r AS DECIMAL(38,8)))
+      |      AS DOUBLE)
+      |    - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE) / count(*))
+      |    / (count(*) - 1)) / 100.0, 4) AS resid_sd
+      |  FROM resid)
+      |SELECT dow, n_days, CAST(seasonal AS DOUBLE) AS seasonal,
+      |  resid_sd
+      |FROM seasonal, sd ORDER BY dow""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3443,7 +3533,8 @@ object Maintain {
     "q_text_repetition"       -> qTextRepetition,
     "q_stats_runs"            -> qStatsRuns,
     "q_text_udiv"             -> qTextUdiv,
-    "q_eval_lift"             -> qEvalLift
+    "q_eval_lift"             -> qEvalLift,
+    "q_time_stl"              -> qTimeStl
   )
 
   val oracles: Map[String, String] = Map(
@@ -3494,6 +3585,7 @@ object Maintain {
     "q_text_repetition"       -> qTextRepetitionSql,
     "q_stats_runs"            -> qStatsRunsSql,
     "q_text_udiv"             -> qTextUdivSql,
-    "q_eval_lift"             -> qEvalLiftSql
+    "q_eval_lift"             -> qEvalLiftSql,
+    "q_time_stl"              -> qTimeStlSql
   )
 }

@@ -1090,6 +1090,23 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_time_stl: weekday indices cover Mon-Sun and roughly center on zero") {
+    val rows = Maintain.qTimeStl(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dow"))
+    assert(rows.map(_.getAs[Int]("dow")).toSet.subsetOf((0 to 6).toSet))
+    assert(rows.nonEmpty)
+    // detrended means sum ≈ 0 weighted by day counts (the MA removes
+    // the level, so weekday effects must cancel up to edge effects)
+    val weighted = rows.map(r =>
+      r.getAs[Double]("seasonal") * r.getAs[Long]("n_days")).sum
+    val totalDays = rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(weighted / totalDays) < 50.0,
+      s"seasonal indices far from centered: $weighted over $totalDays days")
+    val sd = rows.head.getAs[Double]("resid_sd")
+    assert(sd >= 0.0)
+    assert(rows.forall(_.getAs[Double]("resid_sd") == sd))
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
