@@ -3485,6 +3485,178 @@ object Maintain {
       |  resid_sd
       |FROM seasonal, sd ORDER BY dow""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_eval_auc — exact ROC AUC via the rank-sum identity.
+  // ---------------------------------------------------------------
+
+  /** Exact ROC AUC of the user-value score against the purchaser
+    * label — AUC = P(score⁺ > score⁻) + ½P(tie), computed by the
+    * rank-sum identity over the GROUPED score domain (the
+    * [[Insights.qStatsMannWhitney]] machinery): with c⁻ negatives
+    * below a score holding c⁺ positives, 2·U accumulates
+    * c⁺·(2·below⁻ + tied⁻) — exact integers, so AUC is one round-6
+    * division. No per-row sort, no sampling — the exact metric at any
+    * scale.
+    *
+    * At 100 TB: one combining aggregate to the score domain, one
+    * window over that bounded table, one reduce — the
+    * q_stats_mannwhitney scale shape.
+    */
+  val qEvalAuc: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("score"),
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select(col("score"),
+        when(col("np") * 5 > col("n"), 1L).otherwise(0L).as("label"))
+    val g = users.groupBy("score")
+      .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("neg"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("negBelow", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (col("negBelow") * 2 + col("neg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  val qEvalAucSql: String =
+    """WITH users AS (
+      |  SELECT score,
+      |    CASE WHEN np * 5 > n THEN 1 ELSE 0 END AS label
+      |  FROM (
+      |    SELECT user_id,
+      |      CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |        AS score,
+      |      count(*) AS n,
+      |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |        AS np
+      |    FROM events GROUP BY 1)),
+      |g AS (
+      |  SELECT score,
+      |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos,
+      |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS neg
+      |  FROM users GROUP BY 1),
+      |r AS (
+      |  SELECT pos, neg,
+      |    coalesce(CAST(sum(neg) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS neg_below
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(neg) AS BIGINT) AS n_neg,
+      |    CAST(sum(pos * (neg_below * 2 + neg)) AS BIGINT) AS u2
+      |  FROM r)
+      |SELECT n_pos, n_neg,
+      |  ROUND(CAST(u2 AS DOUBLE) /
+      |        (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |    AS auc
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_eval_confusion — thresholded confusion matrix + odds ratio.
+  // ---------------------------------------------------------------
+
+  /** Confusion matrix of the "high-value user" rule (score above the
+    * exact median) against the purchaser label, with precision,
+    * recall, F1, and the odds ratio + its 95% log-normal CI — the
+    * operating-point companion to [[qEvalAuc]]'s ranking view. The
+    * threshold is the exact Type-7 median of integer scores (whole or
+    * half, exact in double); the four cells are integer counts;
+    * every derived metric is closed-form round-6 over them.
+    *
+    * At 100 TB: a user-grain aggregate, one percentile over it, one
+    * conditional reduce.
+    */
+  val qEvalConfusion: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("score"),
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select(col("score"),
+        when(col("np") * 5 > col("n"), 1L).otherwise(0L).as("label"))
+      .localCheckpoint(true) // user-grain; feeds the threshold + cells
+    val thr = users.agg(expr("percentile(score, 0.5)")).first().getDouble(0)
+    val cells = users.agg(
+      sum(when(col("score") > thr && col("label") === 1, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("score") > thr && col("label") === 0, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(col("score") <= thr && col("label") === 1, 1L)
+        .otherwise(0L)).as("fn"),
+      sum(when(col("score") <= thr && col("label") === 0, 1L)
+        .otherwise(0L)).as("tn"))
+    val (tp, fp, fn, tn) = (col("tp").cast("double"),
+      col("fp").cast("double"), col("fn").cast("double"),
+      col("tn").cast("double"))
+    val prec = tp / (tp + fp)
+    val rec = tp / (tp + fn)
+    val orr = (tp * tn) / (fp * fn)
+    val seLn = sqrt(lit(1.0) / tp + lit(1.0) / fp +
+      lit(1.0) / fn + lit(1.0) / tn)
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"),
+      round(rec, 6).as("recall"),
+      round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"),
+      round(orr, 6).as("odds_ratio"),
+      round(exp(log(orr) - lit(1.96) * seLn), 6).as("or_ci_lo"),
+      round(exp(log(orr) + lit(1.96) * seLn), 6).as("or_ci_hi"))
+  }
+
+  val qEvalConfusionSql: String =
+    """WITH users AS (
+      |  SELECT score,
+      |    CASE WHEN np * 5 > n THEN 1 ELSE 0 END AS label
+      |  FROM (
+      |    SELECT user_id,
+      |      CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |        AS score,
+      |      count(*) AS n,
+      |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |        AS np
+      |    FROM events GROUP BY 1)),
+      |thr AS (SELECT quantile_cont(score, 0.5) AS t FROM users),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN score > t AND label = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN score > t AND label = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN score <= t AND label = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN score <= t AND label = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM users, thr),
+      |c AS (
+      |  SELECT tp, fp, fn, tn,
+      |    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+      |    CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+      |  FROM cells)
+      |SELECT tp, fp, fn, tn,
+      |  ROUND(tpd / (tpd + fpd), 6) AS precision,
+      |  ROUND(tpd / (tpd + fnd), 6) AS recall,
+      |  ROUND(2.0 * (tpd / (tpd + fpd)) * (tpd / (tpd + fnd)) /
+      |        ((tpd / (tpd + fpd)) + (tpd / (tpd + fnd))), 6) AS f1,
+      |  ROUND((tpd * tnd) / (fpd * fnd), 6) AS odds_ratio,
+      |  ROUND(exp(ln((tpd * tnd) / (fpd * fnd))
+      |    - 1.96 * sqrt(1.0 / tpd + 1.0 / fpd + 1.0 / fnd + 1.0 / tnd)),
+      |    6) AS or_ci_lo,
+      |  ROUND(exp(ln((tpd * tnd) / (fpd * fnd))
+      |    + 1.96 * sqrt(1.0 / tpd + 1.0 / fpd + 1.0 / fnd + 1.0 / tnd)),
+      |    6) AS or_ci_hi
+      |FROM c""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3534,7 +3706,9 @@ object Maintain {
     "q_stats_runs"            -> qStatsRuns,
     "q_text_udiv"             -> qTextUdiv,
     "q_eval_lift"             -> qEvalLift,
-    "q_time_stl"              -> qTimeStl
+    "q_time_stl"              -> qTimeStl,
+    "q_eval_auc"              -> qEvalAuc,
+    "q_eval_confusion"        -> qEvalConfusion
   )
 
   val oracles: Map[String, String] = Map(
@@ -3586,6 +3760,8 @@ object Maintain {
     "q_stats_runs"            -> qStatsRunsSql,
     "q_text_udiv"             -> qTextUdivSql,
     "q_eval_lift"             -> qEvalLiftSql,
-    "q_time_stl"              -> qTimeStlSql
+    "q_time_stl"              -> qTimeStlSql,
+    "q_eval_auc"              -> qEvalAucSql,
+    "q_eval_confusion"        -> qEvalConfusionSql
   )
 }

@@ -1107,6 +1107,49 @@ class MaintainSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("resid_sd") == sd))
   }
 
+  test("q_eval_auc: matches an exact driver-side pair count") {
+    val r = Maintain.qEvalAuc(spark, sf).collect()(0)
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("score"),
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .collect()
+      .map(x => (x.getAs[Long]("score"), x.getAs[Long]("np") * 5 > x.getAs[Long]("n")))
+    val pos = users.filter(_._2).map(_._1)
+    val neg = users.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    var u2 = 0L
+    for (p <- pos; q <- neg) {
+      if (p > q) u2 += 2 else if (p == q) u2 += 1
+    }
+    val expect = BigDecimal(u2.toDouble /
+        (2.0 * pos.length * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("auc") - expect) < 1e-9,
+      s"${r.getAs[Double]("auc")} vs $expect")
+  }
+
+  test("q_eval_confusion: cells partition users; F1 is the PR harmonic mean") {
+    val r = Maintain.qEvalConfusion(spark, sf).collect()(0)
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(tp + fp + fn + tn == nUsers)
+    val (p, rr) = (r.getAs[Double]("precision"), r.getAs[Double]("recall"))
+    assert(math.abs(r.getAs[Double]("f1") -
+      BigDecimal(2.0 * (tp.toDouble / (tp + fp)) * (tp.toDouble / (tp + fn)) /
+        ((tp.toDouble / (tp + fp)) + (tp.toDouble / (tp + fn))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(p >= 0 && p <= 1 && rr >= 0 && rr <= 1)
+    assert(r.getAs[Double]("or_ci_lo") <= r.getAs[Double]("odds_ratio"))
+    assert(r.getAs[Double]("odds_ratio") <= r.getAs[Double]("or_ci_hi"))
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
