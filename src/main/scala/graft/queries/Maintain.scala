@@ -3657,6 +3657,117 @@ object Maintain {
       |    6) AS or_ci_hi
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_olap_parent_share — hierarchical percent-of-parent rollup.
+  // ---------------------------------------------------------------
+
+  /** Percent-of-parent revenue report down the region → nation
+    * hierarchy: each nation's share within its region and each
+    * region's share of the world — the drill-down ratio readout BI
+    * tools layer on every rollup. Revenue aggregates exactly in
+    * DECIMAL; each share is one round-6 division of exact decimal
+    * sums computed by windows OVER THE AGGREGATE (never the fact
+    * table).
+    *
+    * At 100 TB: the orders→customer→nation joins broadcast the dims;
+    * one combining aggregate to ≤ |nations| rows; both share windows
+    * run on those rows.
+    */
+  val qOlapParentShare: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val wRegion = Window.partitionBy("region")
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_rev", sum(col("rev")).over(wRegion))
+      .withColumn("world_rev", sum(col("rev")).over(wAll))
+      .select(col("region"), col("nation"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          col("region_rev").cast("double"), 6).as("share_of_region"),
+        round(col("region_rev").cast("double") /
+          col("world_rev").cast("double"), 6).as("region_share_of_world"))
+      .orderBy("region", "nation")
+  }
+
+  val qOlapParentShareSql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, sum(rev) OVER (PARTITION BY region) AS region_rev,
+      |    sum(rev) OVER () AS world_rev
+      |  FROM rev)
+      |SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6)
+      |    AS share_of_region,
+      |  ROUND(CAST(region_rev AS DOUBLE) / CAST(world_rev AS DOUBLE), 6)
+      |    AS region_share_of_world
+      |FROM w ORDER BY region, nation""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_business_days — weekend-aware lead-time histogram.
+  // ---------------------------------------------------------------
+
+  /** Business-day (Mon–Fri) lead time from order to ship, as a
+    * histogram — the calendar-aware SLA metric plain `datediff`
+    * mis-states by up to 2/7. The count is pure integer arithmetic:
+    * 5 per full week plus a per-remainder scan of at most 6 weekday
+    * flags, built from the SAME Monday-0 weekday both engines expose
+    * (Spark `weekday`, DuckDB `isodow − 1`) — no FP anywhere.
+    *
+    * At 100 TB: the lineitem→orders join shuffles on orderkey once
+    * (or rides bucketing); the business-day expression is row-local
+    * codegen; the histogram is ≤ ~40 rows.
+    */
+  val qTimeBusinessDays: Q = (s, d) => {
+    val diff = datediff(col("l_shipdate"), col("o_orderdate"))
+    val dow = weekday(col("o_orderdate"))
+    val rem = pmod(diff, lit(7))
+    val bd = (diff - rem) / 7 * 5 +
+      when(rem === 0, 0).otherwise(
+        size(filter(sequence(lit(0), rem - 1),
+          i => pmod(dow + i, lit(7)) < 5)))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(bd.cast("long").as("business_days"))
+      .groupBy("business_days")
+      .agg(count(lit(1)).as("n_lineitems"))
+      .orderBy("business_days")
+  }
+
+  val qTimeBusinessDaysSql: String =
+    """WITH j AS (
+      |  SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+      |                  CAST(l.l_shipdate AS DATE)) AS df,
+      |         isodow(CAST(o.o_orderdate AS DATE)) - 1 AS dow
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |r AS (
+      |  -- ((x % 7) + 7) % 7 = Spark's pmod (DuckDB % keeps the sign)
+      |  SELECT df, dow, ((df % 7) + 7) % 7 AS rem FROM j),
+      |b AS (
+      |  SELECT (df - rem) // 7 * 5 +
+      |    CASE WHEN rem = 0 THEN 0
+      |         ELSE len(list_filter(generate_series(0, rem - 1),
+      |           i -> (dow + i) % 7 < 5)) END
+      |      AS business_days
+      |  FROM r)
+      |SELECT CAST(business_days AS BIGINT) AS business_days,
+      |  count(*) AS n_lineitems
+      |FROM b GROUP BY 1 ORDER BY business_days""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3708,7 +3819,9 @@ object Maintain {
     "q_eval_lift"             -> qEvalLift,
     "q_time_stl"              -> qTimeStl,
     "q_eval_auc"              -> qEvalAuc,
-    "q_eval_confusion"        -> qEvalConfusion
+    "q_eval_confusion"        -> qEvalConfusion,
+    "q_olap_parent_share"     -> qOlapParentShare,
+    "q_time_business_days"    -> qTimeBusinessDays
   )
 
   val oracles: Map[String, String] = Map(
@@ -3762,6 +3875,8 @@ object Maintain {
     "q_eval_lift"             -> qEvalLiftSql,
     "q_time_stl"              -> qTimeStlSql,
     "q_eval_auc"              -> qEvalAucSql,
-    "q_eval_confusion"        -> qEvalConfusionSql
+    "q_eval_confusion"        -> qEvalConfusionSql,
+    "q_olap_parent_share"     -> qOlapParentShareSql,
+    "q_time_business_days"    -> qTimeBusinessDaysSql
   )
 }

@@ -1150,6 +1150,47 @@ class MaintainSpec extends AnyFunSuite {
     assert(r.getAs[Double]("odds_ratio") <= r.getAs[Double]("or_ci_hi"))
   }
 
+  test("q_olap_parent_share: shares sum to 1 within every parent level") {
+    val rows = Maintain.qOlapParentShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("region")).foreach { case (reg, g) =>
+      val s = g.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"region $reg shares sum to $s")
+      // region share is constant within the region
+      assert(g.map(_.getAs[Double]("region_share_of_world")).distinct
+        .length == 1)
+    }
+    val regionShares = rows.groupBy(_.getAs[String]("region"))
+      .map(_._2.head.getAs[Double]("region_share_of_world")).sum
+    assert(math.abs(regionShares - 1.0) < 1e-4)
+  }
+
+  test("q_time_business_days: formula matches a driver-side calendar walk") {
+    val got = Maintain.qTimeBusinessDays(spark, sf).collect()
+      .map(r => (r.getAs[Long]("business_days"),
+        r.getAs[Long]("n_lineitems"))).toMap
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderdate").cast("date"),
+        col("l_shipdate").cast("date"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    val expect = pairs.map { case (ord, ship) =>
+      // literal walk: count Mon-Fri days in [ord, ship) (negated when
+      // ship < ord) — the ground truth the closed form must match
+      val (a, b, sign) =
+        if (!ship.isBefore(ord)) (ord, ship, 1L) else (ship, ord, -1L)
+      var d = a; var n = 0L
+      while (d.isBefore(b)) {
+        if (d.getDayOfWeek.getValue <= 5) n += 1
+        d = d.plusDays(1)
+      }
+      sign * n
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
