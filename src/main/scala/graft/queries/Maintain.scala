@@ -3768,6 +3768,153 @@ object Maintain {
       |  count(*) AS n_lineitems
       |FROM b GROUP BY 1 ORDER BY business_days""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_seq_vshape — MATCH_RECOGNIZE-style V-pattern detection.
+  // ---------------------------------------------------------------
+
+  /** V-shaped reversal detection on daily revenue — the
+    * MATCH_RECOGNIZE pattern `DOWN{2,} UP{2,}` that Spark lacks as
+    * syntax, composed from its primitives: direction signs → run
+    * islands (the gaps-and-islands trick) → consecutive-run join
+    * (down-run length ≥ 2 followed by an up-run ≥ 2). Everything is
+    * integer-exact (cent diffs, run lengths, island ids); the output
+    * lists each V with its trough day, run lengths, and recovery
+    * fraction (one round-6 ratio).
+    *
+    * At 100 TB: day-grain collapse first; signs/islands/joins all run
+    * over the bounded series.
+    */
+  val qSeqVshape: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val runs = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(wOrd))
+      .where(col("prev").isNotNull && col("cents") =!= col("prev"))
+      .withColumn("sgn", when(col("cents") > col("prev"), 1L)
+        .otherwise(-1L))
+      .withColumn("chg", when(lag(col("sgn"), 1).over(wOrd).isNull ||
+        lag(col("sgn"), 1).over(wOrd) =!= col("sgn"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("run_id")
+      .agg(max(col("sgn")).as("sgn"), count(lit(1)).as("len"),
+        max(col("day")).as("end_day"),
+        max(col("cents")).as("hi_cents"), min(col("cents")).as("lo_cents"))
+    val down = runs.where(col("sgn") === -1 && col("len") >= 2)
+      .select(col("run_id"), col("len").as("down_len"),
+        col("end_day").as("trough_day"),
+        col("lo_cents").as("trough_cents"))
+    val up = runs.where(col("sgn") === 1 && col("len") >= 2)
+      .select((col("run_id") - 1).as("run_id"), col("len").as("up_len"),
+        col("hi_cents").as("recover_cents"))
+    down.join(up, "run_id")
+      .select(col("trough_day"), col("down_len"), col("up_len"),
+        round(col("recover_cents").cast("double") /
+          col("trough_cents"), 6).as("recovery_ratio"))
+      .orderBy("trough_day")
+  }
+
+  val qSeqVshapeSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1),
+      |dd AS (
+      |  SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev
+      |  FROM daily),
+      |sg AS (
+      |  SELECT day, cents, prev,
+      |    CASE WHEN cents > prev THEN 1 ELSE -1 END AS sgn
+      |  FROM dd WHERE prev IS NOT NULL AND cents <> prev),
+      |ch AS (
+      |  SELECT *, CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+      |                   OR lag(sgn) OVER (ORDER BY day) <> sgn
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM sg),
+      |ri AS (
+      |  SELECT *, CAST(sum(chg) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM ch),
+      |runs AS (
+      |  SELECT run_id, max(sgn) AS sgn, count(*) AS len,
+      |    max(day) AS end_day, max(cents) AS hi_cents,
+      |    min(cents) AS lo_cents
+      |  FROM ri GROUP BY 1),
+      |down AS (
+      |  SELECT run_id, len AS down_len, end_day AS trough_day,
+      |    lo_cents AS trough_cents
+      |  FROM runs WHERE sgn = -1 AND len >= 2),
+      |up AS (
+      |  SELECT run_id - 1 AS run_id, len AS up_len,
+      |    hi_cents AS recover_cents
+      |  FROM runs WHERE sgn = 1 AND len >= 2)
+      |SELECT CAST(trough_day AS TIMESTAMP) AS trough_day, down_len,
+      |  up_len,
+      |  ROUND(CAST(recover_cents AS DOUBLE) / trough_cents, 6)
+      |    AS recovery_ratio
+      |FROM down JOIN up USING (run_id)
+      |ORDER BY trough_day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_win_drawdown — maximum drawdown of the cumulative series.
+  // ---------------------------------------------------------------
+
+  /** Maximum drawdown of cumulative daily net value (value signed
+    * negative for `error` events, so the cumulative series actually
+    * falls) — the risk metric behind "how bad did it get from the
+    * best point so far": running peak of the cumulative sum, per-day
+    * drawdown against it, the maximum and its date. All integer cents
+    * through the windows; the one ratio rounds at 6 dp.
+    *
+    * At 100 TB: day-grain collapse, then two window passes over the
+    * bounded series.
+    */
+  val qWinDrawdown: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val signed = when(col("event_type") === "error",
+      -col("value").cast(DecimalType(18, 2)))
+      .otherwise(col("value").cast(DecimalType(18, 2)))
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(signed) * 100).cast("long").as("net"))
+      .withColumn("cum", sum(col("net")).over(wCum))
+      .withColumn("peak", max(col("cum")).over(wCum))
+      .withColumn("dd", col("peak") - col("cum"))
+      .orderBy(col("dd").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("worst_day"), col("dd").as("max_drawdown_cents"),
+        round(col("dd").cast("double") / col("peak"), 6)
+          .as("dd_over_peak"))
+  }
+
+  val qWinDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'error'
+      |        THEN -CAST(value AS DECIMAL(18,2))
+      |        ELSE CAST(value AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+      |      AS net
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT day,
+      |    CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM daily),
+      |p AS (
+      |  SELECT day, cum,
+      |    CAST(max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS peak
+      |  FROM c)
+      |SELECT CAST(day AS TIMESTAMP) AS worst_day,
+      |  peak - cum AS max_drawdown_cents,
+      |  ROUND(CAST(peak - cum AS DOUBLE) / peak, 6) AS dd_over_peak
+      |FROM p ORDER BY peak - cum DESC, day ASC LIMIT 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3821,7 +3968,9 @@ object Maintain {
     "q_eval_auc"              -> qEvalAuc,
     "q_eval_confusion"        -> qEvalConfusion,
     "q_olap_parent_share"     -> qOlapParentShare,
-    "q_time_business_days"    -> qTimeBusinessDays
+    "q_time_business_days"    -> qTimeBusinessDays,
+    "q_seq_vshape"            -> qSeqVshape,
+    "q_win_drawdown"          -> qWinDrawdown
   )
 
   val oracles: Map[String, String] = Map(
@@ -3877,6 +4026,8 @@ object Maintain {
     "q_eval_auc"              -> qEvalAucSql,
     "q_eval_confusion"        -> qEvalConfusionSql,
     "q_olap_parent_share"     -> qOlapParentShareSql,
-    "q_time_business_days"    -> qTimeBusinessDaysSql
+    "q_time_business_days"    -> qTimeBusinessDaysSql,
+    "q_seq_vshape"            -> qSeqVshapeSql,
+    "q_win_drawdown"          -> qWinDrawdownSql
   )
 }

@@ -1191,6 +1191,53 @@ class MaintainSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_seq_vshape: every reported V replays from a driver-side sign walk") {
+    val got = Maintain.qSeqVshape(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("trough_day").getTime,
+        r.getAs[Long]("down_len"), r.getAs[Long]("up_len")))
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("c"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("c")))
+    // driver-side: run-length encode the non-flat directions
+    val moves = daily.zip(daily.tail).filter(p => p._2._2 != p._1._2)
+      .map { case ((_, a), (day, b)) => (day, if (b > a) 1 else -1) }
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long)] // (sgn, len, endDay)
+    moves.foreach { case (day, s) =>
+      if (runs.nonEmpty && runs.last._1 == s) {
+        val (sg, l, _) = runs.remove(runs.length - 1)
+        runs += ((sg, l + 1, day))
+      } else runs += ((s, 1L, day))
+    }
+    val expect = runs.toSeq.zip(runs.toSeq.tail).collect {
+      case ((-1, dl, trough), (1, ul, _)) if dl >= 2 && ul >= 2 =>
+        (trough, dl, ul)
+    }
+    assert(got.toSeq.sortBy(_._1) == expect.sortBy(_._1))
+  }
+
+  test("q_win_drawdown: the reported drawdown is the argmax over the walk") {
+    val r = Maintain.qWinDrawdown(spark, sf).collect()(0)
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "error",
+          -col("value").cast("decimal(18,2)"))
+        .otherwise(col("value").cast("decimal(18,2)"))) * 100)
+        .cast("long").as("net"))
+      .orderBy("day").collect().map(_.getAs[Long]("net"))
+    var cum = 0L; var peak = Long.MinValue; var best = Long.MinValue
+    daily.foreach { n =>
+      cum += n; peak = math.max(peak, cum)
+      best = math.max(best, peak - cum)
+    }
+    assert(r.getAs[Long]("max_drawdown_cents") == best)
+    assert(r.getAs[Long]("max_drawdown_cents") >= 0L)
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
