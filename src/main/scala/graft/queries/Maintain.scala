@@ -3915,6 +3915,100 @@ object Maintain {
       |  ROUND(CAST(peak - cum AS DOUBLE) / peak, 6) AS dd_over_peak
       |FROM p ORDER BY peak - cum DESC, day ASC LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_split_temporal — time-based split with embargo + leakage audit.
+  // ---------------------------------------------------------------
+
+  /** Temporal train/test split of the event log — train strictly
+    * before a cutoff minus a 2-day EMBARGO gap, test strictly after
+    * the cutoff — plus the leakage audit every temporal-ML pipeline
+    * needs: how many users appear on both sides (fine for user-level
+    * features, fatal for user-level labels — the audit makes it
+    * visible either way). The cutoff is data-derived but exact:
+    * 21 days after the first event day, a pure integer-microsecond
+    * comparison in both engines. All outputs are integer counts plus
+    * one round-6 ratio.
+    *
+    * At 100 TB: the cutoff is a 1-row broadcast; bucket assignment is
+    * row-local; the user-overlap audit is one distinct + semi-join on
+    * user_id (the only exchange).
+    */
+  val qSplitTemporal: Q = (s, d) => {
+    val embargoUs = 2L * 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(
+      (unix_micros(min(date_trunc("day", timestamp_micros(col("us"))))) +
+        lit(21L * 86400L * 1000000L)).as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(cut))
+      .withColumn("bucket",
+        when(col("us") < col("cut_us") - embargoUs, "train")
+          .when(col("us") > col("cut_us"), "test")
+          .otherwise("embargo"))
+    val users = tagged.groupBy("user_id").agg(
+      max(when(col("bucket") === "train", 1L).otherwise(0L)).as("in_tr"),
+      max(when(col("bucket") === "test", 1L).otherwise(0L)).as("in_te"))
+    val overlap = users.agg(
+      sum(when(col("in_tr") === 1 && col("in_te") === 1, 1L)
+        .otherwise(0L)).as("n_leaky_users"),
+      sum(when(col("in_te") === 1, 1L).otherwise(0L)).as("n_test_users"))
+    tagged.groupBy().agg(
+        sum(when(col("bucket") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("bucket") === "test", 1L).otherwise(0L))
+          .as("n_test"),
+        sum(when(col("bucket") === "embargo", 1L).otherwise(0L))
+          .as("n_embargoed"))
+      .crossJoin(broadcast(overlap))
+      .select(col("n_train"), col("n_test"), col("n_embargoed"),
+        col("n_leaky_users"),
+        round(col("n_leaky_users").cast("double") /
+          col("n_test_users"), 6).as("leaky_user_ratio"))
+  }
+
+  val qSplitTemporalSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |cut AS (
+      |  SELECT epoch_us(min(date_trunc('day',
+      |      make_timestamp(us)))) + CAST(21 AS BIGINT) * 86400 * 1000000
+      |    AS cut_us
+      |  FROM ev),
+      |tagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us < cut_us - CAST(2 AS BIGINT) * 86400 * 1000000
+      |         THEN 'train'
+      |         WHEN us > cut_us THEN 'test'
+      |         ELSE 'embargo' END AS bucket
+      |  FROM ev, cut),
+      |users AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN bucket = 'train' THEN 1 ELSE 0 END) AS in_tr,
+      |    max(CASE WHEN bucket = 'test' THEN 1 ELSE 0 END) AS in_te
+      |  FROM tagged GROUP BY 1),
+      |ov AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN in_tr = 1 AND in_te = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_leaky_users,
+      |    CAST(sum(CASE WHEN in_te = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_test_users
+      |  FROM users),
+      |b AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN bucket = 'train' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_train,
+      |    CAST(sum(CASE WHEN bucket = 'test' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN bucket = 'embargo' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_embargoed
+      |  FROM tagged)
+      |SELECT n_train, n_test, n_embargoed, n_leaky_users,
+      |  ROUND(CAST(n_leaky_users AS DOUBLE) / n_test_users, 6)
+      |    AS leaky_user_ratio
+      |FROM b, ov""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -3970,7 +4064,8 @@ object Maintain {
     "q_olap_parent_share"     -> qOlapParentShare,
     "q_time_business_days"    -> qTimeBusinessDays,
     "q_seq_vshape"            -> qSeqVshape,
-    "q_win_drawdown"          -> qWinDrawdown
+    "q_win_drawdown"          -> qWinDrawdown,
+    "q_split_temporal"        -> qSplitTemporal
   )
 
   val oracles: Map[String, String] = Map(
@@ -4028,6 +4123,7 @@ object Maintain {
     "q_olap_parent_share"     -> qOlapParentShareSql,
     "q_time_business_days"    -> qTimeBusinessDaysSql,
     "q_seq_vshape"            -> qSeqVshapeSql,
-    "q_win_drawdown"          -> qWinDrawdownSql
+    "q_win_drawdown"          -> qWinDrawdownSql,
+    "q_split_temporal"        -> qSplitTemporalSql
   )
 }

@@ -1238,6 +1238,28 @@ class MaintainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_drawdown_cents") >= 0L)
   }
 
+  test("q_split_temporal: buckets partition events; embargo really separates") {
+    val r = Maintain.qSplitTemporal(spark, sf).collect()(0)
+    val total = Tables.events(spark, sf).count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") +
+      r.getAs[Long]("n_embargoed") == total)
+    assert(r.getAs[Long]("n_train") > 0L)
+    // the embargo zone is 2 days + the cutoff boundary: recompute from
+    // raw timestamps that train max < test min by MORE than the embargo
+    val us = Tables.events(spark, sf)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    val day0 = {
+      val t = new java.sql.Timestamp(us.min / 1000)
+      val c = java.time.Instant.ofEpochMilli(t.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      c.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000
+    }
+    val cut = day0 + 21L * 86400 * 1000000
+    val emb = 2L * 86400 * 1000000
+    assert(r.getAs[Long]("n_train") == us.count(_ < cut - emb).toLong)
+    assert(r.getAs[Long]("n_test") == us.count(_ > cut).toLong)
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
