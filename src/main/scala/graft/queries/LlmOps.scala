@@ -552,9 +552,15 @@ object LlmOps {
     * [[qDedupCanonical]] consumes (memoized + eager, see [[chainCache]];
     * previously canonical re-derived the whole chain per invocation).
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    // materialize the pair artifact BEFORE entering the labels
+    // computeIfAbsent: a nested computeIfAbsent on the same
+    // ConcurrentHashMap throws "Recursive update" whenever the two
+    // keys land in the same bin (observed as a hash-dependent test
+    // flake) — CHM forbids re-entrant compute
+    val pairsArtifact = lshVerifiedPairs(s, d)
     chainArtifact(s, d, "labels") {
-    val pairs = lshVerifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = pairsArtifact.select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -609,6 +615,7 @@ object LlmOps {
     backing.unpersist()
     edges.unpersist()
     out
+    }
   }
 
   /** Canonical selection — the decision dedup exists to make: for each

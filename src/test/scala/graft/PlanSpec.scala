@@ -554,7 +554,11 @@ class PlanSpec extends AnyFunSuite {
                           // 1-row (n_docs, avgdl) stats broadcast
                           "q_text_bm25",
                           // ≤20-row shared-rank list × 20-depth series
-                          "q_rank_rbo")
+                          "q_rank_rbo",
+                          // 1-row cutoff-timestamp broadcast
+                          "q_split_temporal",
+                          // 1-row residual-sd broadcast
+                          "q_time_stl")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
