@@ -4010,6 +4010,67 @@ object Maintain {
       |    AS leaky_user_ratio
       |FROM b, ov""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_embed_outliers — far-from-centroid embedding QA screen.
+  // ---------------------------------------------------------------
+
+  /** Embedding-space outlier screen: each vector's cosine to its own
+    * label centroid (the [[LlmOps.qEmbedCentroids]] plumbing), flagged
+    * when it falls below the global 5th percentile — the "these
+    * embeddings don't belong to their cluster" QA pass run before
+    * training on labeled embeddings. The threshold is an exact Type-7
+    * percentile over round-6 cosines (identical doubles in both
+    * engines); the flag is a strict `<` on those same doubles, so the
+    * boundary vector lands on the same side everywhere.
+    *
+    * At 100 TB: centroids are a broadcast-sized (k·d) table; per-vec
+    * cosines are one keyed fold; the threshold is a 1-row broadcast
+    * over the |vecs|-row cosine table.
+    */
+  val qEmbedOutliers: Q = (s, d) => {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("col").cast("double").as("v"))
+    val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+    val cos = ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sum(col("v") * col("v")).as("vn2"),
+        sum(col("c") * col("c")).as("cn2"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))), 6)
+          .as("cos_sim"))
+    val thr = cos.agg(expr("percentile(cos_sim, 0.05)").as("thr"))
+    cos.crossJoin(broadcast(thr))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos_sim") < col("thr"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(min(col("cos_sim")), 6).as("min_cos"))
+      .orderBy("label")
+  }
+
+  val qEmbedOutliersSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, i.i AS pos,
+      |         CAST(embedding[i.i] AS DOUBLE) AS v
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      |), cent AS (
+      |  SELECT label, pos, AVG(v) AS c FROM ex GROUP BY label, pos
+      |), cos AS (
+      |  SELECT e.vec_id, e.label,
+      |    ROUND(SUM(e.v * c.c) /
+      |      (sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos_sim
+      |  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY e.vec_id, e.label
+      |), thr AS (SELECT quantile_cont(cos_sim, 0.05) AS thr FROM cos)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(CASE WHEN cos_sim < thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  ROUND(min(cos_sim), 6) AS min_cos
+      |FROM cos, thr GROUP BY 1 ORDER BY label""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -4066,7 +4127,8 @@ object Maintain {
     "q_time_business_days"    -> qTimeBusinessDays,
     "q_seq_vshape"            -> qSeqVshape,
     "q_win_drawdown"          -> qWinDrawdown,
-    "q_split_temporal"        -> qSplitTemporal
+    "q_split_temporal"        -> qSplitTemporal,
+    "q_embed_outliers"        -> qEmbedOutliers
   )
 
   val oracles: Map[String, String] = Map(
@@ -4125,6 +4187,7 @@ object Maintain {
     "q_time_business_days"    -> qTimeBusinessDaysSql,
     "q_seq_vshape"            -> qSeqVshapeSql,
     "q_win_drawdown"          -> qWinDrawdownSql,
-    "q_split_temporal"        -> qSplitTemporalSql
+    "q_split_temporal"        -> qSplitTemporalSql,
+    "q_embed_outliers"        -> qEmbedOutliersSql
   )
 }

@@ -1260,6 +1260,21 @@ class MaintainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_test") == us.count(_ > cut).toLong)
   }
 
+  test("q_embed_outliers: ~5% flagged overall, outliers bounded per label") {
+    val rows = Maintain.qEmbedOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    val nOut = rows.map(_.getAs[Long]("n_outliers")).sum
+    assert(nVecs == Tables.embeddings(spark, sf).count())
+    // strict < on the p05 threshold flags AT MOST 5% (ties excluded)
+    assert(nOut <= (nVecs * 0.05).ceil.toLong + 1,
+      s"$nOut of $nVecs flagged")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Double]("min_cos") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
