@@ -558,7 +558,9 @@ class PlanSpec extends AnyFunSuite {
                           // 1-row cutoff-timestamp broadcast
                           "q_split_temporal",
                           // 1-row residual-sd broadcast
-                          "q_time_stl")
+                          "q_time_stl",
+                          // 1-row p05-threshold broadcast
+                          "q_embed_outliers")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost
