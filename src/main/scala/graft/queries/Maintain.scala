@@ -4071,6 +4071,117 @@ object Maintain {
       |  ROUND(min(cos_sim), 6) AS min_cos
       |FROM cos, thr GROUP BY 1 ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_win_rolling_corr — rolling correlation of two daily series.
+  // ---------------------------------------------------------------
+
+  /** 14-day rolling Pearson correlation between the daily `view` and
+    * `click` count series — the time-LOCAL dependence view that
+    * [[qTimeXcorr]]'s whole-series number averages away (regime
+    * changes show up here first). Every rolling moment (Σx, Σy, Σxy,
+    * Σx², Σy²) is a window sum of INTEGER products — exact in double —
+    * so each day's r is one deterministic round-6 expression; windows
+    * shorter than 4 days emit NULL in both engines.
+    *
+    * At 100 TB: one conditional aggregate to the day grain; five
+    * window sums over that bounded series.
+    */
+  val qWinRollingCorr: Q = (s, d) => {
+    val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("y"))
+    val n = count(lit(1)).over(w14).cast("double")
+    val sx = sum(col("x")).over(w14).cast("double")
+    val sy = sum(col("y")).over(w14).cast("double")
+    val sxx = sum(col("x") * col("x")).over(w14).cast("double")
+    val syy = sum(col("y") * col("y")).over(w14).cast("double")
+    val sxy = sum(col("x") * col("y")).over(w14).cast("double")
+    daily
+      .select(col("day"),
+        count(lit(1)).over(w14).as("n_window"),
+        when(count(lit(1)).over(w14) >= 4,
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6))
+          .as("rolling_r"))
+      .orderBy("day")
+  }
+
+  val qWinRollingCorrSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day,
+      |    count(*) OVER w14 AS n_window,
+      |    CAST(count(*) OVER w14 AS DOUBLE) AS n,
+      |    CAST(sum(x) OVER w14 AS DOUBLE) AS sx,
+      |    CAST(sum(y) OVER w14 AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) OVER w14 AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) OVER w14 AS DOUBLE) AS syy,
+      |    CAST(sum(x * y) OVER w14 AS DOUBLE) AS sxy
+      |  FROM daily
+      |  WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+      |                 AND CURRENT ROW))
+      |SELECT CAST(day AS TIMESTAMP) AS day, n_window,
+      |  CASE WHEN n_window >= 4 THEN
+      |    ROUND((n * sxy - sx * sy) /
+      |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |  END AS rolling_r
+      |FROM w ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_user_growth — cumulative-distinct user growth curve.
+  // ---------------------------------------------------------------
+
+  /** Cumulative distinct-user growth by day — new users per day (the
+    * first-seen trick: one min-aggregate per user, then a day-grain
+    * count) plus the running total and day-over-day growth rate. The
+    * cumulative distinct NEVER runs a distinct-over-window: first-seen
+    * collapses it to an ordinary cumsum over ≤ |days| rows, which is
+    * the only shape that survives 100 TB. Counts are integers; the
+    * growth rate is one round-6 ratio.
+    */
+  val qTimeUserGrowth: Q = (s, d) => {
+    val wOrd = Window.orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("total_users", sum(col("new_users")).over(wCum))
+      .withColumn("growth_rate",
+        round(col("new_users").cast("double") /
+          lag(col("total_users"), 1).over(wOrd), 6))
+      .orderBy("day")
+  }
+
+  val qTimeUserGrowthSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id,
+      |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS day
+      |  FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1),
+      |c AS (
+      |  SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+      |    CAST(sum(new_users) OVER (ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+      |  FROM daily)
+      |SELECT day, new_users, total_users,
+      |  ROUND(CAST(new_users AS DOUBLE) /
+      |    lag(total_users) OVER (ORDER BY day), 6) AS growth_rate
+      |FROM c ORDER BY day""".stripMargin
+
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
     "q_maintain_retention"    -> qMaintainRetention,
@@ -4128,7 +4239,9 @@ object Maintain {
     "q_seq_vshape"            -> qSeqVshape,
     "q_win_drawdown"          -> qWinDrawdown,
     "q_split_temporal"        -> qSplitTemporal,
-    "q_embed_outliers"        -> qEmbedOutliers
+    "q_embed_outliers"        -> qEmbedOutliers,
+    "q_win_rolling_corr"      -> qWinRollingCorr,
+    "q_time_user_growth"      -> qTimeUserGrowth
   )
 
   val oracles: Map[String, String] = Map(
@@ -4188,6 +4301,8 @@ object Maintain {
     "q_seq_vshape"            -> qSeqVshapeSql,
     "q_win_drawdown"          -> qWinDrawdownSql,
     "q_split_temporal"        -> qSplitTemporalSql,
-    "q_embed_outliers"        -> qEmbedOutliersSql
+    "q_embed_outliers"        -> qEmbedOutliersSql,
+    "q_win_rolling_corr"      -> qWinRollingCorrSql,
+    "q_time_user_growth"      -> qTimeUserGrowthSql
   )
 }

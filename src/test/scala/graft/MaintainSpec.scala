@@ -1275,6 +1275,52 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("q_win_rolling_corr: r bounded, short windows null, day-30 replays") {
+    val rows = Maintain.qWinRollingCorr(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_window")
+      if (n < 4) assert(r.isNullAt(r.fieldIndex("rolling_r")))
+      else {
+        val v = r.getAs[Double]("rolling_r")
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+      }
+    }
+    // last day's window replays driver-side
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val win = daily.takeRight(math.min(14, daily.length))
+    val n = win.length.toDouble
+    val sx = win.map(_._1).sum.toDouble; val sy = win.map(_._2).sum.toDouble
+    val sxx = win.map(t => t._1 * t._1).sum.toDouble
+    val syy = win.map(t => t._2 * t._2).sum.toDouble
+    val sxy = win.map(t => t._1 * t._2).sum.toDouble
+    val expect = BigDecimal((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.last.getAs[Double]("rolling_r") - expect) < 1e-9)
+  }
+
+  test("q_time_user_growth: totals are the running sum and cover every user") {
+    val rows = Maintain.qTimeUserGrowth(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.last.getAs[Long]("total_users") == nUsers)
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("total_users") == running)
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("growth_rate")))
+  }
+
   test("q_agg_stickiness: avg_dau <= mau and the ratio replays exactly") {
     val rows = Maintain.qAggStickiness(spark, sf).collect()
     assert(rows.nonEmpty)
