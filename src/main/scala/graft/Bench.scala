@@ -100,8 +100,16 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    // once-per-dir artifact builds (seeded layouts, stream week files,
+    // memoized dedup/graph chains) land in whichever rep runs first and
+    // fall out of the median — the per-query numbers are MARGINAL cost
+    // by design. seed_sec makes the excluded cost auditable: suite
+    // total + seed_sec ≈ what a cold run pays.
+    val seeds = graft.queries.Seeds.breakdown
+    val seedsJson = seeds.toSeq.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"seed_sec":${graft.queries.Seeds.totalSec},"seeds":$seedsJson,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)

@@ -29,12 +29,26 @@ object EtlMain {
     // phase-isolated scan+parse probe ~2x. --typed / --v2 force a path.
     val args = rawArgs.filterNot(_.startsWith("--"))
     require(args.length >= 2, "usage: EtlMain [--typed|--v2] <logDir> <outDir> [nWalls]")
+    val unknown = rawArgs.filter(a =>
+      a.startsWith("--") && a != "--typed" && a != "--v2")
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")}; " +
+        "usage: EtlMain [--typed|--v2] <logDir> <outDir> [nWalls]")
+    val forced = rawArgs.contains("--typed") || rawArgs.contains("--v2")
     val useV2 =
       if (rawArgs.contains("--typed")) false
       else if (rawArgs.contains("--v2")) true
-      else corpusBytes(args(0)) >= (32L << 20)
+      else {
+        // the size probe walks the local filesystem before Spark starts;
+        // fail with a usage-style message instead of a raw NIO exception
+        // when the dir is missing (a non-local URI should force a path)
+        require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(args(0))),
+          s"logDir '${args(0)}' is not a readable local directory — " +
+            "pass --typed or --v2 to skip the size-based auto-select")
+        corpusBytes(args(0)) >= (32L << 20)
+      }
     println(s"[etl] engine: ${if (useV2) "mjlog v2" else "typed"}" +
-      (if (rawArgs.exists(_.startsWith("--"))) " (forced)" else " (auto)"))
+      (if (forced) " (forced)" else " (auto)"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -530,7 +530,7 @@ object Insights {
     val docs = Tables.documents(s, d)
     val tmp = Relational.scratchDir("dedup_index", d)
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(tmp, "_SEEDED"))) {
+        java.nio.file.Paths.get(tmp, "_SEEDED"))) Seeds.timed("dedup_index") {
       val ix = grams(docs.where(col("doc_id") % 10 =!= 0))
       ix.write.mode("overwrite").parquet(s"$tmp/grams")
       ix.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -459,7 +459,7 @@ object LlmOps {
   private def chainArtifact(s: SparkSession, d: String, kind: String)
                            (build: => DataFrame): DataFrame =
     chainCache.computeIfAbsent((System.identityHashCode(s), d, kind),
-      _ => build)
+      _ => Seeds.timed(s"chain_$kind")(build))
 
   /** LSH-candidate → exact-verify pair pipeline shared by
     * [[qDedupLshVerify]] (emits the pairs) and [[clusterLabels]]
@@ -1095,7 +1095,18 @@ object LlmOps {
     * The rounded direction is ALSO written to a [[Scratch]] parquet so
     * the DuckDB oracle projects the same corpus onto the same 64
     * numbers — everything downstream of the Spark-only kernel is
-    * re-derived from the exact bytes the run used.
+    * re-derived from the exact bytes the run used. Because that handoff
+    * makes the projection circular w.r.t. the eigen-solve, the output
+    * carries a `v_ok` column that Spark PINS to true while the oracle
+    * COMPUTES it from raw data (the [[qAggQuantileSketch]] pattern with
+    * the engines' roles swapped): unit norm within 1e-4 and
+    * cos(A·v, v) ≥ 0.995 against an oracle-side re-derived Gram matrix
+    * (measured 0.99977+ across sf0.01/sf0.1/sf1 under the 50-iteration
+    * contract; a broken solve lands near |v·u1| ≈ 1/√d). A silently
+    * wrong direction now flips the oracle's boolean and fails the hash
+    * gate. The same two properties are also `require`d driver-side
+    * against Spark's own matrix, so a diverged solve fails loudly at
+    * run time rather than at compare time.
     *
     * At 100 TB: one Gram pass (O(tasks·d²) shuffle bytes) + one scan
     * for the projection. The d×d eigen-solve is a model constant —
@@ -1123,6 +1134,22 @@ object LlmOps {
     }
     val v6 = v.map(x => BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // fail-fast half of the v_ok contract (see scaladoc): the emitted
+    // direction must be unit-norm and a near-fixed-point of the Gram
+    // matrix — d×d driver work on the model-constant matrix
+    locally {
+      val norm = math.sqrt(v6.map(x => x * x).sum)
+      val av = Array.tabulate(dim) { i =>
+        var sum = 0.0
+        var j = 0
+        while (j < dim) { sum += a(i)(j) * v6(j); j += 1 }
+        sum
+      }
+      val avn = math.sqrt(av.map(x => x * x).sum)
+      val cos = av.zip(v6).map { case (x, y) => x * y }.sum / (avn * norm)
+      require(math.abs(norm - 1.0) < 1e-4 && cos >= 0.995,
+        f"PCA eigen-solve failed its own contract: |v|=$norm%.6f cos(Av,v)=$cos%.6f")
+    }
     // handoff: the oracle projects onto exactly these 64 numbers
     v6.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
       .toDF("i", "vi").coalesce(1).write.mode("overwrite")
@@ -1132,7 +1159,8 @@ object LlmOps {
                (x, w) => x.cast("double") * w),
       lit(0.0), (acc, x) => acc + x)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), round(dot, 6).as("pc1"))
+      .select(col("vec_id"), col("label"), round(dot, 6).as("pc1"),
+              lit(true).as("v_ok"))
       .orderBy("vec_id")
   }
 
@@ -1144,8 +1172,29 @@ object LlmOps {
       |         CAST(embedding[g.i + 1] AS DOUBLE) AS x
       |  FROM embeddings,
       |       UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+      |), gram AS MATERIALIZED (
+      |  -- oracle-side re-derivation of the FULL Gram matrix (same
+      |  -- round-6 exact-decimal cells as q_embed_gram, both triangles)
+      |  -- so v_ok is independent of the Spark-computed direction
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(CAST(ROUND(a.x * b.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS g
+      |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2
+      |), av AS (
+      |  SELECT gram.i AS i, SUM(gram.g * v.vi) AS av
+      |  FROM gram JOIN v ON gram.j = v.i GROUP BY 1
+      |), chk AS (
+      |  -- unit norm within 1e-4 AND cos(A·v, v) ≥ 0.995: thresholds sit
+      |  -- ~1e-3 from the measured values, so double-sum order noise
+      |  -- (~1e-15 relative) cannot flip the boolean
+      |  SELECT abs(sqrt(SUM(v.vi * v.vi)) - 1) < 1e-4
+      |     AND SUM(av.av * v.vi) /
+      |         (sqrt(SUM(av.av * av.av)) * sqrt(SUM(v.vi * v.vi))) >= 0.995
+      |       AS ok
+      |  FROM av JOIN v ON av.i = v.i
       |)
-      |SELECT el.vec_id, el.label, ROUND(SUM(el.x * v.vi), 6) AS pc1
+      |SELECT el.vec_id, el.label, ROUND(SUM(el.x * v.vi), 6) AS pc1,
+      |  (SELECT ok FROM chk) AS v_ok
       |FROM el JOIN v ON el.i = v.i
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 

@@ -66,7 +66,7 @@ object Maintain {
     val ev = Tables.events(s, d)
     val dir = Relational.scratchDir("agg_state", d)
     val seeded = java.nio.file.Paths.get(dir, "_SEEDED")
-    if (!java.nio.file.Files.exists(seeded)) {
+    if (!java.nio.file.Files.exists(seeded)) Seeds.timed("agg_state") {
       partials(ev.where(col("ts") < lit(StateCutoff).cast("timestamp")))
         .write.mode("overwrite").parquet(s"$dir/state")
       java.nio.file.Files.createFile(seeded)
@@ -115,7 +115,7 @@ object Maintain {
   val qScanLineage: Q = (s, d) => {
     val dir = Scratch.path("lineage_files", d)
     val seeded = java.nio.file.Paths.get(dir + "_SEEDED")
-    if (!java.nio.file.Files.exists(seeded)) {
+    if (!java.nio.file.Files.exists(seeded)) Seeds.timed("lineage_files") {
       Tables.orders(s, d).repartition(8, col("o_orderkey"))
         .write.mode("overwrite").parquet(dir)
       java.nio.file.Files.createFile(seeded)
@@ -585,7 +585,7 @@ object Maintain {
     val deltaDir = Scratch.path("snap_delta", d)
     val delDir = Scratch.path("snap_deletes", d)
     val seeded = java.nio.file.Paths.get(baseDir + "_SEEDED")
-    if (!java.nio.file.Files.exists(seeded)) {
+    if (!java.nio.file.Files.exists(seeded)) Seeds.timed("snap_base") {
       orders.where(col("o_orderkey") % 4 < 3)
         .write.mode("overwrite").parquet(baseDir)
       orders.where(col("o_orderkey") % 4 === 3)
@@ -786,7 +786,8 @@ object Maintain {
 
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
-    edgeCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    edgeCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      Seeds.timed("copurchase_edges") {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()

@@ -89,7 +89,9 @@ object Relational {
     */
   private def seedOnce(dir: String)(write: => Unit): Unit =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-      write
+      Seeds.timed(
+        java.nio.file.Paths.get(dir).getFileName.toString
+          .replaceAll("_[0-9a-f]+$", ""))(write)
 
   val qSinkPartitioned: Q = (s, d) => {
     val tmp = scratchDir("sink", d)
@@ -845,7 +847,7 @@ object Relational {
                    |CLUSTERED BY ($key) SORTED BY ($key)
                    |INTO $nBuckets BUCKETS
                    |LOCATION '$path'""".stripMargin)
-        } else {
+        } else Seeds.timed(s"bucketed_$name") {
           df.repartition(nBuckets, col(key))
             .write.mode("overwrite").format("parquet")
             .bucketBy(nBuckets, key).sortBy(key)
@@ -919,7 +921,7 @@ object Relational {
                  |USING parquet PARTITIONED BY (o_orderpriority)
                  |LOCATION '$base/orders'""".stripMargin)
         s.sql(s"MSCK REPAIR TABLE $tbl")
-      } else {
+      } else Seeds.timed("dpp_orders") {
         Tables.orders(s, d)
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
           .write.mode("overwrite").format("parquet")

@@ -392,41 +392,6 @@ object StreamingQ {
     }.orderBy("user_id", "n")
   }
 
-  /** The SAME stateful operator, DuckDB-oracled: the `events` table is
-    * replayed through a real MemoryStream as five calendar-week
-    * micro-batches (Monday-truncated in both engines), and the per-key
-    * fold emits its running (count, total) after every batch a key
-    * appears in. A per-key running state over time-ordered batches has
-    * an exact batch equivalent — a window-ordered cumulative sum per
-    * (user, week) — which is precisely what the oracle computes, so the
-    * incremental execution path itself gets a hash-compare instead of a
-    * rows-only check.
-    *
-    * Exactness: the running total accumulates exact cents (the 2-dp
-    * values scaled to Long) and converts once at emit via
-    * BigDecimal(cents, 2).toDouble — the same decimal→double step as
-    * util.dsum, so the cumulative totals are bit-identical to DuckDB's
-    * windowed DECIMAL(18,2) sums regardless of per-batch addition
-    * order. Ordering: n is strictly increasing per user, so
-    * (user_id, n) is a total order both engines agree on.
-    *
-    * The driver-side collect is the REPLAY HARNESS, not the operator:
-    * MemoryStream data is driver-resident by definition (same as the
-    * fixture batches). The operator under test — the distributed
-    * per-key fold and its state store — sees only the stream.
-    */
-  /** events → one batch per Monday-truncated calendar week, time order. */
-  private def eventWeekBatches(s: SparkSession, d: String): Seq[Seq[Ev]] = {
-    import s.implicits._
-    val evs = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-              col("value"), date_trunc("week", col("ts")).as("wk"))
-      .as[(Long, Timestamp, Long, String, Double, Timestamp)]
-      .collect()
-    evs.groupBy(_._6).toSeq.sortBy(_._1.getTime)
-      .map(_._2.toSeq.map(t => Ev(t._1, t._2, t._3, t._4, t._5)))
-  }
-
   /** Week-batched replay through a DISTRIBUTED source: the events table
     * is written ONCE per sf dir as one parquet file per Monday-truncated
     * calendar week (ascending modification times pin the file order),
@@ -444,7 +409,7 @@ object StreamingQ {
     import s.implicits._
     val dir = graft.queries.Relational.scratchDir("stream_weeks", d)
     val seeded = java.nio.file.Paths.get(dir, "_SEEDED")
-    if (!java.nio.file.Files.exists(seeded)) {
+    if (!java.nio.file.Files.exists(seeded)) Seeds.timed("stream_weeks") {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
                 col("event_type"), col("value"))
@@ -539,9 +504,29 @@ object StreamingQ {
   private[graft] def centsToDouble(c: Long): Double =
     java.math.BigDecimal.valueOf(c, 2).doubleValue()
 
+  /** The per-key running-state fold, DuckDB-oracled: the `events` table
+    * is replayed through the DISTRIBUTED week-file source (one
+    * Monday-truncated calendar week per micro-batch — executors read
+    * the rows; the driver only admits files), and the fold emits its
+    * running (count, total) after every batch a key appears in. A
+    * per-key running state over time-ordered batches has an exact batch
+    * equivalent — a window-ordered cumulative sum per (user, week) —
+    * which is precisely what the oracle computes, so the incremental
+    * execution path itself gets a hash-compare instead of a rows-only
+    * check. The seeded far-future sentinel file arrives as its own
+    * final batch under synthetic user −1 (filtered below); with
+    * NoTimeout it leaves no other trace in the fold.
+    *
+    * Exactness: the running total accumulates exact cents (the 2-dp
+    * values scaled to Long) and converts once at emit via
+    * BigDecimal(cents, 2).toDouble — the same decimal→double step as
+    * util.dsum, so the cumulative totals are bit-identical to DuckDB's
+    * windowed DECIMAL(18,2) sums regardless of per-batch addition
+    * order. Ordering: n is strictly increasing per user, so
+    * (user_id, n) is a total order both engines agree on.
+    */
   val qStreamStateful: Q = (s, d) => {
     import s.implicits._
-    val batches = eventWeekBatches(s, d)
     val fn: (Long, Iterator[Ev], GroupState[(Long, Long)]) => Iterator[KeyCount] =
       (user, rows, state) => {
         val (n0, c0) = state.getOption.getOrElse((0L, 0L))
@@ -551,13 +536,13 @@ object StreamingQ {
         state.update((n, c))
         Iterator(KeyCount(user, n, centsToDouble(c)))
       }
-    runReplayStream(s, "graft_stream_state", batches) { df =>
+    runFileReplayStream(s, "graft_stream_state", d) { df =>
       df.as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,
                                 GroupStateTimeout.NoTimeout)(fn)
         .toDF()
-    }.orderBy("user_id", "n")
+    }.where(col("user_id") >= 0).orderBy("user_id", "n")
   }
 
   val qStreamStatefulSql: String =
@@ -715,18 +700,20 @@ object StreamingQ {
     * micro-batch (no state store at all — the join is stateless per
     * row, which is exactly why it's the cheapest enrichment available
     * at 100 TB/day: no watermarks, no eviction, just a map-side hash
-    * probe). Replayed through MemoryStream as real streaming execution;
-    * the per-row join is batching-invariant, so the batch join is an
-    * exact oracle. The aggregation happens AFTER the replay, on the
-    * result table — the operator under test is the streaming join.
+    * probe). Replayed through the DISTRIBUTED week-file source (real
+    * streaming execution, executor-read rows); the per-row join is
+    * batching-invariant, so all week files admit in one trigger (one
+    * state-free commit instead of five) and the batch join is an exact
+    * oracle. The seeded sentinel row (user −1) matches no customer key,
+    * so the inner join drops it on its own. The aggregation happens
+    * AFTER the replay, on the result table — the operator under test is
+    * the streaming join.
     */
   val qStreamStaticJoin: Q = (s, d) => {
     val dim = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
-    // stateless ⇒ batching-invariant: one micro-batch carries the whole
-    // replay, so the fixture pays one state-free commit instead of five
-    val batches = Seq(eventWeekBatches(s, d).flatten)
-    val enriched = runReplayStream(s, "graft_stream_static", batches) { df =>
+    val enriched = runFileReplayStream(s, "graft_stream_static", d,
+                                       filesPerTrigger = 32) { df =>
       df.join(broadcast(dim), df("user_id") === dim("c_custkey"))
         .select(col("user_id"), col("c_mktsegment"), col("value"))
     }
@@ -926,10 +913,13 @@ object StreamingQ {
     }
 
   val qStreamMv: Q = (s, d) => {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val batches = eventWeekBatches(s, d)
+    // DISTRIBUTED week-file replay: executors read each weekly parquet
+    // file as one micro-batch; the driver only admits files and runs
+    // the per-batch manifest merge (metadata-sized). The seeded
+    // sentinel row flows into the MV under synthetic user −1 (keeping
+    // every foreachBatch non-empty) and is filtered at read — it is not
+    // in the oracle's events table.
+    val dir = eventWeekFiles(s, d)
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch",
       "mv_" + Integer.toHexString(d.hashCode))
@@ -939,13 +929,16 @@ object StreamingQ {
     s.conf.set("spark.sql.shuffle.partitions", "2")
     @volatile var lastV = 0L
     try {
-      val ms = MemoryStream[Ev]
       val ckptBase =
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
           java.nio.file.Paths.get("/dev/shm")
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_mv_")
-      val q = mvAggregate(ms.toDF())
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/w*.parquet")
+      val q = mvAggregate(src)
         .writeStream
         .foreachBatch { (updates: DataFrame, batchId: Long) =>
           mvMergeBatch(base)(updates, batchId)
@@ -953,12 +946,13 @@ object StreamingQ {
           ()
         }
         .option("checkpointLocation", ckpt.toString)
-        .outputMode(OutputMode.Update).start()
-      try {
-        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
-      } finally { q.stop(); rmTree(ckpt) }
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { q.stop(); rmTree(ckpt) }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    mvRead(s, base, lastV)
+    mvRead(s, base, lastV).where(col("user_id") >= 0).orderBy("user_id")
   }
 
   val qStreamMvSql: String =
@@ -981,12 +975,15 @@ object StreamingQ {
     * without weakening what is asserted about the store.
     */
   val qStreamStateInspect: Q = (s, d) => {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val weeks = eventWeekBatches(s, d)
-    val batches = weeks.grouped(math.max(1, weeks.size / 6))
-      .map(_.flatten.toSeq).toSeq
+    // DISTRIBUTED week-file replay (executor-read rows; the driver only
+    // admits files), two weekly files per trigger — coarser than
+    // week-by-week because the state at the final commit is invariant
+    // to replay granularity, so the coarser replay buys wall time
+    // without weakening what is asserted about the store. The seeded
+    // sentinel lands in the store under synthetic user −1 and is
+    // filtered from the decoded state below (it is not in the oracle's
+    // events table).
+    val dir = eventWeekFiles(s, d)
     // deterministic per-dataset checkpoint, recreated per run: the state
     // files must OUTLIVE this function (the returned frame reads them
     // lazily), so cleanup is rewrite-on-next-run, not a finally block
@@ -998,18 +995,24 @@ object StreamingQ {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      val ms = MemoryStream[Ev]
-      val q = mvAggregate(ms.toDF())
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$dir/w*.parquet")
+      val q = mvAggregate(src)
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt.toString)
-        .outputMode(OutputMode.Update).start()
-      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
       finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.format("statestore").option("path", ckpt.toString).load()
       .select(col("key.user_id").as("user_id"),
               col("value.count").as("n_events"),
               (col("value.sum").cast("double") / lit(100.0)).as("total"))
+      .where(col("user_id") >= 0)
       .orderBy("user_id")
   }
 
@@ -1058,8 +1061,11 @@ object StreamingQ {
   val qStreamStatefulTws: Q = (s, d) =>
     withRocksDb(s) {
       import s.implicits._
-      val batches = eventWeekBatches(s, d)
-      runReplayStream(s, "graft_stream_tws", batches) { df =>
+      // DISTRIBUTED week-file replay, one weekly file per micro-batch —
+      // same batching (and so the same emission set) as the oracle's
+      // cumulative-window SQL expects; the sentinel's synthetic user −1
+      // emission is filtered below
+      runFileReplayStream(s, "graft_stream_tws", d) { df =>
         df.as[Ev]
           .groupByKey(_.user_id)
           .transformWithState(new RunningCumulProcessor(),
@@ -1067,7 +1073,7 @@ object StreamingQ {
             OutputMode.Append)
           .toDF()
       }
-    }.orderBy("user_id", "n")
+    }.where(col("user_id") >= 0).orderBy("user_id", "n")
 
   /** Event-time micros of a timestamp (getTime is millis — the events
     * table carries microsecond precision, and a gap compare that
@@ -1241,8 +1247,16 @@ object StreamingQ {
     */
   val qStreamStatefulTtl: Q = (s, d) => {
     import s.implicits._
-    val batches = eventWeekBatches(s, d)
-    runReplayStream(s, "graft_stream_ttl", batches) { df =>
+    // DISTRIBUTED week-file replay, one weekly file per micro-batch
+    // (same batching ⇒ same emission set as the oracle's sessionized
+    // cumulative SQL). The seeded far-future sentinel advances the
+    // watermark past every real key's last_ts + TTL at end of replay,
+    // so the gate key now EXERCISES the eviction path too: every real
+    // key's timer fires in the final no-data batch and its state is
+    // removed — output-neutral by the gap-reset argument above (the
+    // oracled onTimeout emits nothing; the fixture witnesses the
+    // tombstone). The sentinel's own user −1 emission is filtered.
+    runFileReplayStream(s, "graft_stream_ttl", d) { df =>
       df.withWatermark("ts", "1 minute")
         .as[Ev]
         .groupByKey(_.user_id)
@@ -1252,7 +1266,7 @@ object StreamingQ {
         .toDF()
         .select(col("user_id"), date_trunc("week", col("last_ts")).as("wk"),
                 col("n"), col("total"))
-    }.orderBy("user_id", "wk")
+    }.where(col("user_id") >= 0).orderBy("user_id", "wk")
   }
 
   /** Sessionized cumulative sum: a session break where the per-user

@@ -33,3 +33,34 @@ object util {
 
   def davgSql(col: String): String = s"(${dsumSql(col)} / COUNT(*))"
 }
+
+/** Wall-clock registry of the once-per-(session, dir) artifact builds —
+  * seeded scan/layout dirs, the streaming week files, the memoized
+  * dedup/graph chains. Their cost is deliberately excluded from the
+  * per-query medians (they are once-per-dir, like a table load, so the
+  * medians report marginal query cost), which made it invisible in
+  * `bench_out.json`: the suite total understated what a COLD run pays.
+  * Every seed site wraps its build in [[Seeds.timed]], and Bench emits
+  * the accumulated `seed_sec` total plus a per-artifact breakdown, so
+  * suite total + seed_sec ≈ cold-run cost and the accounting is
+  * auditable.
+  */
+object Seeds {
+  private val acc =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+
+  def timed[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body
+    finally acc.merge(name,
+      java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+      (a, b) => java.lang.Double.valueOf(a.doubleValue + b.doubleValue))
+  }
+
+  def breakdown: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
+
+  def totalSec: Double = breakdown.values.sum
+}
