@@ -802,6 +802,44 @@ object Maintain {
     })
 
   // ---------------------------------------------------------------
+  // q_graph_degree_hist — degree distribution of the co-purchase graph.
+  // ---------------------------------------------------------------
+
+  /** Degree histogram of the co-purchase graph — the first diagnostic
+    * a graph pipeline prints (hub detection, power-law sanity, and the
+    * skew forecast for every downstream wedge/neighbor join): node
+    * degree over the undirected support-≥2 edge set, rolled up to
+    * (degree → node count). Consumes the SAME memoized edge artifact
+    * as Adamic–Adar / assortativity / k-core, so the lineitem
+    * self-join is still built once per (session, dir).
+    *
+    * At 100 TB: two combining aggregates over the edge list (node →
+    * degree, degree → count) — output bounded by max degree, input
+    * bounded by the thresholded edge count, never the raw corpus.
+    */
+  val qGraphDegreeHist: Q = (s, d) => {
+    val e = copurchaseEdges(s, d)
+    val und = e.select(col("p1").as("u"))
+      .unionAll(e.select(col("p2").as("u")))
+    und.groupBy("u").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  val qGraphDegreeHistSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (
+      |  SELECT p1 AS u FROM edges UNION ALL SELECT p2 FROM edges),
+      |deg AS (SELECT u, count(*) AS degree FROM und GROUP BY 1)
+      |SELECT degree, count(*) AS n_nodes
+      |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_graph_adamic_adar — link prediction on the co-purchase graph.
   // ---------------------------------------------------------------
 
@@ -4185,6 +4223,7 @@ object Maintain {
 
   val entries: Map[String, Q] = Map(
     "q_graph_assortativity"   -> qGraphAssortativity,
+    "q_graph_degree_hist"     -> qGraphDegreeHist,
     "q_maintain_retention"    -> qMaintainRetention,
     "q_stats_proptest"        -> qStatsProptest,
     "q_funnel_window"         -> qFunnelWindow,
@@ -4247,6 +4286,7 @@ object Maintain {
 
   val oracles: Map[String, String] = Map(
     "q_graph_assortativity"   -> qGraphAssortativitySql,
+    "q_graph_degree_hist"     -> qGraphDegreeHistSql,
     "q_maintain_retention"    -> qMaintainRetentionSql,
     "q_stats_proptest"        -> qStatsProptestSql,
     "q_funnel_window"         -> qFunnelWindowSql,

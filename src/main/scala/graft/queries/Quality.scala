@@ -1,0 +1,505 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import util._
+
+/** Round-15 wave: ranking/calibration evaluation, corpus-curation
+  * vocabulary ops, a 2-D grid-bucketed spatial join, and a compaction
+  * planner — the remaining quality-measurement and lake-maintenance
+  * shapes a training-data pipeline runs between ingest and training.
+  *
+  * Reference analog: the reference stops at materializing the lake and
+  * delegates analytics to Athena (README.md:2); these are the
+  * evaluate-the-derived-artifacts queries (is the ranking good? is the
+  * score calibrated? which vocabulary survives df pruning? which
+  * boilerplate contaminates the corpus?) plus the small-file compaction
+  * planning every parquet lake eventually needs.
+  *
+  * Cross-engine exactness: every operator here is integer/decimal
+  * arithmetic end to end — NDCG uses 6-dp DECIMAL discount literals
+  * generated once and embedded in BOTH engines' plans (no libm log2 at
+  * query time), calibration bins/labels derive from md5 hex digits,
+  * the spatial join compares exact integer squared distances, and the
+  * compaction planner is pure integer running sums — so every round-6
+  * output is a single IEEE operation on identical operands.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------
+  // q_eval_ndcg — graded ranking quality (NDCG@10) per query group.
+  // ---------------------------------------------------------------
+
+  /** 6-dp discount table disc(i) = round(1/log2(i+1), 6), i = 1..10.
+    * Computed ONCE here and spliced as DECIMAL literals into both the
+    * Spark plan and the DuckDB oracle, so the one libm touchpoint
+    * (log2) happens at class-init in one place — query-time arithmetic
+    * is gain(int) × disc(decimal), exact in both engines.
+    */
+  private val NdcgK = 10
+  private[graft] val ndcgDisc: IndexedSeq[String] =
+    (1 to NdcgK).map { i =>
+      BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+
+  private def ndcgDiscCase(posCol: String): String =
+    s"CASE $posCol " +
+      ndcgDisc.zipWithIndex.map { case (v, i) =>
+        s"WHEN ${i + 1} THEN CAST($v AS DECIMAL(8,6))" }.mkString(" ") +
+      " ELSE CAST(0 AS DECIMAL(8,6)) END"
+
+  /** NDCG@10 of a system ranking against graded relevance, one query
+    * group per event_type: items are users, the SYSTEM ranks by event
+    * count, relevance grades (3..0) come from exact-cents value
+    * quartiles — so the metric asks "does ranking by activity recover
+    * the value ordering?". DCG = Σ (2^grade − 1) · disc(pos) with the
+    * shared 6-dp discount table; DCG/IDCG accumulate in DECIMAL
+    * (exact), and NDCG is one round-6 division of identical doubles.
+    * Ties are broken by user_id everywhere, so both engines rank
+    * identically; IDCG's tie-break is grade-only, which cannot change
+    * the top-10 gain multiset.
+    *
+    * At 100 TB: one combining aggregate events→(type, user), two
+    * windows partitioned by type (ntile for grades, row_number for
+    * positions), one |types|-row rollup. The per-type window sort is
+    * the only superlinear step and shards by query group — the
+    * standard offline ranking-eval shape.
+    */
+  val qEvalNdcg: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+    val byValue = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("user_id").asc)
+    val graded = users
+      .withColumn("rel", lit(4) - ntile(4).over(byValue))
+      .withColumn("gain",
+        expr("CASE rel WHEN 3 THEN 7L WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"))
+    val bySystem = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    val byIdeal = Window.partitionBy("event_type")
+      .orderBy(col("gain").desc, col("user_id").asc)
+    graded
+      .withColumn("sys_pos", row_number().over(bySystem))
+      .withColumn("ideal_pos", row_number().over(byIdeal))
+      .withColumn("sys_disc", expr(ndcgDiscCase("sys_pos")))
+      .withColumn("ideal_disc", expr(ndcgDiscCase("ideal_pos")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("sys_pos") <= NdcgK, col("gain") * col("sys_disc")))
+          .cast("double").as("dcg10"),
+        sum(when(col("ideal_pos") <= NdcgK, col("gain") * col("ideal_disc")))
+          .cast("double").as("idcg10"))
+      .withColumn("ndcg10", round(col("dcg10") / col("idcg10"), 6))
+      .orderBy("event_type")
+  }
+
+  val qEvalNdcgSql: String =
+    s"""WITH users AS (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |graded AS (
+      |  SELECT event_type, user_id, n,
+      |    CASE 4 - ntile(4) OVER (PARTITION BY event_type
+      |                            ORDER BY cents DESC, user_id ASC)
+      |      WHEN 3 THEN CAST(7 AS BIGINT) WHEN 2 THEN 3 WHEN 1 THEN 1
+      |      ELSE 0 END AS gain
+      |  FROM users),
+      |pos AS (
+      |  SELECT event_type, gain,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY n DESC, user_id ASC) AS sys_pos,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY gain DESC, user_id ASC) AS ideal_pos
+      |  FROM graded)
+      |SELECT event_type, count(*) AS n_items,
+      |  CAST(sum(CASE WHEN sys_pos <= $NdcgK
+      |    THEN gain * (${ndcgDiscCase("sys_pos")}) END) AS DOUBLE) AS dcg10,
+      |  CAST(sum(CASE WHEN ideal_pos <= $NdcgK
+      |    THEN gain * (${ndcgDiscCase("ideal_pos")}) END) AS DOUBLE) AS idcg10,
+      |  ROUND(CAST(sum(CASE WHEN sys_pos <= $NdcgK
+      |          THEN gain * (${ndcgDiscCase("sys_pos")}) END) AS DOUBLE) /
+      |        CAST(sum(CASE WHEN ideal_pos <= $NdcgK
+      |          THEN gain * (${ndcgDiscCase("ideal_pos")}) END) AS DOUBLE), 6)
+      |    AS ndcg10
+      |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_eval_calibration — reliability diagram + per-bin ECE gaps.
+  // ---------------------------------------------------------------
+
+  /** DuckDB spelling of "hex digits [start, start+n) of md5(expr) as an
+    * integer" — the [[graft.queries.Maintain.qSampleConsistent]] strpos
+    * recipe generalized to n digits.
+    */
+  private def duckHexInt(expr: String, start: Int, n: Int): String =
+    (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"($acc) * 16 + strpos('0123456789abcdef', substr(md5($expr), ${start + k}, 1)) - 1"
+    }
+
+  /** Calibration audit of a model score — the reliability-diagram
+    * binning every production classifier gets before its threshold is
+    * trusted: scores bucket into 10 equal-width bins; each bin reports
+    * count, positives, mean predicted probability, observed positive
+    * rate, and the |gap| that, frequency-weighted, sums to ECE.
+    *
+    * The score is a deterministic md5-derived uniform over [0, 65536)
+    * (hex digits 1–4 of md5(doc_id)) and the label draws hex digits
+    * 5–8 as an independent uniform with P(label=1|score) = score/65536
+    * — calibrated by construction, so the audit machinery is exercised
+    * against a known-calibrated model and the gate pins the exact
+    * per-bin integers. Everything is integer until the final
+    * divisions: bin = score·10 div 65536, mean-pred and pos-rate are
+    * single divisions of exact integer sums — identical doubles in
+    * both engines, so the round-6 cannot straddle a tie.
+    *
+    * At 100 TB: row-local hashing, one 10-key combining aggregate —
+    * the cheapest possible audit shape.
+    */
+  val qEvalCalibration: Q = (s, d) => {
+    val h = md5(col("doc_id").cast("string"))
+    val score = conv(substring(h, 1, 4), 16, 10).cast("long")
+    val lab = conv(substring(h, 5, 4), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(score.as("score_u"),
+        when(lab < score, 1L).otherwise(0L).as("label"))
+      .groupBy(expr("score_u * 10 DIV 65536").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score_u")).as("sum_u"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_u").cast("double") /
+          (col("n").cast("double") * lit(65536.0)), 6).as("avg_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(abs(col("sum_u").cast("double") /
+            (col("n").cast("double") * lit(65536.0)) -
+          col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
+
+  val qEvalCalibrationSql: String =
+    s"""WITH scored AS (
+      |  SELECT ${duckHexInt("CAST(doc_id AS VARCHAR)", 1, 4)} AS score_u,
+      |    CASE WHEN (${duckHexInt("CAST(doc_id AS VARCHAR)", 5, 4)}) <
+      |              (${duckHexInt("CAST(doc_id AS VARCHAR)", 1, 4)})
+      |         THEN 1 ELSE 0 END AS label
+      |  FROM documents),
+      |b AS (
+      |  SELECT score_u * 10 // 65536 AS bin, count(*) AS n,
+      |    CAST(sum(label) AS BIGINT) AS n_pos,
+      |    CAST(sum(score_u) AS BIGINT) AS sum_u
+      |  FROM scored GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  ROUND(CAST(sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0), 6)
+      |    AS avg_pred,
+      |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      |  ROUND(abs(CAST(sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0) -
+      |            CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+      |FROM b ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_text_docfreq_prune — min_df / max_df vocabulary pruning census.
+  // ---------------------------------------------------------------
+
+  private val MinDf = 5       // token must appear in ≥ 5 docs
+  private val MaxDfPct = 3    // ...and in ≤ 30% of docs (×10 scale)
+
+  /** Document-frequency vocabulary pruning (min_df=5, max_df=30%) —
+    * the sklearn/tf-idf preprocessing step at corpus scale: tokens too
+    * rare to learn from and tokens so common they carry no signal are
+    * both dropped; the census reports, per source, how much of the
+    * vocabulary and of the token MASS survives. The max_df bound is
+    * compared as df·10 ≤ 3·N (pure integers; N is a bounded driver-side
+    * count, the PQ-codebook precedent).
+    *
+    * At 100 TB: token instances flow through ONE token-keyed combining
+    * exchange to build df; the instance stream joins the bounded
+    * surviving-vocab set back on the same key (shuffle-hash); the final
+    * rollup is |sources| rows. Nothing is ever collected but the one
+    * corpus count.
+    */
+  val qTextDocfreqPrune: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // bounded: one scalar
+    val inst = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        text.split(" ").filter(_.nonEmpty).map(t => (id, src, t)) }
+      .toDF("doc_id", "source", "tok")
+    val df = inst.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val flagged = inst.join(df.hint("shuffle_hash"), "tok")
+      .withColumn("kept",
+        col("df") >= MinDf && col("df") * 10 <= lit(MaxDfPct) * nDocs)
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_tokens_kept"),
+        countDistinct(col("tok")).as("vocab_seen"),
+        countDistinct(when(col("kept"), col("tok"))).as("vocab_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_tokens_kept").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  val qTextDocfreqPruneSql: String =
+    s"""WITH inst AS (
+      |  SELECT doc_id, source, t.tok AS tok
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split(text, ' '),
+      |                       x -> length(x) > 0)) AS t(tok)),
+      |df AS (
+      |  SELECT tok, count(DISTINCT doc_id) AS df FROM inst GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |flagged AS (
+      |  SELECT inst.source, inst.tok,
+      |    df.df >= $MinDf AND df.df * 10 <= $MaxDfPct * (SELECT n_docs FROM n)
+      |      AS kept
+      |  FROM inst JOIN df USING (tok))
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tokens_kept,
+      |  count(DISTINCT tok) AS vocab_seen,
+      |  count(DISTINCT CASE WHEN kept THEN tok END) AS vocab_kept,
+      |  ROUND(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE), 6) AS kept_ratio
+      |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_text_boilerplate — cross-document repeated-shingle detection.
+  // ---------------------------------------------------------------
+
+  private val ShingleW = 5
+  private val BoilerDocs = 3 // a shingle in ≥ 3 distinct docs is boilerplate
+
+  /** All word 5-gram shingle INSTANCES of a text (step 1, duplicates
+    * kept — boilerplate mass is counted per occurrence); empty below
+    * 5 tokens.
+    */
+  private[graft] def shingles(text: String): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < ShingleW) Array.empty
+    else toks.sliding(ShingleW).map(_.mkString(" ")).toArray
+  }
+
+  /** Boilerplate census — the headers/footers/licence-block screen of a
+    * web-scale curation pipeline: a word 5-gram shingle occurring in ≥
+    * 3 DISTINCT documents is boilerplate (only planted near-duplicates
+    * and true template text repeat verbatim across documents at this
+    * shingle width); per source the census reports document/shingle
+    * volume, the boilerplate instance share (round-6 of an exact
+    * integer ratio), and the distinct boilerplate vocabulary.
+    *
+    * At 100 TB: shingle instances flow through one shingle-keyed
+    * combining exchange for df, then join the (small, df ≥ 3) boiler
+    * set back per instance — the q_text_docfreq_prune shape one level
+    * up (shingles, not tokens). No all-pairs anything.
+    */
+  val qTextBoilerplate: Q = (s, d) => {
+    import s.implicits._
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        shingles(text).map(g => (id, src, g)) }
+      .toDF("doc_id", "source", "shingle")
+    val df = inst.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("nd"))
+    val boiler = df.where(col("nd") >= BoilerDocs).select(col("shingle"))
+      .withColumn("is_boiler", lit(true))
+    inst.join(boiler.hint("shuffle_hash"), Seq("shingle"), "left")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        countDistinct(when(col("is_boiler"), col("shingle")))
+          .as("boiler_vocab"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  val qTextBoilerplateSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+      |  FROM documents),
+      |inst AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(list_slice(ts, g.i, g.i + ${ShingleW - 1}), ' ')
+      |      AS shingle
+      |  FROM toks, UNNEST(generate_series(1, len(ts) - ${ShingleW - 1}))
+      |    AS g(i)
+      |  WHERE len(ts) >= $ShingleW),
+      |df AS (
+      |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM inst GROUP BY 1),
+      |j AS (
+      |  SELECT inst.source, inst.doc_id, inst.shingle,
+      |    df.nd >= $BoilerDocs AS is_boiler
+      |  FROM inst JOIN df USING (shingle))
+      |SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler,
+      |  count(DISTINCT CASE WHEN is_boiler THEN shingle END)
+      |    AS boiler_vocab,
+      |  ROUND(CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_join_spatial_grid — grid-bucketed radius join in 2-D.
+  // ---------------------------------------------------------------
+
+  private val GridCell = 512      // cell edge; must be ≥ radius for 3×3
+  private val Radius2 = 250000L   // radius 500, compared as exact dist²
+
+  /** Radius join in two dimensions — the spatial/geo shape (points
+    * within distance r across two sets) that a naive plan makes a
+    * cartesian product: both sides bucket into a 512-unit grid (cell
+    * edge ≥ radius, so every qualifying pair is in the SAME or an
+    * ADJACENT cell), the probe side replicates to its 3×3 neighbor
+    * cells via a 9-row explode, and the join is a pure EQUI-join on
+    * the cell key with the exact integer dist² ≤ r² residual — the
+    * 2-D generalization of q_join_range_banded's 1-D banding. Each
+    * qualifying pair is found exactly once (each point owns one cell;
+    * the shifted copies live on the click side only). Coordinates are
+    * md5-derived integers in [0, 65536)² (hex digits 1–4 / 5–8 —
+    * integer-multiply hashes lattice at small N and starve the join),
+    * so the distance predicate and the binned output are pure integer
+    * arithmetic — nothing to round, nothing to flake.
+    *
+    * Output is the dist²-binned pair histogram (counts + exact integer
+    * dist² extrema/sums), NOT the pair list: the histogram is
+    * scale-stable output while the pair count grows with density² —
+    * the right contract for a join whose result feeds an aggregate.
+    *
+    * At 100 TB: candidate pairs per task are bounded by (points per
+    * cell)² × 9 — the grid size tunes occupancy the way LSH band width
+    * tunes bucket size; the exchange carries each side once (plus the
+    * 9× probe replication), never the cross product.
+    */
+  val qJoinSpatialGrid: Q = (s, d) => {
+    def pts(tpe: String, prefix: String): DataFrame = {
+      val h = md5(col("event_id").cast("string"))
+      Tables.events(s, d).where(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          conv(substring(h, 1, 4), 16, 10).cast("long").as(s"${prefix}x"),
+          conv(substring(h, 5, 4), 16, 10).cast("long").as(s"${prefix}y"))
+    }
+    val clicks = pts("click", "a")
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (expr(s"ax DIV $GridCell") + col("dx")).as("cx"),
+        (expr(s"ay DIV $GridCell") + col("dy")).as("cy"))
+    val views = pts("view", "b")
+      .withColumn("cx", expr(s"bx DIV $GridCell"))
+      .withColumn("cy", expr(s"by DIV $GridCell"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    clicks.join(views, Seq("cx", "cy"))
+      .withColumn("d2", d2)
+      .where(col("d2") <= Radius2)
+      .groupBy(expr(s"d2 * 10 DIV $Radius2").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("d2")).as("min_d2"),
+        max(col("d2")).as("max_d2"),
+        sum(col("d2")).as("sum_d2"))
+      .orderBy("bin")
+  }
+
+  val qJoinSpatialGridSql: String =
+    s"""WITH pts AS (
+      |  SELECT event_id, event_type,
+      |    ${duckHexInt("CAST(event_id AS VARCHAR)", 1, 4)} AS x,
+      |    ${duckHexInt("CAST(event_id AS VARCHAR)", 5, 4)} AS y
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |pairs AS (
+      |  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM pts a JOIN pts b
+      |    ON a.event_type = 'click' AND b.event_type = 'view'
+      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |       <= $Radius2)
+      |SELECT d2 * 10 // $Radius2 AS bin, count(*) AS n_pairs,
+      |  min(d2) AS min_d2, max(d2) AS max_d2,
+      |  CAST(sum(d2) AS BIGINT) AS sum_d2
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_maintain_compaction_plan — target-size small-file bin packing.
+  // ---------------------------------------------------------------
+
+  private val CompactTarget = 65536L // bytes per compaction output
+
+  /** Compaction planning — the OPTIMIZE/rewrite-small-files step every
+    * parquet lake schedules: within each source (standing in for a
+    * table partition), files (documents; n_chars as bytes) are walked
+    * in key order and assigned to output bins by the running byte
+    * total — a file opens a new bin when the bytes BEFORE it already
+    * fill the 64 KiB target (bin = prefix-sum div target: the
+    * streaming first-fit rule, deterministic and windowed, no driver
+    * loop). The plan reports each bin's file count, byte total, and
+    * key range — what the rewrite job would execute.
+    *
+    * At 100 TB: one window per partition (the per-partition file list
+    * is metadata, small by definition) and a (partition, bin) rollup;
+    * planning cost is proportional to file-list size, never data size.
+    */
+  val qMaintainCompactionPlan: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin",
+        expr(s"(cum - n_chars) DIV $CompactTarget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("min_key"),
+        max(col("doc_id")).as("max_key"))
+      .orderBy("source", "bin")
+  }
+
+  val qMaintainCompactionPlanSql: String =
+    s"""WITH f AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum
+      |  FROM documents)
+      |SELECT source, CAST((cum - n_chars) // $CompactTarget AS BIGINT) AS bin,
+      |  count(*) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  min(doc_id) AS min_key, max(doc_id) AS max_key
+      |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_eval_ndcg"              -> qEvalNdcg,
+    "q_eval_calibration"       -> qEvalCalibration,
+    "q_text_docfreq_prune"     -> qTextDocfreqPrune,
+    "q_text_boilerplate"       -> qTextBoilerplate,
+    "q_join_spatial_grid"      -> qJoinSpatialGrid,
+    "q_maintain_compaction_plan" -> qMaintainCompactionPlan)
+
+  val oracles: Map[String, String] = Map(
+    "q_eval_ndcg"              -> qEvalNdcgSql,
+    "q_eval_calibration"       -> qEvalCalibrationSql,
+    "q_text_docfreq_prune"     -> qTextDocfreqPruneSql,
+    "q_text_boilerplate"       -> qTextBoilerplateSql,
+    "q_join_spatial_grid"      -> qJoinSpatialGridSql,
+    "q_maintain_compaction_plan" -> qMaintainCompactionPlanSql)
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Quality
+
+/** Round-15 quality wave: NDCG ranking eval, calibration bins, df
+  * vocabulary pruning, boilerplate shingles, grid-bucketed spatial
+  * join, compaction planning, degree histogram. The DuckDB oracle
+  * hash-compares all seven per driver run; these specs assert the
+  * semantic identities the hash can't express (metric bounds, mass
+  * conservation, brute-force join equality, discount-table exactness)
+  * plus the plan shape of the spatial join.
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("ndcg discount table matches round-6 of 1/log2(i+1)") {
+    // the literals both engines consume come from ONE computation; pin
+    // a couple against independently-written closed forms
+    assert(Quality.ndcgDisc(0) == "1.000000")   // 1/log2(2)
+    assert(Quality.ndcgDisc(2) == "0.500000")   // 1/log2(4)
+    assert(Quality.ndcgDisc(9) == "0.289065")   // 1/log2(11)
+  }
+
+  test("q_eval_ndcg: ndcg in (0, 1]; idcg >= dcg; idcg is the max") {
+    val rows = SparkEntry.queries("q_eval_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dcg = r.getAs[Double]("dcg10")
+      val idcg = r.getAs[Double]("idcg10")
+      val ndcg = r.getAs[Double]("ndcg10")
+      assert(idcg > 0 && dcg >= 0 && dcg <= idcg + 1e-9)
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_eval_calibration: bins partition the corpus; the md5 score " +
+       "is calibrated by construction (|gap| small in every full bin)") {
+    val rows = SparkEntry.queries("q_eval_calibration")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSet == (0L to 9L).toSet)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val docs = Tables.documents(spark, sf).count()
+    assert(n == docs)
+    rows.foreach { r =>
+      // calibrated generator: per-bin gap is binomial noise around 0;
+      // 0.25 is ~5 sigma at the sf0.001 bin sizes (~10 docs/bin)
+      assert(r.getAs[Double]("gap") < 0.25,
+        s"bin ${r.getAs[Long]("bin")} gap ${r.getAs[Double]("gap")}")
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q_text_docfreq_prune: kept vocabulary is a subset; token mass " +
+       "conserved; the df band actually prunes both tails") {
+    val rows = SparkEntry.queries("q_text_docfreq_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vocab_kept") <= r.getAs[Long]("vocab_seen"))
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens"))
+    }
+    // across the corpus something must be dropped (max_df kills the
+    // head of this small-vocab synthetic corpus) and something kept
+    assert(rows.map(_.getAs[Long]("n_tokens_kept")).sum <
+      rows.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
+  test("q_text_boilerplate: planted near-duplicates make boilerplate " +
+       "non-empty; ratio = n_boiler / n_shingles exactly") {
+    val rows = SparkEntry.queries("q_text_boilerplate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum > 0,
+      "planted doc_id%10 near-dups should repeat 5-gram shingles")
+    rows.foreach { r =>
+      val expect = BigDecimal(r.getAs[Long]("n_boiler").toDouble /
+          r.getAs[Long]("n_shingles").toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("boiler_ratio") == expect)
+    }
+  }
+
+  test("shingles(): step-1 5-grams, empty below width") {
+    assert(Quality.shingles("a b c d").isEmpty)
+    assert(Quality.shingles("a b c d e").toSeq == Seq("a b c d e"))
+    assert(Quality.shingles("a b c d e f").toSeq ==
+      Seq("a b c d e", "b c d e f"))
+    assert(Quality.shingles("a  b c d e").toSeq == Seq("a b c d e"))
+  }
+
+  test("q_join_spatial_grid: equals the brute-force all-pairs join at " +
+       "fixture scale (grid bucketing loses and invents nothing)") {
+    import org.apache.spark.sql.functions._
+    val grid = SparkEntry.queries("q_join_spatial_grid")(spark, sf).collect()
+    val h = md5(col("event_id").cast("string"))
+    val pts = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        conv(substring(h, 1, 4), 16, 10).cast("long").as("x"),
+        conv(substring(h, 5, 4), 16, 10).cast("long").as("y"))
+    val a = pts.where(col("event_type") === "click")
+      .select(col("x").as("ax"), col("y").as("ay"))
+    val b = pts.where(col("event_type") === "view")
+      .select(col("x").as("bx"), col("y").as("by"))
+    val brute = a.crossJoin(b)
+      .withColumn("d2", (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")))
+      .where(col("d2") <= 250000L)
+      .groupBy(expr("d2 * 10 DIV 250000").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"))
+      .collect().map(r => (r.getAs[Long]("bin"),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_d2")))).toMap
+    assert(grid.nonEmpty)
+    assert(grid.length == brute.size)
+    grid.foreach { r =>
+      val (n, s) = brute(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_pairs") == n && r.getAs[Long]("sum_d2") == s)
+    }
+  }
+
+  test("q_join_spatial_grid: plans as an equi-join on the cell key, " +
+       "not a cartesian") {
+    val p = plan("q_join_spatial_grid")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q_maintain_compaction_plan: bins conserve bytes and files; " +
+       "every non-final bin is full (first-fit rule)") {
+    val rows = SparkEntry.queries("q_maintain_compaction_plan")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val expect = docs.agg(sum(col("n_chars")), count(lit(1))).head()
+    assert(rows.map(_.getAs[Long]("bytes")).sum == expect.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_files")).sum == expect.getLong(1))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      // bins are consecutive from 0 and key ranges are disjoint+ordered
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq ==
+        sorted.indices.map(_.toLong))
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0).getAs[Long]("max_key") < w(1).getAs[Long]("min_key"))
+      }
+    }
+  }
+
+  test("q_graph_degree_hist: node count equals the co-purchase graph's " +
+       "vertex count; degree mass equals 2x edges") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_graph_degree_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.alias("a").join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .where(col("count") >= 2)
+    val nEdges = edges.count()
+    assert(rows.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes"))
+      .sum == 2 * nEdges)
+  }
+}
