@@ -487,7 +487,232 @@ object Quality {
       |  min(doc_id) AS min_key, max(doc_id) AS max_key
       |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_eval_avg_precision — ranked-retrieval AP over the user ranking.
+  // ---------------------------------------------------------------
+
+  /** Average precision (the area under the precision-recall curve in
+    * its rank-sum form) of the user-value ranking against the purchaser
+    * label — [[graft.queries.Maintain.qEvalAuc]]'s companion for the
+    * class-imbalanced regime where ROC flatters: AP = mean over
+    * positives of precision@rank. Every precision@k is rounded to 6 dp
+    * and summed in DECIMAL (the PSI discipline — a raw double sum over
+    * |positives| quotient terms is order-dependent), then one division
+    * by n_pos. The ranking tie-breaks by user_id, so both engines sort
+    * identically.
+    *
+    * At 100 TB: events collapse to one row per user first (combining
+    * aggregate), so the global rank-order window sorts USERS, not
+    * events — the same bounded-domain trick as q_eval_auc; precision@k
+    * is a running sum over that sorted domain.
+    */
+  val qEvalAvgPrecision: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("score"),
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select(col("user_id"), col("score"),
+        when(col("np") * 5 > col("n"), 1L).otherwise(0L).as("label"))
+    val byScore = Window.orderBy(col("score").desc, col("user_id").asc)
+    val ranked = users
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("cum_pos", sum(col("label")).over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("label")).as("n_pos"),
+      sum(when(col("label") === 1,
+        round(col("cum_pos").cast("double") / col("rn").cast("double"), 6)
+          .cast(DecimalType(18, 6)))).as("ap_sum"),
+      max(when(col("rn") === 100, col("cum_pos"))).as("pos_at_100"))
+      .select(col("n_users"), col("n_pos"),
+        round(col("ap_sum").cast("double") / col("n_pos").cast("double"), 6)
+          .as("avg_precision"),
+        round(col("pos_at_100").cast("double") / lit(100.0), 6)
+          .as("p_at_100"))
+  }
+
+  val qEvalAvgPrecisionSql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS score,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              * 5 > count(*) THEN 1 ELSE 0 END AS label
+      |  FROM events GROUP BY user_id),
+      |ranked AS (
+      |  SELECT label,
+      |    row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn,
+      |    CAST(sum(label) OVER (ORDER BY score DESC, user_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      |  FROM users)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(label) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(sum(CASE WHEN label = 1 THEN CAST(
+      |      ROUND(CAST(cum_pos AS DOUBLE) / CAST(rn AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |    CAST(sum(label) AS DOUBLE), 6) AS avg_precision,
+      |  ROUND(CAST(max(CASE WHEN rn = 100 THEN cum_pos END) AS DOUBLE)
+      |    / 100.0, 6) AS p_at_100
+      |FROM ranked""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_eval_lang_f1 — per-class precision/recall/F1 of the language ID.
+  // ---------------------------------------------------------------
+
+  /** Per-language precision/recall/F1 of [[LlmOps.qTextLangid]]'s
+    * n-gram classifier against the labeled `lang` column — the
+    * per-class evaluation every classifier in the curation stack gets
+    * (q_eval_confusion is the binary form; this is multi-class,
+    * composed DIRECTLY on the langid query so the metric always scores
+    * the shipped classifier, not a copy). F1 is computed as the single
+    * quotient 2·tp / (2·tp + fp + fn) — exact integers in, one round-6
+    * division out; classes the model never predicts report NULL
+    * precision/F1 rather than a divide-by-zero.
+    *
+    * At 100 TB: adds one |langs|²-bounded rollup on top of langid's
+    * own aggregate — evaluation rides the classifier's plan.
+    */
+  val qEvalLangF1: Q = (s, d) => {
+    val pred = graft.queries.LlmOps.qTextLangid(s, d)
+      .select(col("labeled_lang"), col("pred_lang"))
+    val langs = pred.select(col("labeled_lang").as("lang")).distinct()
+    val tp = pred.where(col("labeled_lang") === col("pred_lang"))
+      .groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("tp"))
+    val byTrue = pred.groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("n_true"))
+    val byPred = pred.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    langs.join(tp, Seq("lang"), "left")
+      .join(byTrue, Seq("lang"), "left")
+      .join(byPred, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round((lit(2) * col("tp")).cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 6)))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the full langid SQL as a CTE, then the same confusion
+    * rollup — regenerated from the SAME marker tables, so a classifier
+    * change reprices both engines together.
+    */
+  def qEvalLangF1Sql: String =
+    s"""WITH pred AS (
+      |${graft.queries.LlmOps.qTextLangidSql}
+      |),
+      |langs AS (SELECT DISTINCT labeled_lang AS lang FROM pred),
+      |tp AS (
+      |  SELECT labeled_lang AS lang, count(*) AS tp FROM pred
+      |  WHERE labeled_lang = pred_lang GROUP BY 1),
+      |bt AS (
+      |  SELECT labeled_lang AS lang, count(*) AS n_true
+      |  FROM pred GROUP BY 1),
+      |bp AS (
+      |  SELECT pred_lang AS lang, count(*) AS n_pred
+      |  FROM pred GROUP BY 1),
+      |c AS (
+      |  SELECT langs.lang,
+      |    CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+      |    CAST(coalesce(bp.n_pred, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+      |    CAST(coalesce(bt.n_true, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fn
+      |  FROM langs LEFT JOIN tp USING (lang)
+      |    LEFT JOIN bt USING (lang) LEFT JOIN bp USING (lang))
+      |SELECT lang, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0 THEN
+      |    ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+      |    AS precision,
+      |  CASE WHEN tp + fn > 0 THEN
+      |    ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+      |    AS recall,
+      |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+      |    ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+      |    END AS f1
+      |FROM c ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_stats_mad — median/MAD robust outlier screen on the day series.
+  // ---------------------------------------------------------------
+
+  /** Robust (median/MAD) outlier screen over the per-(type, day) count
+    * series — the heavy-tail-proof twin of the z-score anomaly ops: a
+    * single wild day shifts a mean/stddev baseline but not the median,
+    * so MAD flags the spike without poisoning its own threshold.
+    * Exactness: counts are integers, so the interpolated median and
+    * MAD live on the exact .5 grid in both engines; the robust z
+    * (x − med) / (1.4826 · mad) is arithmetic on those exact values —
+    * identical doubles, one round-6. mad = 0 (constant series) reports
+    * NULL z rather than ±inf.
+    *
+    * At 100 TB: one firehose→(type, day) combining aggregate, then
+    * everything runs on the bounded day series per type (two tiny
+    * percentile aggregates + broadcast joins back).
+    */
+  val qStatsMad: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5D)").as("med"))
+    val withMed = daily.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(abs(n - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .select(col("event_type"),
+        col("day").cast("timestamp").as("day"), col("n"),
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        when(col("mad") > 0,
+          round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 6))
+          .as("robust_z"))
+      .withColumn("outlier",
+        coalesce(abs(col("robust_z")) > 3.5, lit(false)))
+      .orderBy("event_type", "day")
+  }
+
+  val qStatsMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+      |    AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(n, 0.5) AS med
+      |  FROM daily GROUP BY 1),
+      |mad AS (
+      |  SELECT daily.event_type,
+      |    quantile_cont(abs(n - med), 0.5) AS mad
+      |  FROM daily JOIN med USING (event_type) GROUP BY 1)
+      |SELECT event_type, day, n,
+      |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+      |  CASE WHEN mad > 0 THEN
+      |    ROUND((n - med) / (1.4826 * mad), 6) END AS robust_z,
+      |  coalesce(CASE WHEN mad > 0 THEN
+      |    abs(ROUND((n - med) / (1.4826 * mad), 6)) > 3.5 END, false)
+      |    AS outlier
+      |FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_eval_avg_precision"     -> qEvalAvgPrecision,
+    "q_eval_lang_f1"           -> qEvalLangF1,
+    "q_stats_mad"              -> qStatsMad,
     "q_eval_ndcg"              -> qEvalNdcg,
     "q_eval_calibration"       -> qEvalCalibration,
     "q_text_docfreq_prune"     -> qTextDocfreqPrune,
@@ -496,6 +721,9 @@ object Quality {
     "q_maintain_compaction_plan" -> qMaintainCompactionPlan)
 
   val oracles: Map[String, String] = Map(
+    "q_eval_avg_precision"     -> qEvalAvgPrecisionSql,
+    "q_eval_lang_f1"           -> qEvalLangF1Sql,
+    "q_stats_mad"              -> qStatsMadSql,
     "q_eval_ndcg"              -> qEvalNdcgSql,
     "q_eval_calibration"       -> qEvalCalibrationSql,
     "q_text_docfreq_prune"     -> qTextDocfreqPruneSql,

@@ -151,6 +151,51 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_eval_avg_precision: AP in (0,1]; a perfect ranking of the " +
+       "same labels would give AP = 1 (sanity bound vs prevalence)") {
+    val r = SparkEntry.queries("q_eval_avg_precision")(spark, sf).head()
+    val ap = r.getAs[Double]("avg_precision")
+    val prevalence = r.getAs[Long]("n_pos").toDouble /
+      r.getAs[Long]("n_users").toDouble
+    assert(ap > 0 && ap <= 1.0)
+    // a value-ranked list must beat the random baseline (= prevalence)
+    assert(ap > prevalence,
+      s"AP $ap should exceed the random baseline $prevalence")
+  }
+
+  test("q_eval_lang_f1: confusion counts reconcile with langid's " +
+       "per-doc output; F1 is the harmonic identity") {
+    val rows = SparkEntry.queries("q_eval_lang_f1")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum
+      == docs, "tp+fn over classes must cover every document")
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      if (2 * tp + fp + fn > 0) {
+        val expect = BigDecimal(2.0 * tp / (2.0 * tp + fp + fn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("f1") == expect)
+      }
+    }
+  }
+
+  test("q_stats_mad: med/mad sit on the exact .5 grid; a constant " +
+       "series would null the z (mad=0 guard); outliers flagged at 3.5") {
+    val rows = SparkEntry.queries("q_stats_mad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("med")
+      val mad = r.getAs[Double]("mad")
+      assert(med * 2 == math.rint(med * 2), s"median $med not on .5 grid")
+      assert(mad * 2 == math.rint(mad * 2), s"mad $mad not on .5 grid")
+      val z = Option(r.getAs[java.lang.Double]("robust_z"))
+      assert(r.getAs[Boolean]("outlier") ==
+        z.exists(v => math.abs(v) > 3.5))
+    }
+  }
+
   test("q_graph_degree_hist: node count equals the co-purchase graph's " +
        "vertex count; degree mass equals 2x edges") {
     import org.apache.spark.sql.functions._
