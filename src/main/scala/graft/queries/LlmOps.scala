@@ -677,7 +677,7 @@ object LlmOps {
     * sf1, vs 25 s with the 2.5k-row pair list materialized once.
     * Purely an evaluation fence; results are identical.
     */
-  private lazy val clustersCteBody: String =
+  private[queries] lazy val clustersCteBody: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts

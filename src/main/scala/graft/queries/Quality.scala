@@ -709,7 +709,245 @@ object Quality {
       |FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_sample_dedup_weight — dedup-aware sampling weights (soft dedup).
+  // ---------------------------------------------------------------
+
+  /** Dedup-aware sampling weights — the SOFT alternative to dropping
+    * near-duplicates that large-scale training pipelines use: each
+    * document in a verified near-dup cluster weighs 1/|cluster| (the
+    * cluster contributes one document's worth of mass in expectation),
+    * singletons weigh 1. Reported per source: raw vs EFFECTIVE
+    * document and character mass — the numbers that decide epoch
+    * sizing after dedup. Consumes the SAME memoized
+    * LSH→verify→label-propagation chain as the near-dup keys (a 4th
+    * consumer of one materialization); the DuckDB oracle re-derives
+    * the clusters through the recursive-CTE transitive closure, so the
+    * weighting is gated end-to-end from raw text.
+    *
+    * Exactness: w = round(1/|cluster|, 6) as DECIMAL(18,6); effective
+    * masses are exact decimal sums (n_chars·w stays within
+    * DECIMAL(38,6)); the final ratio is one IEEE division.
+    *
+    * At 100 TB: one |clusters|-row aggregate over the (∝ dup rate)
+    * label artifact, one broadcast-shaped join back to the corpus
+    * rollup — no pairwise work outside the already-shared chain.
+    */
+  val qSampleDedupWeight: Q = (s, d) => {
+    val labels = graft.queries.LlmOps.qDedupNearClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    val weighted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(labels.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("w",
+        round(lit(1.0) / coalesce(col("csize"), lit(1L)).cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+    weighted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("w")).cast("double").as("eff_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("n_chars").cast(DecimalType(18, 0)) * col("w"))
+          .cast("double").as("eff_chars"))
+      .withColumn("eff_ratio",
+        round(col("eff_docs") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  def qSampleDedupWeightSql: String =
+    s"""WITH labels AS (
+      |  SELECT * FROM (
+      |${graft.queries.LlmOps.clustersCteBody}
+      |  ) l),
+      |sizes AS (
+      |  SELECT cluster_id, count(*) AS csize FROM labels GROUP BY 1),
+      |w AS (
+      |  SELECT doc.source, doc.n_chars,
+      |    CAST(ROUND(1.0 / coalesce(s.csize, 1), 6) AS DECIMAL(18,6)) AS w,
+      |    CASE WHEN s.csize > 1 THEN 1 ELSE 0 END AS dup
+      |  FROM documents doc
+      |  LEFT JOIN labels l ON doc.doc_id = l.doc_id
+      |  LEFT JOIN sizes s ON l.cluster_id = s.cluster_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(w) AS DOUBLE) AS eff_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |  CAST(sum(CAST(n_chars AS DECIMAL(18,0)) * w) AS DOUBLE)
+      |    AS eff_chars,
+      |  ROUND(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS eff_ratio
+      |FROM w GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_dq_uniqueness — candidate-key uniqueness audit.
+  // ---------------------------------------------------------------
+
+  /** Candidate-key uniqueness audit — the "is this actually a primary
+    * key?" check a modeling pass runs before declaring constraints:
+    * for each candidate (single and composite), row count vs distinct
+    * count, duplicate-row mass, and the uniqueness ratio. Exact
+    * integers; one round-6 quotient each.
+    *
+    * At 100 TB: one combining count-distinct-shaped aggregate per
+    * candidate (each a hash exchange on the candidate's columns); the
+    * union of 4-row results is metadata-sized.
+    */
+  val qDqUniqueness: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def audit(name: String, keyCols: Seq[String]): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("n_distinct"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("dup_rows"),
+          round(col("n_distinct").cast("double") /
+            col("n_rows").cast("double"), 6).as("uniqueness"),
+          (col("n_rows") === col("n_distinct")).as("is_key"))
+    audit("o_orderkey", Seq("o_orderkey"))
+      .unionByName(audit("o_custkey", Seq("o_custkey")))
+      .unionByName(audit("o_custkey,o_orderdate",
+        Seq("o_custkey", "o_orderdate")))
+      .unionByName(audit("o_orderdate", Seq("o_orderdate")))
+      .orderBy("candidate")
+  }
+
+  val qDqUniquenessSql: String = {
+    def one(name: String, expr: String): String =
+      s"""SELECT '$name' AS candidate, count(*) AS n_rows,
+         |  count(DISTINCT $expr) AS n_distinct,
+         |  count(*) - count(DISTINCT $expr) AS dup_rows,
+         |  ROUND(CAST(count(DISTINCT $expr) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE), 6) AS uniqueness,
+         |  count(*) = count(DISTINCT $expr) AS is_key
+         |FROM orders""".stripMargin
+    Seq(one("o_orderkey", "o_orderkey"),
+      one("o_custkey", "o_custkey"),
+      one("o_custkey,o_orderdate", "(o_custkey, o_orderdate)"),
+      one("o_orderdate", "o_orderdate"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+  }
+
+  // ---------------------------------------------------------------
+  // q_join_null_safe — null-safe equality join (<=>).
+  // ---------------------------------------------------------------
+
+  /** Null-safe equality join — the `<=>` / IS NOT DISTINCT FROM
+    * semantics a late-bound dimension key needs: rows whose key is
+    * NULL (here a planted `user_id % 97 = 0` stripe standing in for
+    * "unresolved") MATCH EACH OTHER instead of silently dropping out
+    * as they would under `=`. Spark plans `<=>` as a hash join (the
+    * key is wrapped in a null-coalescing struct), so the null stripe
+    * costs one hash bucket, not a fallback nested loop — asserted in
+    * QualitySpec. The rollup reports matched pairs and distinct keys
+    * for the null and non-null branches separately, so the gate pins
+    * exactly the semantics difference vs `=`.
+    */
+  val qJoinNullSafe: Q = (s, d) => {
+    def side(tpe: String, k: String, v: String): DataFrame =
+      Tables.events(s, d).where(col("event_type") === tpe)
+        .select(when(col("user_id") % 97 === 0, lit(null))
+          .otherwise(col("user_id")).as(k),
+          col("event_id").as(v))
+    val clicks = side("click", "ck", "click_id")
+    val views = side("view", "vk", "view_id")
+    clicks.join(views, col("ck") <=> col("vk"))
+      .groupBy(col("ck").isNull.as("null_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("view_id")).as("n_views"))
+      .orderBy("null_key")
+  }
+
+  val qJoinNullSafeSql: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS ck,
+      |    event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS vk,
+      |    event_id AS view_id
+      |  FROM events WHERE event_type = 'view')
+      |SELECT ck IS NULL AS null_key, count(*) AS n_pairs,
+      |  count(DISTINCT click_id) AS n_clicks,
+      |  count(DISTINCT view_id) AS n_views
+      |FROM c JOIN v ON c.ck IS NOT DISTINCT FROM v.vk
+      |GROUP BY 1 ORDER BY null_key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_wow_change — week-over-week growth with decline streaks.
+  // ---------------------------------------------------------------
+
+  /** Week-over-week growth per event type — the BI staple: weekly
+    * counts, the round-6 WoW change ratio (one quotient of exact
+    * integers; NULL on the first week), and the running length of the
+    * current decline streak (consecutive weeks with fewer events than
+    * the one before — integer window arithmetic, the islands trick).
+    *
+    * At 100 TB: one firehose→(type, week) combining aggregate; the
+    * windows run on the bounded weekly series per type.
+    */
+  val qTimeWowChange: Q = (s, d) => {
+    val byWk = Window.partitionBy("event_type").orderBy("wk")
+    val weekly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev", lag(col("n"), 1).over(byWk))
+      .withColumn("wow",
+        when(col("prev").isNotNull,
+          round((col("n") - col("prev")).cast("double") /
+            col("prev").cast("double"), 6)))
+      .withColumn("decline",
+        (col("prev").isNotNull && col("n") < col("prev")).cast("int"))
+    // islands: a decline streak's id is (weeks so far) − (declines so
+    // far); the running streak length is a count over that group
+    weekly
+      .withColumn("grp",
+        row_number().over(byWk) - sum(col("decline")).over(
+          byWk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("decline_streak",
+        when(col("decline") === 1,
+          count(lit(1)).over(Window.partitionBy("event_type", "grp")
+            .orderBy("wk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .otherwise(lit(0L)))
+      .select(col("event_type"), col("wk"), col("n"), col("prev"),
+        col("wow"), col("decline_streak"))
+      .orderBy("event_type", "wk")
+  }
+
+  val qTimeWowChangeSql: String =
+    """WITH weekly AS (
+      |  SELECT event_type,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, wk, n,
+      |    lag(n) OVER tw AS prev,
+      |    CASE WHEN lag(n) OVER tw IS NOT NULL THEN
+      |      ROUND(CAST(n - lag(n) OVER tw AS DOUBLE) /
+      |            CAST(lag(n) OVER tw AS DOUBLE), 6) END AS wow,
+      |    CASE WHEN lag(n) OVER tw IS NOT NULL AND n < lag(n) OVER tw
+      |      THEN 1 ELSE 0 END AS decline
+      |  FROM weekly WINDOW tw AS (PARTITION BY event_type ORDER BY wk)),
+      |g AS (
+      |  SELECT *,
+      |    row_number() OVER tw
+      |      - CAST(sum(decline) OVER (PARTITION BY event_type ORDER BY wk
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+      |  FROM w WINDOW tw AS (PARTITION BY event_type ORDER BY wk))
+      |SELECT event_type, wk, n, prev, wow,
+      |  CASE WHEN decline = 1 THEN
+      |    count(*) OVER (PARTITION BY event_type, grp ORDER BY wk
+      |      ROWS UNBOUNDED PRECEDING) - 1
+      |  ELSE 0 END AS decline_streak
+      |FROM g ORDER BY event_type, wk""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_sample_dedup_weight"    -> qSampleDedupWeight,
+    "q_dq_uniqueness"          -> qDqUniqueness,
+    "q_join_null_safe"         -> qJoinNullSafe,
+    "q_time_wow_change"        -> qTimeWowChange,
     "q_eval_avg_precision"     -> qEvalAvgPrecision,
     "q_eval_lang_f1"           -> qEvalLangF1,
     "q_stats_mad"              -> qStatsMad,
@@ -721,6 +959,10 @@ object Quality {
     "q_maintain_compaction_plan" -> qMaintainCompactionPlan)
 
   val oracles: Map[String, String] = Map(
+    "q_sample_dedup_weight"    -> qSampleDedupWeightSql,
+    "q_dq_uniqueness"          -> qDqUniquenessSql,
+    "q_join_null_safe"         -> qJoinNullSafeSql,
+    "q_time_wow_change"        -> qTimeWowChangeSql,
     "q_eval_avg_precision"     -> qEvalAvgPrecisionSql,
     "q_eval_lang_f1"           -> qEvalLangF1Sql,
     "q_stats_mad"              -> qStatsMadSql,

@@ -196,6 +196,79 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_dedup_weight: effective mass <= raw mass; every " +
+       "cluster contributes ~1 effective doc; singletons weigh 1") {
+    val rows = SparkEntry.queries("q_sample_dedup_weight")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("eff_docs") <= r.getAs[Long]("n_docs") + 1e-9)
+      assert(r.getAs[Double]("eff_chars") <=
+        r.getAs[Long]("n_chars_total") + 1e-6)
+      // singletons weigh exactly 1, so eff_docs >= n_docs - n_dup_docs
+      assert(r.getAs[Double]("eff_docs") >=
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_dup_docs") - 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum > 0,
+      "planted near-dups should put some docs in clusters")
+  }
+
+  test("q_dq_uniqueness: the true key audits as unique, the non-keys " +
+       "do not; dup_rows reconciles") {
+    val rows = SparkEntry.queries("q_dq_uniqueness")(spark, sf).collect()
+    val byName = rows.map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(byName("o_orderkey").getAs[Boolean]("is_key"))
+    assert(!byName("o_orderdate").getAs[Boolean]("is_key"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_rows") ==
+        r.getAs[Long]("n_rows") - r.getAs[Long]("n_distinct"))
+    }
+  }
+
+  test("q_join_null_safe: null keys match each other (cross of the " +
+       "null stripes) and the plan is a hash join, not a nested loop") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_join_null_safe")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val byNull = rows.map(r => r.getAs[Boolean]("null_key") -> r).toMap
+    assert(byNull.contains(false))
+    byNull.get(true).foreach { r =>
+      // null-null is a cross of the two null stripes
+      val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      val nc = ev.where(col("event_type") === "click" &&
+        col("user_id") % 97 === 0).count()
+      val nv = ev.where(col("event_type") === "view" &&
+        col("user_id") % 97 === 0).count()
+      assert(r.getAs[Long]("n_pairs") == nc * nv)
+    }
+    val p = SparkEntry.queries("q_join_null_safe")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("q_time_wow_change: wow is the exact quotient; decline streaks " +
+       "count consecutive drops and reset") {
+    val rows = SparkEntry.queries("q_time_wow_change")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("wk").getTime)
+      var streak = 0L
+      sorted.foreach { r =>
+        val prev = Option(r.getAs[java.lang.Long]("prev"))
+        val declined = prev.exists(p => r.getAs[Long]("n") < p)
+        streak = if (declined) streak + 1 else 0
+        assert(r.getAs[Long]("decline_streak") == streak,
+          s"streak mismatch at ${r.getAs[java.sql.Timestamp]("wk")}")
+        prev.foreach { p =>
+          val expect = BigDecimal((r.getAs[Long]("n") - p).toDouble / p)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(r.getAs[Double]("wow") == expect)
+        }
+      }
+    }
+  }
+
   test("q_graph_degree_hist: node count equals the co-purchase graph's " +
        "vertex count; degree mass equals 2x edges") {
     import org.apache.spark.sql.functions._
