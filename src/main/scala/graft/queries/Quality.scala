@@ -943,7 +943,159 @@ object Quality {
       |  ELSE 0 END AS decline_streak
       |FROM g ORDER BY event_type, wk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_agg_grouping_id — GROUPING SETS provenance flags.
+  // ---------------------------------------------------------------
+
+  /** GROUPING SETS with provenance — the part of the rollup surface
+    * q_agg_gsets doesn't pin: `grouping()` / `grouping_id()` flags that
+    * let a consumer tell a REAL null key from a superaggregate row
+    * (the reason the functions exist). Three sets (detail, per-flag,
+    * grand total) with per-set counts and exact decimal sums; both
+    * engines assign grouping bits MSB-first in column-list order.
+    *
+    * At 100 TB: Spark plans grouping sets as one Expand (3× the input
+    * rows, map-side) into a single combining aggregate — one exchange,
+    * same as q_agg_gsets.
+    */
+  val qAggGroupingId: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val qAggGroupingIdSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  ${dsumSql("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  // ---------------------------------------------------------------
+  // q_win_nth_value — milestone extraction per key.
+  // ---------------------------------------------------------------
+
+  /** Milestone extraction with `nth_value` — per customer, the first /
+    * second / third order (and days from first to second), the
+    * activation-funnel readout a growth team pulls: one full-frame
+    * window per customer, rows deduplicated to one milestone row per
+    * key. The order (date, key) is unique, so both engines pick the
+    * same rows; day deltas are exact integer date arithmetic.
+    *
+    * At 100 TB: one exchange on the key, per-key frames bounded by
+    * orders-per-customer; the distinct collapses map-side.
+    */
+  val qWinNthValue: Q = (s, d) => {
+    val full = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_order"),
+        datediff(nth_value(col("o_orderdate"), 2).over(full),
+          first(col("o_orderdate")).over(full)).as("days_to_second"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val qWinNthValueSql: String =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order,
+      |  nth_value(o_orderkey, 3) OVER w AS third_order,
+      |  date_diff('day', first_value(CAST(o_orderdate AS DATE)) OVER w,
+      |    nth_value(CAST(o_orderdate AS DATE), 2) OVER w)
+      |    AS days_to_second
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_time_rfm — recency/frequency/monetary segmentation.
+  // ---------------------------------------------------------------
+
+  /** RFM segmentation — the classic user-value triage: per user,
+    * recency (days since last event, against the corpus max day),
+    * frequency (event count), monetary (exact decimal value sum), each
+    * quintile-scored (recent/frequent/high-value = 5) with user_id
+    * tie-breaks so both engines bucket identically, and the
+    * concatenated 3-digit segment. Integers and exact decimals
+    * throughout — nothing to round but the stored monetary total.
+    *
+    * At 100 TB: one combining aggregate events→users; the quintile
+    * windows run on the bounded user table (global ntile = the same
+    * bounded-domain sort q_eval_avg_precision documents).
+    */
+  val qTimeRfm: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        dsum(col("value")).as("m"))
+    val all = Window.partitionBy()
+    val scored = users
+      .withColumn("r_days",
+        datediff(max(col("last_day")).over(all), col("last_day")))
+      .withColumn("r_score", lit(6) - ntile(5).over(
+        Window.orderBy(col("r_days").desc, col("user_id").asc)))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f").asc, col("user_id").asc)))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m").asc, col("user_id").asc)))
+    scored.select(col("user_id"), col("r_days"), col("f"), col("m"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+      .orderBy("user_id")
+  }
+
+  val qTimeRfmSql: String =
+    """WITH users AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |    count(*) AS f,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+      |  FROM events GROUP BY 1),
+      |rec AS (
+      |  SELECT user_id,
+      |    date_diff('day', last_day, max(last_day) OVER ()) AS r_days,
+      |    f, m
+      |  FROM users),
+      |scored AS (
+      |  SELECT user_id, r_days, f, m,
+      |    6 - ntile(5) OVER (ORDER BY r_days DESC, user_id ASC) AS r_score,
+      |    ntile(5) OVER (ORDER BY f ASC, user_id ASC) AS f_score,
+      |    ntile(5) OVER (ORDER BY m ASC, user_id ASC) AS m_score
+      |  FROM rec)
+      |SELECT user_id, CAST(r_days AS INTEGER) AS r_days, f, m,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+      |    CAST(m_score AS VARCHAR) AS segment
+      |FROM scored ORDER BY user_id""".stripMargin
+
   val entries: Map[String, Q] = Map(
+    "q_agg_grouping_id"        -> qAggGroupingId,
+    "q_win_nth_value"          -> qWinNthValue,
+    "q_time_rfm"               -> qTimeRfm,
     "q_sample_dedup_weight"    -> qSampleDedupWeight,
     "q_dq_uniqueness"          -> qDqUniqueness,
     "q_join_null_safe"         -> qJoinNullSafe,
@@ -959,6 +1111,9 @@ object Quality {
     "q_maintain_compaction_plan" -> qMaintainCompactionPlan)
 
   val oracles: Map[String, String] = Map(
+    "q_agg_grouping_id"        -> qAggGroupingIdSql,
+    "q_win_nth_value"          -> qWinNthValueSql,
+    "q_time_rfm"               -> qTimeRfmSql,
     "q_sample_dedup_weight"    -> qSampleDedupWeightSql,
     "q_dq_uniqueness"          -> qDqUniquenessSql,
     "q_join_null_safe"         -> qJoinNullSafeSql,

@@ -269,6 +269,61 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_grouping_id: each grouping set's n sums to the corpus; " +
+       "gid distinguishes superaggregate rows from real keys") {
+    val rows = SparkEntry.queries("q_agg_grouping_id")(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    byGid.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("n")).sum == total)
+    }
+    // gid bit semantics: 1 = linestatus aggregated, 3 = both
+    byGid(1L).foreach { r =>
+      assert(r.getAs[Byte]("g_rf") == 0 && r.getAs[Byte]("g_ls") == 1)
+      assert(r.isNullAt(r.fieldIndex("l_linestatus")))
+    }
+    assert(byGid(3L).length == 1)
+  }
+
+  test("q_win_nth_value: milestones agree with a per-customer sort of " +
+       "the raw orders") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_win_nth_value")(spark, sf).collect()
+    val raw = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.take(50).foreach { r =>
+      val sorted = raw(r.getAs[Long]("o_custkey")).sortBy(o =>
+        (o.getAs[Any]("o_orderdate").toString,
+          o.getAs[Long]("o_orderkey")))
+      assert(r.getAs[Long]("first_order") ==
+        sorted.head.getAs[Long]("o_orderkey"))
+      if (sorted.length >= 2)
+        assert(r.getAs[Long]("second_order") ==
+          sorted(1).getAs[Long]("o_orderkey"))
+      else assert(r.isNullAt(r.fieldIndex("second_order")))
+    }
+  }
+
+  test("q_time_rfm: quintile scores are 1..5, balanced within ±1 " +
+       "bucket-size; the best segment's users beat the worst's on " +
+       "raw frequency") {
+    val rows = SparkEntry.queries("q_time_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.length)
+      assert(byScore.keySet.subsetOf(Set(1, 2, 3, 4, 5)))
+      assert(byScore.values.max - byScore.values.min <= 1,
+        s"$c buckets unbalanced: $byScore")
+    }
+    val f5 = rows.filter(_.getAs[Int]("f_score") == 5)
+      .map(_.getAs[Long]("f"))
+    val f1 = rows.filter(_.getAs[Int]("f_score") == 1)
+      .map(_.getAs[Long]("f"))
+    assert(f5.min >= f1.max)
+  }
+
   test("q_graph_degree_hist: node count equals the co-purchase graph's " +
        "vertex count; degree mass equals 2x edges") {
     import org.apache.spark.sql.functions._
