@@ -65,6 +65,11 @@ object Bench {
     // Failed queries land in an `errors` map and are excluded from
     // `queries`/`total`; `value` stays comparable across rounds only
     // over the `queries` keys actually present.
+    // everything after this point is a measured rep: a seed that fires
+    // inside one is flagged so seed_sec_in_reps reports the overlap
+    // between per-query wall time and seed_sec (they would otherwise
+    // double-count in "suite total + seed_sec ≈ cold run")
+    graft.queries.Seeds.beginMeasured()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -109,7 +114,7 @@ object Bench {
     val seedsJson = seeds.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"seed_sec":${graft.queries.Seeds.totalSec},"seeds":$seedsJson,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"seed_sec":${graft.queries.Seeds.totalSec},"seed_sec_in_reps":${graft.queries.Seeds.measuredSec},"seeds":$seedsJson,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)

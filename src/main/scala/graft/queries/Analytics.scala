@@ -666,7 +666,7 @@ object Analytics {
     */
   val qScanMergeSchema: Q = (s, d) => {
     val tmp = Relational.scratchDir("evolve", d)
-    seedOnceLocal(tmp) {
+    seedOnceLocal("evolve", tmp) {
       val o = Tables.orders(s, d)
       o.where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -687,11 +687,10 @@ object Analytics {
       .orderBy("bucket")
   }
 
-  private def seedOnceLocal(dir: String)(write: => Unit): Unit =
+  private def seedOnceLocal(prefix: String, dir: String)(write: => Unit): Unit =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SEEDED")))
-      Seeds.timed(
-        java.nio.file.Paths.get(dir).getFileName.toString
-          .replaceAll("_[0-9a-f]+$", ""))(write)
+      // label = the scratch prefix passed through, same as seedOnce
+      Seeds.timed(prefix)(write)
 
   val qScanMergeSchemaSql: String =
     """SELECT o_orderkey % 10 AS bucket, count(*) AS n,

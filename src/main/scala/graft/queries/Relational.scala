@@ -87,11 +87,12 @@ object Relational {
     * fragmented seed). A change to a seed's projection must bump its
     * scratch prefix, or stale dirs would feed the new reader.
     */
-  private def seedOnce(dir: String)(write: => Unit): Unit =
+  private def seedOnce(prefix: String, dir: String)(write: => Unit): Unit =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-      Seeds.timed(
-        java.nio.file.Paths.get(dir).getFileName.toString
-          .replaceAll("_[0-9a-f]+$", ""))(write)
+      // the Seeds label is the scratch PREFIX passed straight through —
+      // never reverse-parsed from the path, which would truncate any
+      // future prefix whose last underscore segment is all-hex
+      Seeds.timed(prefix)(write)
 
   val qSinkPartitioned: Q = (s, d) => {
     val tmp = scratchDir("sink", d)
@@ -166,7 +167,7 @@ object Relational {
     */
   val qScanTextGz: Q = (s, d) => {
     val tmp = scratchDir("textgz", d)
-    seedOnce(tmp) {
+    seedOnce("textgz", tmp) {
       Tables.documents(s, d).select("text")
         .write.mode("overwrite").option("compression", "gzip").text(tmp)
     }
@@ -191,7 +192,7 @@ object Relational {
     */
   val qScanCsv: Q = (s, d) => {
     val tmp = scratchDir("csv", d)
-    seedOnce(tmp) {
+    seedOnce("csv", tmp) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -222,7 +223,7 @@ object Relational {
     */
   val qScanOrc: Q = (s, d) => {
     val tmp = scratchDir("orc", d)
-    seedOnce(tmp) {
+    seedOnce("orc", tmp) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").orc(tmp)
@@ -251,7 +252,7 @@ object Relational {
     */
   val qScanJson: Q = (s, d) => {
     val tmp = scratchDir("json", d)
-    seedOnce(tmp) {
+    seedOnce("json", tmp) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").json(tmp)
@@ -279,7 +280,7 @@ object Relational {
     */
   val qScanXml: Q = (s, d) => {
     val tmp = scratchDir("xml", d)
-    seedOnce(tmp) {
+    seedOnce("xml", tmp) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").option("rowTag", "li").format("xml").save(tmp)

@@ -48,13 +48,30 @@ object util {
 object Seeds {
   private val acc =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+  private val accMeasured =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+
+  /** True while Bench's TIMED reps are running. A seed that fires then
+    * lands in that rep's wall clock AND in seed_sec, so "suite total +
+    * seed_sec ≈ cold run" would double-count it; tracking the phase
+    * lets Bench report the overlap (`seed_sec_in_reps`) so the two
+    * totals compose without guesswork.
+    */
+  @volatile private var measuredPhase = false
+
+  def beginMeasured(): Unit = measuredPhase = true
 
   def timed[A](name: String)(body: => A): A = {
     val t0 = System.nanoTime()
+    val inMeasured = measuredPhase
     try body
-    finally acc.merge(name,
-      java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
-      (a, b) => java.lang.Double.valueOf(a.doubleValue + b.doubleValue))
+    finally {
+      val sec = java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9)
+      val add = (a: java.lang.Double, b: java.lang.Double) =>
+        java.lang.Double.valueOf(a.doubleValue + b.doubleValue)
+      acc.merge(name, sec, (a, b) => add(a, b))
+      if (inMeasured) accMeasured.merge(name, sec, (a, b) => add(a, b))
+    }
   }
 
   def breakdown: Map[String, Double] = {
@@ -63,4 +80,10 @@ object Seeds {
   }
 
   def totalSec: Double = breakdown.values.sum
+
+  /** Portion of [[totalSec]] accrued inside a measured bench rep. */
+  def measuredSec: Double = {
+    import scala.jdk.CollectionConverters._
+    accMeasured.asScala.values.map(_.doubleValue).sum
+  }
 }

@@ -691,6 +691,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = LlmOps.qEmbedPca(spark, sf).collect()
       .map(_.getAs[Double]("pc1"))
     assert(pc.toSeq == again.toSeq)
+    // the reported eigenvalue is the projection energy: for unit v,
+    // lambda1 = v'Av = Σ (e·v)² up to the 6-dp cell/projection rounding
+    val lam = LlmOps.qEmbedPca(spark, sf).select("lambda1")
+      .head().getDouble(0)
+    assert(math.abs(lam - energy) <= 0.01 * math.max(1.0, energy),
+           s"lambda1 $lam disagrees with projection energy $energy")
   }
 
   test("q_embed_dim_stats: per-dimension rows cover every coordinate") {

@@ -560,7 +560,9 @@ class PlanSpec extends AnyFunSuite {
                           // 1-row residual-sd broadcast
                           "q_time_stl",
                           // 1-row p05-threshold broadcast
-                          "q_embed_outliers")
+                          "q_embed_outliers",
+                          // 1-row null-stripe count × 1-row count combine
+                          "q_join_null_safe")
     // streaming entries run a MemoryStream to completion when invoked —
     // the returned DataFrame is a local result-table scan with no joins,
     // so re-running them here buys no plan coverage at real cost

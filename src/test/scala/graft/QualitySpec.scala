@@ -243,8 +243,13 @@ class QualitySpec extends AnyFunSuite {
     }
     val p = SparkEntry.queries("q_join_null_safe")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"), p.linesIterator.take(25).mkString("\n"))
+    // the <=> branch must stay a HASH join; the only nested-loop shape
+    // allowed is the 1-row × 1-row scalar cross of the analytic
+    // null-stripe aggregates (PlanSpec allowlists it globally)
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "null-safe equality should plan as a hash/merge join:\n" +
+        p.linesIterator.take(25).mkString("\n"))
   }
 
   test("q_time_wow_change: wow is the exact quotient; decline streaks " +
@@ -322,6 +327,20 @@ class QualitySpec extends AnyFunSuite {
     val f1 = rows.filter(_.getAs[Int]("f_score") == 1)
       .map(_.getAs[Long]("f"))
     assert(f5.min >= f1.max)
+    // direction holds on every axis: score 5 = most recent (FEWEST
+    // days since last event), most frequent, highest value — the r15
+    // ADVICE item was an inverted r_score passing through a mirrored
+    // oracle, so each axis now gets its own best-beats-worst check
+    val r5 = rows.filter(_.getAs[Int]("r_score") == 5)
+      .map(_.getAs[Int]("r_days"))
+    val r1 = rows.filter(_.getAs[Int]("r_score") == 1)
+      .map(_.getAs[Int]("r_days"))
+    assert(r5.max <= r1.min, s"r_score inverted: best=${r5.max} worst=${r1.min}")
+    val m5 = rows.filter(_.getAs[Int]("m_score") == 5)
+      .map(_.getAs[Double]("m"))
+    val m1 = rows.filter(_.getAs[Int]("m_score") == 1)
+      .map(_.getAs[Double]("m"))
+    assert(m5.min >= m1.max, s"m_score inverted: best=${m5.min} worst=${m1.max}")
   }
 
   test("q_graph_degree_hist: node count equals the co-purchase graph's " +
