@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, Curation, Extensions, Funcs, Headline,
   Insights, LlmOps, MahjongAnalytics, Maintain, Multimodal, Quality,
-  Relational, Skew, StreamingQ, Windows}
+  Relational, Signals, Skew, StreamingQ, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,8 @@ object SparkEntry {
       LlmOps.entries ++ StreamingQ.entries ++ Multimodal.entries ++
       Extensions.entries ++ Headline.entries ++ Skew.entries ++
       Analytics.entries ++ Curation.entries ++ Insights.entries ++
-      Maintain.entries ++ Quality.entries ++ MahjongAnalytics.entries
+      Maintain.entries ++ Quality.entries ++ MahjongAnalytics.entries ++
+      Signals.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -38,5 +39,6 @@ object SparkEntry {
       LlmOps.oracles ++ StreamingQ.oracles ++ Multimodal.oracles ++
       Extensions.oracles ++ Headline.oracles ++ Skew.oracles ++
       Analytics.oracles ++ Curation.oracles ++ Insights.oracles ++
-      Maintain.oracles ++ Quality.oracles ++ MahjongAnalytics.oracles
+      Maintain.oracles ++ Quality.oracles ++ MahjongAnalytics.oracles ++
+      Signals.oracles
 }
