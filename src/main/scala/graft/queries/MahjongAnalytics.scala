@@ -171,9 +171,167 @@ object MahjongAnalytics {
        |      FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet')
        |GROUP BY 1 ORDER BY times DESC, yaku""".stripMargin
 
+  /** Win rate by rule over the pipeline's own output — the reference
+    * user's first Athena query ([[winRateByRule]]) run as a GATE key:
+    * kyokus ⋈ broadcast(rules) ⟕ distinct agari kyoku-ids, win share
+    * per (is_sanma, aka_type, level). Counts are integers; the rate is
+    * one round-4 quotient. DuckDB replays the same three parquet dirs.
+    *
+    * At 100 TB: rules is games-sized (broadcast), agaris collapses to
+    * distinct kyoku_ids map-side, ONE exchange on game_id.
+    */
+  val qMahjongWinRate: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    val kyokus = s.read.parquet(s"$dir/kyokus").select(col("id"), col("game_id"))
+    val agaris = s.read.parquet(s"$dir/agaris").select(col("kyoku_id")).distinct()
+    val rules = s.read.parquet(s"$dir/rules")
+      .select(col("game_id"), col("is_sanma"), col("aka_type"), col("level"))
+    kyokus
+      .join(broadcast(rules), "game_id")
+      .join(agaris, kyokus("id") === agaris("kyoku_id"), "left")
+      .groupBy("is_sanma", "aka_type", "level")
+      .agg(count(lit(1)).as("kyokus"),
+        count(col("kyoku_id")).as("wins"),
+        round(count(col("kyoku_id")) / count(lit(1)).cast("double"), 4)
+          .as("win_rate"))
+      .orderBy("is_sanma", "aka_type", "level")
+  }
+
+  val qMahjongWinRateSql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT kyoku_id
+       |  FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet'),
+       |k AS (
+       |  SELECT id, game_id
+       |  FROM '${Scratch.sqlPath("mjgate_tables")}/kyokus/*/*.parquet'),
+       |r AS (
+       |  SELECT game_id, is_sanma, aka_type, level
+       |  FROM '${Scratch.sqlPath("mjgate_tables")}/rules/*/*.parquet')
+       |SELECT r.is_sanma, r.aka_type, r.level,
+       |  count(*) AS kyokus,
+       |  CAST(count(a.kyoku_id) AS BIGINT) AS wins,
+       |  ROUND(CAST(count(a.kyoku_id) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE), 4) AS win_rate
+       |FROM k JOIN r USING (game_id) LEFT JOIN a ON k.id = a.kyoku_id
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Player leaderboard over the pipeline's own output — the
+    * reference's "player rankings" workload as a gate key: end-of-game
+    * points (exact DECIMAL(4,1) from the parser's owari handling)
+    * summed per player, first-place counts from a per-game rank with a
+    * (point desc, player_index) tie-break, average place as a round-4
+    * integer quotient.
+    *
+    * At 100 TB: one per-game window (bounded 4-row frames) + one
+    * combining aggregate keyed by player — the leaderboard exchange
+    * carries |players| rows.
+    */
+  val qMahjongRanking: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    val scores = s.read.parquet(s"$dir/game_scores")
+    val players = s.read.parquet(s"$dir/game_players")
+    val perGame = Window.partitionBy("game_id")
+      .orderBy(col("point").desc, col("player_index").asc)
+    scores
+      .join(players, Seq("game_id", "player_index"))
+      .withColumn("place", row_number().over(perGame))
+      .groupBy("player_name")
+      .agg(count(lit(1)).as("games"),
+        sum(col("point")).cast("double").as("total_points"),
+        sum(when(col("place") === 1, 1L).otherwise(0L)).as("firsts"),
+        round(sum(col("place")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_place"))
+      .orderBy(col("total_points").desc, col("player_name"))
+  }
+
+  val qMahjongRankingSql: String =
+    s"""WITH sc AS (
+       |  SELECT game_id, player_index, point
+       |  FROM '${Scratch.sqlPath("mjgate_tables")}/game_scores/*/*.parquet'),
+       |pl AS (
+       |  SELECT game_id, player_index, player_name
+       |  FROM '${Scratch.sqlPath("mjgate_tables")}/game_players/*/*.parquet'),
+       |placed AS (
+       |  SELECT pl.player_name, sc.point,
+       |    row_number() OVER (PARTITION BY sc.game_id
+       |                       ORDER BY sc.point DESC,
+       |                                sc.player_index ASC) AS place
+       |  FROM sc JOIN pl USING (game_id, player_index))
+       |SELECT player_name, count(*) AS games,
+       |  CAST(sum(point) AS DOUBLE) AS total_points,
+       |  CAST(sum(CASE WHEN place = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS firsts,
+       |  ROUND(CAST(sum(place) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS avg_place
+       |FROM placed GROUP BY 1
+       |ORDER BY total_points DESC, player_name""".stripMargin
+
+  /** Seat advantage over the pipeline's own output — wins, exact mean
+    * winning score (integer-sum quotient), and han/fu extrema per
+    * winning seat. One combining aggregate over agaris; |seats| rows.
+    */
+  val qMahjongSeatStats: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    s.read.parquet(s"$dir/agaris")
+      .groupBy(col("who").as("seat"))
+      .agg(count(lit(1)).as("wins"),
+        sum(col("score")).as("total_score"),
+        round(sum(col("score")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_score"),
+        max(col("han")).as("max_han"),
+        max(col("fu")).as("max_fu"),
+        sum(when(col("who") === col("by"), 1L).otherwise(0L))
+          .as("tsumo_wins"))
+      .orderBy("seat")
+  }
+
+  val qMahjongSeatStatsSql: String =
+    s"""SELECT who AS seat, count(*) AS wins,
+       |  CAST(sum(score) AS BIGINT) AS total_score,
+       |  ROUND(CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |    AS mean_score,
+       |  max(han) AS max_han, max(fu) AS max_fu,
+       |  CAST(sum(CASE WHEN who = "by" THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tsumo_wins
+       |FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Action-stream mix over the pipeline's LARGEST output table — the
+    * per-type action census (draw/discard/meld call volumes, distinct
+    * kyokus touched, nonnull pai share). Counts only; one combining
+    * aggregate over the firehose-shaped actions table.
+    */
+  val qMahjongActionMix: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    s.read.parquet(s"$dir/actions")
+      .groupBy(col("type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("kyoku_id")).as("n_kyokus"),
+        count(col("pai_id")).as("n_with_pai"),
+        min(col("seq")).as("min_seq"),
+        max(col("seq")).as("max_seq"))
+      .orderBy("type")
+  }
+
+  val qMahjongActionMixSql: String =
+    s"""SELECT "type", count(*) AS n,
+       |  CAST(count(DISTINCT kyoku_id) AS BIGINT) AS n_kyokus,
+       |  CAST(count(pai_id) AS BIGINT) AS n_with_pai,
+       |  min(seq) AS min_seq, max(seq) AS max_seq
+       |FROM '${Scratch.sqlPath("mjgate_tables")}/actions/*/*.parquet'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, Q] = Map(
-    "q_mahjong_yaku_freq" -> qMahjongYakuFreq)
+    "q_mahjong_yaku_freq"  -> qMahjongYakuFreq,
+    "q_mahjong_win_rate"   -> qMahjongWinRate,
+    "q_mahjong_ranking"    -> qMahjongRanking,
+    "q_mahjong_seat_stats" -> qMahjongSeatStats,
+    "q_mahjong_action_mix" -> qMahjongActionMix)
 
   val oracles: Map[String, String] = Map(
-    "q_mahjong_yaku_freq" -> qMahjongYakuFreqSql)
+    "q_mahjong_yaku_freq"  -> qMahjongYakuFreqSql,
+    "q_mahjong_win_rate"   -> qMahjongWinRateSql,
+    "q_mahjong_ranking"    -> qMahjongRankingSql,
+    "q_mahjong_seat_stats" -> qMahjongSeatStatsSql,
+    "q_mahjong_action_mix" -> qMahjongActionMixSql)
 }

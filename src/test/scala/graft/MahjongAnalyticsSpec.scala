@@ -96,4 +96,27 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
                           r.getAs[Long]("riichi_wins"))).toSeq ==
       Seq((1, 1L, 0L), (2, 1L, 0L)))
   }
+
+  test("mahjong gate keys are internally consistent with the seeded " +
+       "pipeline output they read") {
+    val sf = "/root/testdata/sf0.001"
+    val tdir = MahjongAnalytics.etlTablesDir(spark, sf)
+    val agaris = spark.read.parquet(s"$tdir/agaris").count()
+    val seat = SparkEntry.queries("q_mahjong_seat_stats")(spark, sf).collect()
+    assert(seat.map(_.getAs[Long]("wins")).sum == agaris)
+    val yaku = SparkEntry.queries("q_mahjong_yaku_freq")(spark, sf).collect()
+    // the frequency table preserves the exploded yaku mass exactly
+    val yakuMass = spark.read.parquet(s"$tdir/agaris")
+      .selectExpr("sum(size(yaku))").head().getLong(0)
+    assert(yaku.map(_.getAs[Long]("times")).sum == yakuMass)
+    val rank = SparkEntry.queries("q_mahjong_ranking")(spark, sf).collect()
+    val scores = spark.read.parquet(s"$tdir/game_scores").count()
+    assert(rank.map(_.getAs[Long]("games")).sum == scores)
+    // exactly one first place per game
+    val games = spark.read.parquet(s"$tdir/games").count()
+    assert(rank.map(_.getAs[Long]("firsts")).sum == games)
+    val wr = SparkEntry.queries("q_mahjong_win_rate")(spark, sf).collect()
+    val kyokus = spark.read.parquet(s"$tdir/kyokus").count()
+    assert(wr.map(_.getAs[Long]("kyokus")).sum == kyokus)
+  }
 }
