@@ -311,8 +311,12 @@ object Signals {
   // q_join_spatial_nn — grid-bucketed nearest-neighbor join in 2-D.
   // ---------------------------------------------------------------
 
-  private val NnCell = 4096      // cell edge ≥ radius for the 3×3 probe
-  private val NnRadius2 = 16000000L // radius 4000, exact integer dist²
+  /** Radius² budget: r² = budget / |views|, so the EXPECTED in-radius
+    * candidates per probe — |views|·πr²/area = π·budget/area ≈ 23 —
+    * is a CONSTANT at every scale factor. Both engines derive r² by
+    * the same exact integer division from the same count.
+    */
+  private val NnPairBudget = 32000000000L
 
   /** Nearest-neighbor spatial JOIN — for every click point, the single
     * closest view point within radius r (not the pair histogram
@@ -323,10 +327,21 @@ object Signals {
     * aggregate, not a rank window, so partials collapse map-side.
     * All arithmetic is exact integers.
     *
-    * At 100 TB: candidates per point are bounded by 9 × cell
-    * occupancy (the grid edge tunes it); the argmin shuffles one row
-    * per (point, partial) — never the candidate list — and the output
-    * is one row per matched probe point, linear in input.
+    * The radius is DENSITY-ADAPTIVE: r² = [[NnPairBudget]] / |views|
+    * (exact integer division both engines replay), because a fixed
+    * radius makes in-radius pairs grow quadratically with density —
+    * measured ×9.8 wall on ×10 data before the change. With the
+    * budget, per-probe candidate work is ~constant at any corpus size
+    * (the occupancy knob the scaladoc of q_join_spatial_grid describes,
+    * made self-tuning); the cell edge is the smallest power of two
+    * ≥ r, derived by integer doubling — no floating log whose rounding
+    * could diverge.
+    *
+    * At 100 TB: one count action sizes the radius (a scalar, like the
+    * PQ codebook sample), candidates per point stay ~π·budget/area
+    * regardless of scale, the argmin shuffles one row per (point,
+    * partial) — never the candidate list — and the output is one row
+    * per matched probe point, linear in input.
     */
   val qJoinSpatialNn: Q = (s, d) => {
     def pts(tpe: String, prefix: String): DataFrame = {
@@ -336,20 +351,24 @@ object Signals {
           conv(substring(h, 1, 4), 16, 10).cast("long").as(s"${prefix}x"),
           conv(substring(h, 5, 4), 16, 10).cast("long").as(s"${prefix}y"))
     }
+    val views0 = pts("view", "b")
+    val r2 = NnPairBudget / math.max(1L, views0.count())
+    var cell = 64L
+    while (cell * cell < r2) cell <<= 1
     val clicks = pts("click", "a")
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("a_id"), col("ax"), col("ay"),
-        (expr(s"ax DIV $NnCell") + col("dx")).as("cx"),
-        (expr(s"ay DIV $NnCell") + col("dy")).as("cy"))
-    val views = pts("view", "b")
-      .withColumn("cx", expr(s"bx DIV $NnCell"))
-      .withColumn("cy", expr(s"by DIV $NnCell"))
+        (expr(s"ax DIV $cell") + col("dx")).as("cx"),
+        (expr(s"ay DIV $cell") + col("dy")).as("cy"))
+    val views = views0
+      .withColumn("cx", expr(s"bx DIV $cell"))
+      .withColumn("cy", expr(s"by DIV $cell"))
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
     clicks.join(views, Seq("cx", "cy"))
       .withColumn("d2", d2)
-      .where(col("d2") <= NnRadius2)
+      .where(col("d2") <= lit(r2))
       .groupBy(col("a_id"))
       .agg(min(struct(col("d2"), col("b_id"))).as("mn"))
       .select(col("a_id"), col("mn.b_id").as("nn_id"),
@@ -365,13 +384,17 @@ object Signals {
       |    ${hex("CAST(event_id AS VARCHAR)", 1, 4)} AS x,
       |    ${hex("CAST(event_id AS VARCHAR)", 5, 4)} AS y
       |  FROM events WHERE event_type IN ('click', 'view')),
+      |r2 AS (
+      |  SELECT CAST($NnPairBudget AS BIGINT)
+      |         // greatest(1, count(*)) AS r2
+      |  FROM pts WHERE event_type = 'view'),
       |pairs AS (
       |  SELECT a.event_id AS a_id, b.event_id AS b_id,
       |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
       |  FROM pts a JOIN pts b
       |    ON a.event_type = 'click' AND b.event_type = 'view'
       |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-      |       <= $NnRadius2)
+      |       <= (SELECT r2 FROM r2))
       |SELECT a_id, b_id AS nn_id, d2 AS nn_d2
       |FROM pairs
       |QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) = 1

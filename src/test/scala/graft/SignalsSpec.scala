@@ -114,10 +114,11 @@ class SignalsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val clicks = pts("click")
     val views = pts("view")
+    val r2 = 32000000000L / views.length // the density-adaptive budget
     val brute = clicks.flatMap { case (id, x, y) =>
       val cand = views.map { case (vid, vx, vy) =>
         ((x - vx) * (x - vx) + (y - vy) * (y - vy), vid)
-      }.filter(_._1 <= 16000000L)
+      }.filter(_._1 <= r2)
       if (cand.isEmpty) None else Some(id -> {
         val m = cand.min; (m._2, m._1)
       })
