@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
+  /** 1-minute load average, read at suite start and end so the JSON
+    * itself records whether the box was quiet — the r15 bench ran on a
+    * busy VM and inflated every key ~13%, making round-over-round
+    * comparison ambiguous until re-measured.
+    */
+  private def load1: Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -114,7 +124,7 @@ object Bench {
     val seedsJson = seeds.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"seed_sec":${graft.queries.Seeds.totalSec},"seed_sec_in_reps":${graft.queries.Seeds.measuredSec},"seeds":$seedsJson,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"seed_sec":${graft.queries.Seeds.totalSec},"seed_sec_in_reps":${graft.queries.Seeds.measuredSec},"seeds":$seedsJson,"load1_start":$loadStart,"load1_end":$load1,"reps":$reps,"n_ok":${ok.size},"n_err":${failed.size},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: sbt interleaves [info] noise on
     // stdout, so stdout-scraping can miss the line (BENCH_r01 parsed:null)
