@@ -128,14 +128,48 @@ object MahjongAnalytics {
     * cross-engine-hashed; this closes that seam — the gate key below
     * reads the pipeline's parquet back and DuckDB reads the SAME files.
     */
-  private[graft] def etlTablesDir(spark: SparkSession, d: String): String = {
+  /** The shared fixture corpus (LogGen, fixed seed), written once per
+    * data dir and consumed by BOTH the batch and the streaming seed.
+    */
+  private def corpusDir(d: String): String = {
     val logs = Relational.scratchDir("mjgate_logs", d)
+    val marker = java.nio.file.Paths.get(logs, "_CORPUS")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(marker)) Seeds.timed("mjgate_corpus") {
+        graft.etl.LogGen.main(Array(logs, "3", "30", "20260816"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    logs
+  }
+
+  private[graft] def etlTablesDir(spark: SparkSession, d: String): String = {
+    val logs = corpusDir(d)
     val out = Scratch.path("mjgate_tables", d)
     val seeded = java.nio.file.Paths.get(out, "_SEEDED")
     this.synchronized {
       if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate_etl") {
-        graft.etl.LogGen.main(Array(logs, "3", "30", "20260816"))
         graft.etl.Pipeline.run(spark, logs, out)
+        java.nio.file.Files.createFile(seeded)
+      }
+    }
+    out
+  }
+
+  /** The SAME corpus drained through the incremental path instead:
+    * `StreamingPipeline.runAvailable` (Trigger.AvailableNow file-source
+    * micro-batches, checkpointed offsets, per-batch id re-basing) into
+    * its own table dirs — seeded once per data dir like the batch run.
+    */
+  private[graft] def etlStreamTablesDir(spark: SparkSession, d: String): String = {
+    val logs = corpusDir(d)
+    val out = Scratch.path("mjgate_stream_tables", d)
+    val seeded = java.nio.file.Paths.get(out, "_SEEDED")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate_stream") {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_mjgate_ckpt_").toString
+        graft.streaming.StreamingPipeline.runAvailable(spark, logs, out, ckpt)
         java.nio.file.Files.createFile(seeded)
       }
     }
@@ -321,17 +355,87 @@ object MahjongAnalytics {
        |FROM '${Scratch.sqlPath("mjgate_tables")}/actions/*/*.parquet'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Batch ≡ streaming parity, hash-gated — the same fixture corpus
+    * run through `Pipeline.run` AND drained through the checkpointed
+    * `StreamingPipeline.runAvailable` micro-batch path, then compared
+    * per ingest date: game/kyoku/agari row counts and the exact integer
+    * agari-score mass from BOTH outputs side by side (ids are
+    * per-batch-rebased in the streaming path, so counts and sums — not
+    * ids — are the parity contract). DuckDB reads both parquet trees
+    * itself (hive_partitioning recovers dt), so the gate pins that the
+    * incremental path writes byte-equivalent TABLE CONTENT, not just
+    * that a spec said so.
+    *
+    * At 100 TB: the comparison is the reconciliation query a
+    * lambda-architecture deployment runs after a backfill — two
+    * dt-pruned scans, two combining aggregates, a 3-row join.
+    */
+  val qMahjongStreamParity: Q = (s, d) => {
+    val b = etlTablesDir(s, d)
+    val st = etlStreamTablesDir(s, d)
+    def counts(root: String, suffix: String): DataFrame = {
+      def c(tbl: String, name: String) =
+        s.read.parquet(s"$root/$tbl")
+          .groupBy(col("dt").cast("string").as("dt"))
+          .agg(count(lit(1)).as(name))
+      c("games", s"games_$suffix")
+        .join(c("kyokus", s"kyokus_$suffix"), "dt")
+        .join(c("agaris", s"agaris_$suffix"), "dt")
+        .join(s.read.parquet(s"$root/agaris")
+          .groupBy(col("dt").cast("string").as("dt"))
+          .agg(sum(col("score")).as(s"score_$suffix")), "dt")
+    }
+    counts(b, "batch").join(counts(st, "stream"), "dt")
+      .select(col("dt"),
+        col("games_batch"), col("games_stream"),
+        col("kyokus_batch"), col("kyokus_stream"),
+        col("agaris_batch"), col("agaris_stream"),
+        col("score_batch"), col("score_stream"),
+        (col("games_batch") === col("games_stream") &&
+          col("kyokus_batch") === col("kyokus_stream") &&
+          col("agaris_batch") === col("agaris_stream") &&
+          col("score_batch") === col("score_stream")).as("parity"))
+      .orderBy("dt")
+  }
+
+  val qMahjongStreamParitySql: String = {
+    def side(root: String, suffix: String): String =
+      s"""SELECT g.dt, g.n AS games_$suffix, k.n AS kyokus_$suffix,
+         |  a.n AS agaris_$suffix, a.score AS score_$suffix
+         |FROM (SELECT dt, count(*) AS n FROM read_parquet(
+         |        '$root/games/*/*.parquet', hive_partitioning=true)
+         |      GROUP BY 1) g
+         |JOIN (SELECT dt, count(*) AS n FROM read_parquet(
+         |        '$root/kyokus/*/*.parquet', hive_partitioning=true)
+         |      GROUP BY 1) k USING (dt)
+         |JOIN (SELECT dt, count(*) AS n, CAST(sum(score) AS BIGINT) AS score
+         |      FROM read_parquet(
+         |        '$root/agaris/*/*.parquet', hive_partitioning=true)
+         |      GROUP BY 1) a USING (dt)""".stripMargin
+    s"""WITH b AS (${side(Scratch.sqlPath("mjgate_tables"), "batch")}),
+       |s AS (${side(Scratch.sqlPath("mjgate_stream_tables"), "stream")})
+       |SELECT CAST(dt AS VARCHAR) AS dt,
+       |  games_batch, games_stream, kyokus_batch, kyokus_stream,
+       |  agaris_batch, agaris_stream, score_batch, score_stream,
+       |  games_batch = games_stream AND kyokus_batch = kyokus_stream
+       |    AND agaris_batch = agaris_stream
+       |    AND score_batch = score_stream AS parity
+       |FROM b JOIN s USING (dt) ORDER BY dt""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
     "q_mahjong_yaku_freq"  -> qMahjongYakuFreq,
     "q_mahjong_win_rate"   -> qMahjongWinRate,
     "q_mahjong_ranking"    -> qMahjongRanking,
     "q_mahjong_seat_stats" -> qMahjongSeatStats,
-    "q_mahjong_action_mix" -> qMahjongActionMix)
+    "q_mahjong_action_mix" -> qMahjongActionMix,
+    "q_mahjong_stream_parity" -> qMahjongStreamParity)
 
   val oracles: Map[String, String] = Map(
     "q_mahjong_yaku_freq"  -> qMahjongYakuFreqSql,
     "q_mahjong_win_rate"   -> qMahjongWinRateSql,
     "q_mahjong_ranking"    -> qMahjongRankingSql,
     "q_mahjong_seat_stats" -> qMahjongSeatStatsSql,
-    "q_mahjong_action_mix" -> qMahjongActionMixSql)
+    "q_mahjong_action_mix" -> qMahjongActionMixSql,
+    "q_mahjong_stream_parity" -> qMahjongStreamParitySql)
 }

@@ -119,4 +119,17 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
     val kyokus = spark.read.parquet(s"$tdir/kyokus").count()
     assert(wr.map(_.getAs[Long]("kyokus")).sum == kyokus)
   }
+
+  test("q_mahjong_stream_parity: the checkpointed streaming drain of " +
+       "the corpus matches the batch run on every ingest date") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_mahjong_stream_parity")(spark, sf)
+      .collect()
+    assert(rows.length == 3) // 3 corpus dates
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parity"),
+        s"batch/stream divergence on ${r.getString(0)}: $r")
+      assert(r.getAs[Long]("games_batch") == 30)
+    }
+  }
 }
