@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import util.Q
@@ -118,37 +118,43 @@ object MahjongAnalytics {
   }
 
   // ---------------------------------------------------------------
-  // q_mahjong_yaku_freq — the hash gate over the ETL's OWN output.
+  // q_mahjong_* — the hash gates over the ETL's OWN output.
   // ---------------------------------------------------------------
 
-  /** Seed a deterministic mjlog corpus (LogGen, fixed seed) and run the
-    * FULL batch pipeline over it, once per (session, data dir). Returns
-    * the 9-table output dir. Before r16 the ETL output was contract-
-    * and referential-integrity-tested (TablesContractSpec) but never
-    * cross-engine-hashed; this closes that seam — the gate key below
-    * reads the pipeline's parquet back and DuckDB reads the SAME files.
-    */
   /** The shared fixture corpus (LogGen, fixed seed), written once per
     * data dir and consumed by BOTH the batch and the streaming seed.
+    * The r17 corpus (tag `mjgate2`, new seed) spans the parser's
+    * BRANCHY paths — ron/double-ron, chii/pon/kan/added-kan melds,
+    * REACH `*` markers, DORA reveals, named abort types, sanma with
+    * nuki-dora, URL-encoded names, yakuman, 0-han yaku entries — so
+    * the cross-engine gate pins more than the happy path (see LogGen's
+    * scaladoc for the reference line coverage).
     */
   private def corpusDir(d: String): String = {
-    val logs = Relational.scratchDir("mjgate_logs", d)
+    val logs = Relational.scratchDir("mjgate2_logs", d)
     val marker = java.nio.file.Paths.get(logs, "_CORPUS")
     this.synchronized {
-      if (!java.nio.file.Files.exists(marker)) Seeds.timed("mjgate_corpus") {
-        graft.etl.LogGen.main(Array(logs, "3", "30", "20260816"))
+      if (!java.nio.file.Files.exists(marker)) Seeds.timed("mjgate2_corpus") {
+        graft.etl.LogGen.main(Array(logs, "3", "30", "20260817"))
         java.nio.file.Files.createFile(marker)
       }
     }
     logs
   }
 
+  /** Seed the corpus and run the FULL batch pipeline over it, once per
+    * (session, data dir). Returns the 9-table output dir. Before r16
+    * the ETL output was contract- and referential-integrity-tested
+    * (TablesContractSpec) but never cross-engine-hashed; the gate keys
+    * below read the pipeline's parquet back and DuckDB reads the SAME
+    * files.
+    */
   private[graft] def etlTablesDir(spark: SparkSession, d: String): String = {
     val logs = corpusDir(d)
-    val out = Scratch.path("mjgate_tables", d)
+    val out = Scratch.path("mjgate2_tables", d)
     val seeded = java.nio.file.Paths.get(out, "_SEEDED")
     this.synchronized {
-      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate_etl") {
+      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate2_etl") {
         graft.etl.Pipeline.run(spark, logs, out)
         java.nio.file.Files.createFile(seeded)
       }
@@ -160,16 +166,17 @@ object MahjongAnalytics {
     * `StreamingPipeline.runAvailable` (Trigger.AvailableNow file-source
     * micro-batches, checkpointed offsets, per-batch id re-basing) into
     * its own table dirs — seeded once per data dir like the batch run.
+    * The checkpoint lives INSIDE the output dir (keyed like the table
+    * dirs, so repeated runs reuse it and nothing leaks in /tmp).
     */
   private[graft] def etlStreamTablesDir(spark: SparkSession, d: String): String = {
     val logs = corpusDir(d)
-    val out = Scratch.path("mjgate_stream_tables", d)
+    val out = Scratch.path("mjgate2_stream_tables", d)
     val seeded = java.nio.file.Paths.get(out, "_SEEDED")
     this.synchronized {
-      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate_stream") {
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_mjgate_ckpt_").toString
-        graft.streaming.StreamingPipeline.runAvailable(spark, logs, out, ckpt)
+      if (!java.nio.file.Files.exists(seeded)) Seeds.timed("mjgate2_stream") {
+        graft.streaming.StreamingPipeline.runAvailable(
+          spark, logs, out, s"$out/_checkpoint")
         java.nio.file.Files.createFile(seeded)
       }
     }
@@ -181,8 +188,10 @@ object MahjongAnalytics {
     * (`scrape.py:91-101`) read back from the dt-partitioned lake the
     * ETL just wrote: explode the yaku list, count + total han per yaku
     * name. The DuckDB oracle UNNESTs the exact same parquet files, so
-    * the gate now pins parser semantics + encode + partitioned sink +
+    * the gate pins parser semantics + encode + partitioned sink +
     * scan end-to-end, not just the query layer over driver testdata.
+    * Over the r17 corpus the table spans normal yaku, dora/uradora/aka
+    * counters AND yakuman rows (han contribution 0 in the struct).
     *
     * At 100 TB: the input is the lake itself (dt-partitioned, pruned
     * scan); explode + one combining aggregate on a bounded key domain
@@ -202,7 +211,7 @@ object MahjongAnalytics {
     s"""SELECT y.name AS yaku, count(*) AS times,
        |  CAST(sum(y.han) AS BIGINT) AS total_han
        |FROM (SELECT UNNEST(yaku) AS y
-       |      FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet')
+       |      FROM '${Scratch.sqlPath("mjgate2_tables")}/agaris/*/*.parquet')
        |GROUP BY 1 ORDER BY times DESC, yaku""".stripMargin
 
   /** Win rate by rule over the pipeline's own output — the reference
@@ -210,6 +219,8 @@ object MahjongAnalytics {
     * kyokus ⋈ broadcast(rules) ⟕ distinct agari kyoku-ids, win share
     * per (is_sanma, aka_type, level). Counts are integers; the rate is
     * one round-4 quotient. DuckDB replays the same three parquet dirs.
+    * The r17 corpus cycles 9 GO types, so the grouping spans ≥ 3 rule
+    * groups (4p/sanma × aka × level).
     *
     * At 100 TB: rules is games-sized (broadcast), agaris collapses to
     * distinct kyoku_ids map-side, ONE exchange on game_id.
@@ -234,13 +245,13 @@ object MahjongAnalytics {
   val qMahjongWinRateSql: String =
     s"""WITH a AS (
        |  SELECT DISTINCT kyoku_id
-       |  FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet'),
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/agaris/*/*.parquet'),
        |k AS (
        |  SELECT id, game_id
-       |  FROM '${Scratch.sqlPath("mjgate_tables")}/kyokus/*/*.parquet'),
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/kyokus/*/*.parquet'),
        |r AS (
        |  SELECT game_id, is_sanma, aka_type, level
-       |  FROM '${Scratch.sqlPath("mjgate_tables")}/rules/*/*.parquet')
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/rules/*/*.parquet')
        |SELECT r.is_sanma, r.aka_type, r.level,
        |  count(*) AS kyokus,
        |  CAST(count(a.kyoku_id) AS BIGINT) AS wins,
@@ -254,7 +265,8 @@ object MahjongAnalytics {
     * points (exact DECIMAL(4,1) from the parser's owari handling)
     * summed per player, first-place counts from a per-game rank with a
     * (point desc, player_index) tie-break, average place as a round-4
-    * integer quotient.
+    * integer quotient. Player names include URL-decoded UTF-8 and
+    * sanma's empty n3 seat.
     *
     * At 100 TB: one per-game window (bounded 4-row frames) + one
     * combining aggregate keyed by player — the leaderboard exchange
@@ -281,10 +293,10 @@ object MahjongAnalytics {
   val qMahjongRankingSql: String =
     s"""WITH sc AS (
        |  SELECT game_id, player_index, point
-       |  FROM '${Scratch.sqlPath("mjgate_tables")}/game_scores/*/*.parquet'),
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/game_scores/*/*.parquet'),
        |pl AS (
        |  SELECT game_id, player_index, player_name
-       |  FROM '${Scratch.sqlPath("mjgate_tables")}/game_players/*/*.parquet'),
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/game_players/*/*.parquet'),
        |placed AS (
        |  SELECT pl.player_name, sc.point,
        |    row_number() OVER (PARTITION BY sc.game_id
@@ -303,6 +315,8 @@ object MahjongAnalytics {
   /** Seat advantage over the pipeline's own output — wins, exact mean
     * winning score (integer-sum quotient), and han/fu extrema per
     * winning seat. One combining aggregate over agaris; |seats| rows.
+    * Over the r17 corpus tsumo_wins < wins (ron exists) and max_han
+    * reaches yakuman territory (13 per yakuman id).
     */
   val qMahjongSeatStats: Q = (s, d) => {
     val dir = etlTablesDir(s, d)
@@ -327,13 +341,14 @@ object MahjongAnalytics {
        |  max(han) AS max_han, max(fu) AS max_fu,
        |  CAST(sum(CASE WHEN who = "by" THEN 1 ELSE 0 END) AS BIGINT)
        |    AS tsumo_wins
-       |FROM '${Scratch.sqlPath("mjgate_tables")}/agaris/*/*.parquet'
+       |FROM '${Scratch.sqlPath("mjgate2_tables")}/agaris/*/*.parquet'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Action-stream mix over the pipeline's LARGEST output table — the
     * per-type action census (draw/discard/meld call volumes, distinct
     * kyokus touched, nonnull pai share). Counts only; one combining
-    * aggregate over the firehose-shaped actions table.
+    * aggregate over the firehose-shaped actions table. The r17 corpus
+    * makes this a 5-type census: sutehai/tsumo/tsumo_k/tii/pon/kan.
     */
   val qMahjongActionMix: Q = (s, d) => {
     val dir = etlTablesDir(s, d)
@@ -352,75 +367,253 @@ object MahjongAnalytics {
        |  CAST(count(DISTINCT kyoku_id) AS BIGINT) AS n_kyokus,
        |  CAST(count(pai_id) AS BIGINT) AS n_with_pai,
        |  min(seq) AS min_seq, max(seq) AS max_seq
-       |FROM '${Scratch.sqlPath("mjgate_tables")}/actions/*/*.parquet'
+       |FROM '${Scratch.sqlPath("mjgate2_tables")}/actions/*/*.parquet'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Riichi outcome rates over the pipeline's own output — the
+    * [[riichiOutcomes]] workload as a GATE key: declarations are the
+    * `sutehai` actions whose rendered pai carries the `*` marker (the
+    * REACH step-1 semantics of scrape.py:474-475,599-603 composed with
+    * the fixed discard-tile divergence, SURVEY §1.5.2), left-joined to
+    * whether that player won the kyoku. Exercises marker parsing +
+    * encode + sink + scan cross-engine end-to-end.
+    *
+    * At 100 TB: the riichi filter prunes the firehose map-side; the
+    * join key (kyoku_id, player_index) is the natural co-partitioning;
+    * one combining aggregate over 4 seats.
+    */
+  val qMahjongRiichiRate: Q = (s, d) => {
+    val dir = etlTablesDir(s, d)
+    val riichis = s.read.parquet(s"$dir/actions")
+      .where(col("type") === "sutehai" && col("pais").endsWith("*"))
+      .select(col("kyoku_id"), col("player_index"))
+    val wins = s.read.parquet(s"$dir/agaris")
+      .select(col("kyoku_id"), col("who").as("player_index")).distinct()
+      .withColumn("won", lit(1L))
+    riichis.join(wins, Seq("kyoku_id", "player_index"), "left")
+      .groupBy("player_index")
+      .agg(count(lit(1)).as("riichis"),
+        sum(coalesce(col("won"), lit(0L))).as("riichi_wins"),
+        round(sum(coalesce(col("won"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("riichi_win_rate"))
+      .orderBy("player_index")
+  }
+
+  val qMahjongRiichiRateSql: String =
+    s"""WITH r AS (
+       |  SELECT kyoku_id, player_index
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/actions/*/*.parquet'
+       |  WHERE "type" = 'sutehai' AND pais LIKE '%*'),
+       |w AS (
+       |  SELECT DISTINCT kyoku_id, who AS player_index
+       |  FROM '${Scratch.sqlPath("mjgate2_tables")}/agaris/*/*.parquet')
+       |SELECT r.player_index, count(*) AS riichis,
+       |  CAST(sum(CASE WHEN w.kyoku_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS riichi_wins,
+       |  ROUND(CAST(sum(CASE WHEN w.kyoku_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS riichi_win_rate
+       |FROM r LEFT JOIN w USING (kyoku_id, player_index)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Batch ≡ streaming parity — all 9 tables, content-digested.
+  // ---------------------------------------------------------------
+
+  /** Canonical per-row string for a table, chosen so Spark and DuckDB
+    * render byte-identical strings from the same parquet bytes:
+    * concat_ws('|') over every column EXCEPT the per-batch-rebased
+    * surrogate ids (kyokus.id / child kyoku_id), with child rows
+    * re-keyed by their kyoku's natural key (game_id, kyoku_num, honba)
+    * via a within-tree join. Rendering rules (each verified
+    * cross-engine): booleans → 'true'/'false', DECIMAL(4,1) keeps its
+    * scale digits, DATE → ISO, int arrays → comma-join, the yaku
+    * list<struct> → 'name:han' comma-join, nullable pai_id →
+    * coalesce('-'). concat_ws skips NULLs identically in both engines.
+    */
+  private def aj(c: Column): Column =
+    array_join(transform(c, e => e.cast("string")), ",")
+
+  private def canonDf(s: SparkSession, root: String, tbl: String): DataFrame = {
+    def rd(t: String) = s.read.parquet(s"$root/$t")
+    val (df, canon): (DataFrame, Column) = tbl match {
+      case "games" =>
+        (rd("games"), concat_ws("|", col("id"), col("tonpu"), col("ariari"),
+          col("sanma"), col("demo"), col("soku"), col("has_aka"),
+          col("level"), col("started_at").cast("string")))
+      case "rules" =>
+        (rd("rules"), concat_ws("|", RuleCanonCols.map(col): _*))
+      case "game_players" =>
+        (rd("game_players"), concat_ws("|", col("game_id"),
+          col("player_name"), col("player_index")))
+      case "game_scores" =>
+        (rd("game_scores"), concat_ws("|", col("game_id"),
+          col("player_index"), col("score"), col("point").cast("string")))
+      case "kyokus" =>
+        (rd("kyokus"), concat_ws("|", col("game_id"), col("kyoku_num"),
+          col("honba"), col("reachbou"), aj(col("scores")), aj(col("kazes"))))
+      case child =>
+        val k = rd("kyokus").select(col("id").as("kid"), col("game_id"),
+          col("kyoku_num"), col("honba"))
+        val c = rd(child)
+        val joined = c.join(k, c("kyoku_id") === k("kid"))
+        val key = concat_ws("|", col("game_id"), col("kyoku_num"), col("honba"))
+        val body = child match {
+          case "haipais" => concat_ws("|", col("player_index"),
+            col("haipai"), aj(col("pai_ids")))
+          case "actions" => concat_ws("|", col("player_index"), col("seq"),
+            col("type"), col("pais"),
+            coalesce(col("pai_id").cast("string"), lit("-")))
+          case "agaris" => concat_ws("|", col("machipai"), col("score"),
+            col("fu"), col("han"), col("tehai"), aj(col("pai_ids")),
+            array_join(transform(col("yaku"), y =>
+              concat_ws(":", y.getField("name"), y.getField("han"))), ","),
+            aj(col("dora")), aj(col("uradora")),
+            aj(col("dora_orig")), aj(col("uradora_orig")),
+            col("who"), col("by"), aj(col("score_diff")),
+            col("owari"), col("nukidora"))
+          case "nagares" => concat_ws("|", col("name"), aj(col("score_diff")))
+        }
+        (joined, concat_ws("|", key, body))
+    }
+    df.select(col("dt").cast("string").as("dt"), canon.as("c"))
+  }
+
+  /** rules canonical column order (all fields, fixed). */
+  private val RuleCanonCols = Seq("game_id",
+    "enable_kuitan", "enable_atozuke", "enable_pao", "enable_tobi",
+    "enable_wareme", "enable_kunaoshi", "enable_kuriage",
+    "enable_agariyame", "enable_minus_riichi", "enable_ryanhan_shibari",
+    "enable_keiten", "aka_type", "shanyu_score", "nannyu_score",
+    "uradora_type", "furiten_riichi_type", "oyanagare_type",
+    "double_ron_type", "kan_in_riichi_type", "initial_score",
+    "is_demo", "is_soku", "is_sanma", "level")
+
+  /** Per-(dt) count + order-independent digest pair: sums over rows of
+    * two independent 32-bit md5 words (hex digits 1-8 and 21-28) —
+    * order-independent by commutativity, exact in both engines (BIGINT
+    * sums stay far under 2^53, so even a float64 round-trip in the
+    * compare harness is lossless; a DECIMAL(38,0) sum of wider words
+    * was lossy there), and a single-row content change flips it
+    * (demonstrated by perturbation in MahjongStreamParitySpec). At
+    * lake scale the words would widen to a decimal sum past ~2^31 rows
+    * per dt; the gate corpus pins semantics, not volume.
+    */
+  private def digestDf(s: SparkSession, root: String, tbl: String,
+                       suffix: String): DataFrame = {
+    val h = md5(col("c"))
+    def word(start: Int): Column =
+      conv(substring(h, start, 8), 16, 10).cast("long")
+    canonDf(s, root, tbl)
+      .groupBy("dt")
+      .agg(count(lit(1)).as(s"n_$suffix"),
+        sum(word(1)).as(s"digest_$suffix"),
+        sum(word(21)).as(s"digest2_$suffix"))
+  }
+
+  /** The full parity frame over two table trees — exposed so the spec
+    * can aim it at a deliberately perturbed copy and watch it flip.
+    */
+  private[graft] def parityFrame(s: SparkSession, batchRoot: String,
+                                 streamRoot: String): DataFrame =
+    graft.etl.Pipeline.TableNames.map { tbl =>
+      digestDf(s, batchRoot, tbl, "batch")
+        .join(digestDf(s, streamRoot, tbl, "stream"), "dt")
+        .select(lit(tbl).as("tbl"), col("dt"),
+          col("n_batch"), col("n_stream"),
+          col("digest_batch"), col("digest_stream"),
+          col("digest2_batch"), col("digest2_stream"))
+    }.reduce(_.unionByName(_))
+      .withColumn("parity",
+        col("n_batch") === col("n_stream") &&
+          col("digest_batch") === col("digest_stream") &&
+          col("digest2_batch") === col("digest2_stream"))
+      .orderBy("tbl", "dt")
 
   /** Batch ≡ streaming parity, hash-gated — the same fixture corpus
     * run through `Pipeline.run` AND drained through the checkpointed
     * `StreamingPipeline.runAvailable` micro-batch path, then compared
-    * per ingest date: game/kyoku/agari row counts and the exact integer
-    * agari-score mass from BOTH outputs side by side (ids are
-    * per-batch-rebased in the streaming path, so counts and sums — not
-    * ids — are the parity contract). DuckDB reads both parquet trees
-    * itself (hive_partitioning recovers dt), so the gate pins that the
-    * incremental path writes byte-equivalent TABLE CONTENT, not just
-    * that a spec said so.
+    * per ingest date across ALL NINE tables: row counts plus an
+    * order-independent md5-sum digest of each table's full row content
+    * minus the re-based surrogate ids (ids are per-batch-rebased in
+    * the streaming path, so content — not ids — is the parity
+    * contract; child rows are re-keyed by their kyoku's natural key).
+    * DuckDB recomputes every digest itself from both parquet trees
+    * (hive_partitioning recovers dt), so the gate pins that the
+    * incremental path writes byte-equivalent TABLE CONTENT — a
+    * streaming bug that mangles one `actions.pais` value flips the
+    * digest (perturbation-demonstrated in MahjongStreamParitySpec).
     *
-    * At 100 TB: the comparison is the reconciliation query a
-    * lambda-architecture deployment runs after a backfill — two
-    * dt-pruned scans, two combining aggregates, a 3-row join.
+    * At 100 TB: this is the reconciliation query a lambda-architecture
+    * deployment runs after a backfill — two dt-pruned scans per table,
+    * combining aggregates (the md5-sum is a map-side-partial
+    * aggregate), and a |dt|-row join; the kyoku natural-key join is
+    * co-partitioned on the same key the tables cluster by.
     */
   val qMahjongStreamParity: Q = (s, d) => {
     val b = etlTablesDir(s, d)
     val st = etlStreamTablesDir(s, d)
-    def counts(root: String, suffix: String): DataFrame = {
-      def c(tbl: String, name: String) =
-        s.read.parquet(s"$root/$tbl")
-          .groupBy(col("dt").cast("string").as("dt"))
-          .agg(count(lit(1)).as(name))
-      c("games", s"games_$suffix")
-        .join(c("kyokus", s"kyokus_$suffix"), "dt")
-        .join(c("agaris", s"agaris_$suffix"), "dt")
-        .join(s.read.parquet(s"$root/agaris")
-          .groupBy(col("dt").cast("string").as("dt"))
-          .agg(sum(col("score")).as(s"score_$suffix")), "dt")
+    parityFrame(s, b, st)
+  }
+
+  /** DuckDB spelling of one tree's per-table digest subquery. */
+  private def duckDigest(root: String, tbl: String, suffix: String): String = {
+    def t(name: String) =
+      s"read_parquet('$root/$name/*/*.parquet', hive_partitioning=true)"
+    // DuckDB's array_to_string returns NULL (not '') on an EMPTY list,
+    // and concat_ws would then skip the slot — coalesce to '' so empty
+    // arrays render identically to Spark's array_join
+    def ajS(c: String) = s"coalesce(array_to_string($c, ','), '')"
+    val (from, canon): (String, String) = tbl match {
+      case "games" => (t("games"),
+        "concat_ws('|', id, tonpu, ariari, sanma, demo, soku, has_aka, " +
+          "level, CAST(started_at AS VARCHAR))")
+      case "rules" => (t("rules"),
+        s"concat_ws('|', ${RuleCanonCols.mkString(", ")})")
+      case "game_players" => (t("game_players"),
+        "concat_ws('|', game_id, player_name, player_index)")
+      case "game_scores" => (t("game_scores"),
+        "concat_ws('|', game_id, player_index, score, CAST(point AS VARCHAR))")
+      case "kyokus" => (t("kyokus"),
+        s"concat_ws('|', game_id, kyoku_num, honba, reachbou, " +
+          s"${ajS("scores")}, ${ajS("kazes")})")
+      case child =>
+        val joined = s"${t(child)} c JOIN (SELECT id AS kid, game_id, " +
+          s"kyoku_num, honba FROM ${t("kyokus")}) k ON c.kyoku_id = k.kid"
+        val body = child match {
+          case "haipais" => s"player_index, haipai, ${ajS("pai_ids")}"
+          case "actions" =>
+            s"""player_index, seq, "type", pais, coalesce(CAST(pai_id AS VARCHAR), '-')"""
+          case "agaris" =>
+            s"machipai, score, fu, han, tehai, ${ajS("pai_ids")}, " +
+              "coalesce(array_to_string(list_transform(yaku, y -> " +
+              "concat_ws(':', y.name, y.han)), ','), ''), " +
+              s"${ajS("dora")}, ${ajS("uradora")}, ${ajS("dora_orig")}, " +
+              s"""${ajS("uradora_orig")}, who, "by", ${ajS("score_diff")}, """ +
+              "owari, nukidora"
+          case "nagares" => s"name, ${ajS("score_diff")}"
+        }
+        (joined, s"concat_ws('|', game_id, kyoku_num, honba, $body)")
     }
-    counts(b, "batch").join(counts(st, "stream"), "dt")
-      .select(col("dt"),
-        col("games_batch"), col("games_stream"),
-        col("kyokus_batch"), col("kyokus_stream"),
-        col("agaris_batch"), col("agaris_stream"),
-        col("score_batch"), col("score_stream"),
-        (col("games_batch") === col("games_stream") &&
-          col("kyokus_batch") === col("kyokus_stream") &&
-          col("agaris_batch") === col("agaris_stream") &&
-          col("score_batch") === col("score_stream")).as("parity"))
-      .orderBy("dt")
+    s"""SELECT CAST(dt AS VARCHAR) AS dt, count(*) AS n_$suffix,
+       |  CAST(sum(CAST(('0x' || substr(md5(c), 1, 8)) AS BIGINT))
+       |    AS BIGINT) AS digest_$suffix,
+       |  CAST(sum(CAST(('0x' || substr(md5(c), 21, 8)) AS BIGINT))
+       |    AS BIGINT) AS digest2_$suffix
+       |FROM (SELECT dt, $canon AS c FROM $from) GROUP BY 1""".stripMargin
   }
 
   val qMahjongStreamParitySql: String = {
-    def side(root: String, suffix: String): String =
-      s"""SELECT g.dt, g.n AS games_$suffix, k.n AS kyokus_$suffix,
-         |  a.n AS agaris_$suffix, a.score AS score_$suffix
-         |FROM (SELECT dt, count(*) AS n FROM read_parquet(
-         |        '$root/games/*/*.parquet', hive_partitioning=true)
-         |      GROUP BY 1) g
-         |JOIN (SELECT dt, count(*) AS n FROM read_parquet(
-         |        '$root/kyokus/*/*.parquet', hive_partitioning=true)
-         |      GROUP BY 1) k USING (dt)
-         |JOIN (SELECT dt, count(*) AS n, CAST(sum(score) AS BIGINT) AS score
-         |      FROM read_parquet(
-         |        '$root/agaris/*/*.parquet', hive_partitioning=true)
-         |      GROUP BY 1) a USING (dt)""".stripMargin
-    s"""WITH b AS (${side(Scratch.sqlPath("mjgate_tables"), "batch")}),
-       |s AS (${side(Scratch.sqlPath("mjgate_stream_tables"), "stream")})
-       |SELECT CAST(dt AS VARCHAR) AS dt,
-       |  games_batch, games_stream, kyokus_batch, kyokus_stream,
-       |  agaris_batch, agaris_stream, score_batch, score_stream,
-       |  games_batch = games_stream AND kyokus_batch = kyokus_stream
-       |    AND agaris_batch = agaris_stream
-       |    AND score_batch = score_stream AS parity
-       |FROM b JOIN s USING (dt) ORDER BY dt""".stripMargin
+    val b = Scratch.sqlPath("mjgate2_tables")
+    val st = Scratch.sqlPath("mjgate2_stream_tables")
+    val pieces = graft.etl.Pipeline.TableNames.map { tbl =>
+      s"""SELECT '$tbl' AS tbl, dt, n_batch, n_stream,
+         |  digest_batch, digest_stream, digest2_batch, digest2_stream,
+         |  n_batch = n_stream AND digest_batch = digest_stream
+         |    AND digest2_batch = digest2_stream AS parity
+         |FROM (${duckDigest(b, tbl, "batch")}) b
+         |JOIN (${duckDigest(st, tbl, "stream")}) s USING (dt)""".stripMargin
+    }
+    pieces.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, dt")
   }
 
   val entries: Map[String, Q] = Map(
@@ -429,6 +622,7 @@ object MahjongAnalytics {
     "q_mahjong_ranking"    -> qMahjongRanking,
     "q_mahjong_seat_stats" -> qMahjongSeatStats,
     "q_mahjong_action_mix" -> qMahjongActionMix,
+    "q_mahjong_riichi_rate" -> qMahjongRiichiRate,
     "q_mahjong_stream_parity" -> qMahjongStreamParity)
 
   val oracles: Map[String, String] = Map(
@@ -437,5 +631,6 @@ object MahjongAnalytics {
     "q_mahjong_ranking"    -> qMahjongRankingSql,
     "q_mahjong_seat_stats" -> qMahjongSeatStatsSql,
     "q_mahjong_action_mix" -> qMahjongActionMixSql,
+    "q_mahjong_riichi_rate" -> qMahjongRiichiRateSql,
     "q_mahjong_stream_parity" -> qMahjongStreamParitySql)
 }

@@ -196,9 +196,14 @@ object Signals {
     * formulation shuffles and sorts the full user-total table.
     */
   val qAggArgmax: Q = (s, d) => {
+    // ordering key stays the EXACT DECIMAL(18,2) sum — the oracle's
+    // rank windows order on the exact decimal, and a double cast here
+    // could collide two cent-distinct totals at large magnitudes and
+    // tie-break differently cross-engine; double appears only in the
+    // output projection
     val totals = Tables.events(s, d)
       .groupBy("event_type", "user_id")
-      .agg(dsum(col("value")).as("total"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("total"))
     val key = struct(col("total"), col("user_id"))
     val carrier = struct(col("user_id").as("u"), col("total").as("t"))
     totals.groupBy("event_type")

@@ -104,11 +104,15 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
     val agaris = spark.read.parquet(s"$tdir/agaris").count()
     val seat = SparkEntry.queries("q_mahjong_seat_stats")(spark, sf).collect()
     assert(seat.map(_.getAs[Long]("wins")).sum == agaris)
+    // the r17 corpus has ron wins, so tsumo is a strict subset
+    assert(seat.map(_.getAs[Long]("tsumo_wins")).sum < agaris)
     val yaku = SparkEntry.queries("q_mahjong_yaku_freq")(spark, sf).collect()
-    // the frequency table preserves the exploded yaku mass exactly
+    // the frequency table preserves the exploded yaku mass exactly and
+    // spans the widened corpus's yaku space (≥ 10 names incl. yakuman)
     val yakuMass = spark.read.parquet(s"$tdir/agaris")
       .selectExpr("sum(size(yaku))").head().getLong(0)
     assert(yaku.map(_.getAs[Long]("times")).sum == yakuMass)
+    assert(yaku.length >= 10)
     val rank = SparkEntry.queries("q_mahjong_ranking")(spark, sf).collect()
     val scores = spark.read.parquet(s"$tdir/game_scores").count()
     assert(rank.map(_.getAs[Long]("games")).sum == scores)
@@ -118,18 +122,61 @@ class MahjongAnalyticsSpec extends AnyFunSuite {
     val wr = SparkEntry.queries("q_mahjong_win_rate")(spark, sf).collect()
     val kyokus = spark.read.parquet(s"$tdir/kyokus").count()
     assert(wr.map(_.getAs[Long]("kyokus")).sum == kyokus)
+    assert(wr.length >= 3) // ≥ 3 (is_sanma, aka_type, level) rule groups
+    // riichi rate: declarations == `*`-marked discards; wins ⊆ riichis
+    val rr = SparkEntry.queries("q_mahjong_riichi_rate")(spark, sf).collect()
+    val markers = spark.read.parquet(s"$tdir/actions")
+      .where(col("type") === "sutehai" && col("pais").endsWith("*")).count()
+    assert(rr.map(_.getAs[Long]("riichis")).sum == markers && markers > 0)
+    rr.foreach(r => assert(
+      r.getAs[Long]("riichi_wins") <= r.getAs[Long]("riichis")))
   }
 
   test("q_mahjong_stream_parity: the checkpointed streaming drain of " +
-       "the corpus matches the batch run on every ingest date") {
+       "the corpus content-digest-matches the batch run on all 9 " +
+       "tables and every ingest date") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_mahjong_stream_parity")(spark, sf)
       .collect()
-    assert(rows.length == 3) // 3 corpus dates
+    assert(rows.length == 27) // 9 tables x 3 corpus dates
     rows.foreach { r =>
       assert(r.getAs[Boolean]("parity"),
-        s"batch/stream divergence on ${r.getString(0)}: $r")
-      assert(r.getAs[Long]("games_batch") == 30)
+        s"batch/stream divergence on ${r.getString(0)}/${r.getString(1)}: $r")
+    }
+    assert(rows.filter(_.getString(0) == "games")
+      .forall(_.getAs[Long]("n_batch") == 30))
+  }
+
+  test("parity digest flips on a single perturbed row (and only there)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = MahjongAnalytics.etlTablesDir(spark, sf)
+    val stream = MahjongAnalytics.etlStreamTablesDir(spark, sf)
+    // perturbed copy of the stream tree: symlink 8 tables, rewrite
+    // `actions` with ONE pais value changed in one dt partition
+    val root = Files.createTempDirectory("graft_parity_perturb_")
+    graft.etl.Pipeline.TableNames.filterNot(_ == "actions").foreach { t =>
+      Files.createSymbolicLink(root.resolve(t),
+        java.nio.file.Paths.get(stream, t))
+    }
+    val acts = spark.read.parquet(s"$stream/actions")
+    import org.apache.spark.sql.functions.{concat, date_format, lit, min, struct, when}
+    val first = acts.select(min(struct(col("kyoku_id"), col("seq")))).head()
+      .getStruct(0)
+    val (k0, s0) = (first.getLong(0), first.getInt(1))
+    val hitDt = acts.where(col("kyoku_id") === k0 && col("seq") === s0)
+      .select(col("dt").cast("string")).head().getString(0)
+    acts
+      .withColumn("pais", when(col("kyoku_id") === k0 && col("seq") === s0,
+        concat(col("pais"), lit("X"))).otherwise(col("pais")))
+      .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd"))
+      .write.partitionBy("dt").parquet(root.resolve("actions").toString)
+    val rows = MahjongAnalytics.parityFrame(spark, batch, root.toString)
+      .collect()
+    assert(rows.length == 27)
+    rows.foreach { r =>
+      val expected = !(r.getString(0) == "actions" && r.getString(1) == hitDt)
+      assert(r.getAs[Boolean]("parity") == expected,
+        s"perturbation detection wrong at ${r.getString(0)}/${r.getString(1)}: $r")
     }
   }
 }
