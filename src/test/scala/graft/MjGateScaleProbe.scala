@@ -49,7 +49,10 @@ object MjGateScaleProbe {
       bad.foreach(r => println(s"PROBE $tag BAD: $r"))
     }
 
-    runScale("x1", 3, 30)
+    // first run pays JIT/codegen warmup — the warm x1 re-run is the
+    // denominator for the x10 growth ratio
+    runScale("x1_cold", 3, 30)
+    runScale("x1_warm", 3, 30)
     runScale("x10", 6, 150)
     spark.stop()
   }
