@@ -163,22 +163,32 @@ object StreamingQ {
     * 100 TB session state is the largest keyed state in this suite, so
     * the gate entry exercises the production store, not just batch
     * semantics — fed by a DISTRIBUTED file source ([[eventWeekFiles]]:
-    * one parquet file per calendar week, one file per micro-batch), not
-    * the driver-resident MemoryStream harness. A far-future sentinel
-    * file (user −1, filtered from the result) advances the final
-    * watermark so every real session is finalized and emitted. The week
-    * files arrive in time order, so no real row is ever below the
-    * watermark (same boundary argument as [[qStreamStateful]]) and the
-    * emitted sessions hash-match the batch sessionization oracle
-    * exactly.
+    * one parquet file per calendar week, ~3 weekly files per
+    * micro-batch), not the driver-resident MemoryStream harness. A
+    * far-future sentinel file (user −1, filtered from the result)
+    * advances the final watermark so every real session is finalized
+    * and emitted. The week files arrive in time order, so no real row
+    * is ever below the watermark (same boundary argument as
+    * [[qStreamStateful]]) and the emitted sessions hash-match the
+    * batch sessionization oracle exactly. Appended sessions are
+    * invariant to replay granularity (a session is emitted once, when
+    * the final watermark passes its gap — the same argument the
+    * coarser [[qStreamStateInspect]]/[[qStreamWindowDistinct]] replays
+    * already rely on), so the grouped admission keeps the multi-batch
+    * RocksDB merge path live while paying per-commit cost 3× less —
+    * the r17 SessProbe matrix measured per-batch fixed cost
+    * (walCommit/offsets/planning + store commit) as ~40% of this key.
     */
   val qStreamSession: Q = (s, d) => withRocksDb(s) {
     // fed by the DISTRIBUTED week-file replay (executors read the
-    // batches; the driver only admits one file per trigger) — the
-    // far-future sentinel is the last file, so every real session
-    // finalizes exactly as in the MemoryStream form and the oracle
-    // hash is unchanged
-    runFileReplayStream(s, "graft_stream_session", d) { df =>
+    // batches; the driver only admits files) — the far-future sentinel
+    // is in the last trigger, so every real session finalizes exactly
+    // as in the one-file-per-batch form and the oracle hash is
+    // unchanged (verified: identical 95k-row output across 1/3/6
+    // files-per-trigger in the r17 probe)
+    runFileReplayStream(s, "graft_stream_session", d,
+                        filesPerTrigger = 3,
+                        rowsPerStatePartition = 12500L) { df =>
       df.withWatermark("ts", "30 minutes")
         .groupBy(col("user_id"),
                  session_window(col("ts"), "30 minutes").as("w"))
@@ -449,9 +459,11 @@ object StreamingQ {
     * sizing and checkpoint placement mirror [[runReplayStreams]].
     */
   private def runFileReplayStream(s: SparkSession, name: String, d: String,
-                                  filesPerTrigger: Int = 1)
+                                  filesPerTrigger: Int = 1,
+                                  rowsPerStatePartition: Long = 100000L)
                                  (build: DataFrame => DataFrame): DataFrame =
-    runFileReplayStreamsN(s, name, d, filesPerTrigger, 1)(dfs => build(dfs.head))
+    runFileReplayStreamsN(s, name, d, filesPerTrigger, 1,
+                          rowsPerStatePartition)(dfs => build(dfs.head))
 
   /** N independent file-source readers over the same seeded week files
     * — the two-stream (join) form of the distributed replay: each
@@ -459,12 +471,34 @@ object StreamingQ {
     * stay aligned the way the MemoryStream harness aligned its batch
     * lists, but EXECUTORS do the reading on every side.
     */
+  /** Memoized per (session, dir) row count of `events` — it only sizes
+    * the replay's state-store partition count, and before memoization
+    * every rep of every file-replay key paid a fresh count job for the
+    * same answer (~12 keys × 3 reps of pure overhead per bench run).
+    */
+  private val eventCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def eventCount(s: SparkSession, d: String): Long =
+    eventCountMemo.computeIfAbsent(s"${s.hashCode}|$d",
+      _ => java.lang.Long.valueOf(Tables.events(s, d).count())).longValue()
+
   private def runFileReplayStreamsN(s: SparkSession, name: String, d: String,
-                                    filesPerTrigger: Int, n: Int)
+                                    filesPerTrigger: Int, n: Int,
+                                    rowsPerStatePartition: Long = 100000L)
                                    (build: Seq[DataFrame] => DataFrame): DataFrame = {
     val dir = eventWeekFiles(s, d)
-    val totalRows = Tables.events(s, d).count()
-    val parts = math.max(2, math.min(8, totalRows / 100000)).toString
+    val totalRows = eventCount(s, d)
+    // one state store per ~rowsPerStatePartition replay rows, floor 2,
+    // cap 8. The default matches the r15 sizing (the per-batch store
+    // commits dominate the fpt=1 fold keys, where MORE stores measured
+    // SLOWER — r17 targeted pair, OPTIMIZATION_r17.md); the
+    // session-window key opts into denser stores because its per-batch
+    // state merge is the one stateful stage heavy enough for 2 stores
+    // to serialize a 32-core box (SessProbe matrix: 8 stores ×1.4 at
+    // 3 files/trigger). Results are partition-count-invariant
+    // (ShuffleInvarianceSpec pins that for every key).
+    val parts =
+      math.max(2, math.min(8, totalRows / rowsPerStatePartition)).toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts)
     try {
@@ -913,9 +947,16 @@ object StreamingQ {
     }
 
   val qStreamMv: Q = (s, d) => {
-    // DISTRIBUTED week-file replay: executors read each weekly parquet
-    // file as one micro-batch; the driver only admits files and runs
-    // the per-batch manifest merge (metadata-sized). The seeded
+    // DISTRIBUTED week-file replay: executors read the weekly parquet
+    // files — two per micro-batch; the driver only admits files and
+    // runs the per-batch manifest merge (metadata-sized). The final MV
+    // is invariant to replay granularity (each merge is a keyed
+    // last-write fold, so ANY batching converges to the plain GROUP BY
+    // oracle — the q_stream_state_inspect invariance argument), and
+    // the grouped admission still runs 3 real merge cycles (manifest
+    // carry-forward included) while paying half the per-version parquet
+    // write + manifest cost — the r17 probe measured the per-batch
+    // merge write as this key's dominant fixed cost. The seeded
     // sentinel row flows into the MV under synthetic user −1 (keeping
     // every foreachBatch non-empty) and is filtered at read — it is not
     // in the oracle's events table.
@@ -936,7 +977,7 @@ object StreamingQ {
       val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_ckpt_mv_")
       val src = s.readStream
         .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(s"$dir/w*.parquet")
       val q = mvAggregate(src)
         .writeStream
